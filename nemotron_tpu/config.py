@@ -1,0 +1,210 @@
+"""Model hyperparameters and streaming cache configuration.
+
+TPU-native re-implementation of the reference's two config tiers:
+  - model hparams   (reference: src/nemo-ggml.h:37-49, GGUF "nemo.*" keys,
+                     src/nemo-ggml.cpp:108-133)
+  - cache config    (reference: src/nemo-stream.h:23-128 -- latency presets and
+                     all derived chunk/shift/valid-out formulas)
+
+Everything here is static Python data: all derived sizes are compile-time
+constants so that every jitted step function has fully static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Hyperparameters of nemotron-speech-streaming-en-0.6b.
+
+    Defaults mirror reference docs/TENSOR_SHAPES.md:5-17 and
+    src/nemo-ggml.h:37-49. `kernel_size` is the *runtime* value inferred from
+    the depthwise-conv weight shape (reference src/nemo-ggml.cpp:320-324); the
+    stale GGUF metadata value (31) is ignored the same way the reference
+    ignores it.
+    """
+
+    n_mels: int = 128
+    d_model: int = 1024
+    n_heads: int = 8
+    d_head: int = 128
+    d_ff: int = 4096
+    n_layers: int = 24
+    kernel_size: int = 9          # depthwise conv kernel (inferred from weights)
+    vocab_size: int = 1025        # 1024 tokens + blank
+    decoder_dim: int = 640        # LSTM hidden size
+    decoder_layers: int = 2
+    joint_dim: int = 640
+    subsampling_channels: int = 256
+    subsampling_factor: int = 8   # 3 stride-2 conv stages
+
+    @property
+    def blank_token(self) -> int:
+        return self.vocab_size - 1
+
+    @property
+    def subsampled_mels(self) -> int:
+        """Frequency width after the 3 stride-2 causal conv stages.
+
+        Causal pad (left=k-1, right=stride-1) gives out = in//2 + 1 per stage
+        (reference src/nemo-ggml.cpp:828-835): 128 -> 65 -> 33 -> 17.
+        """
+        f = self.n_mels
+        for _ in range(3):
+            f = f // 2 + 1
+        return f
+
+    @property
+    def pre_encode_out_dim(self) -> int:
+        """Input width of the subsampling output Linear: C * F' = 256*17 = 4352."""
+        return self.subsampling_channels * self.subsampled_mels
+
+
+class LatencyMode(enum.IntEnum):
+    """Right-context presets (reference src/nemo-stream.h:15-20).
+
+    The value IS the att_right_context R; algorithmic latency is
+    (1+R)*80 ms."""
+
+    PURE_CAUSAL = 0   # 80 ms
+    ULTRA_LOW = 1     # 160 ms
+    LOW = 6           # 560 ms
+    DEFAULT = 13      # 1.12 s
+
+
+@dataclasses.dataclass(frozen=True)
+class CacheConfig:
+    """Streaming cache-aware config (reference src/nemo-stream.h:23-128).
+
+    All derived quantities replicate the reference formulas exactly so that
+    the four latency modes produce identical chunk geometry:
+
+        R          0    1    6    13
+        chunk_mel  17   25   65   121
+        shift_mel  8    16   56   112
+        valid_out  1    2    7    14
+    """
+
+    att_left_context: int = 70
+    att_right_context: int = 0
+    cache_drop_size: int = 0
+    conv_kernel_size: int = 9
+    subsampling_factor: int = 8
+    n_mels: int = 128
+    sample_rate: int = 16000
+    hop_length: int = 160
+    drop_extra_pre_encoded: int = 2
+    pre_encode_cache_size: int = 9
+
+    @property
+    def conv_cache_size(self) -> int:
+        return self.conv_kernel_size - 1
+
+    @property
+    def chunk_mel_frames(self) -> int:
+        """Total mel frames fed to the encoder per chunk, incl. 9-frame overlap
+        (reference src/nemo-stream.h:65-72)."""
+        lookahead = self.att_right_context
+        return self.pre_encode_cache_size + self.subsampling_factor * (1 + lookahead)
+
+    @property
+    def shift_mel_frames(self) -> int:
+        """New mel frames consumed per chunk (reference src/nemo-stream.h:76-81)."""
+        return self.subsampling_factor * (
+            1 + self.att_right_context - self.cache_drop_size
+        )
+
+    @property
+    def chunk_samples(self) -> int:
+        return self.chunk_mel_frames * self.hop_length
+
+    @property
+    def shift_samples(self) -> int:
+        return self.shift_mel_frames * self.hop_length
+
+    @property
+    def latency_ms(self) -> int:
+        return self.chunk_mel_frames * self.hop_length * 1000 // self.sample_rate
+
+    @property
+    def valid_out_len(self) -> int:
+        """Encoder frames emitted per chunk (reference src/nemo-stream.h:98-100)."""
+        return 1 + self.att_right_context
+
+    @property
+    def subsampled_chunk_len(self) -> int:
+        """Encoder frames produced by subsampling the chunk, before dropping
+        the overlap. out = in//2 + 1 per stride-2 stage."""
+        t = self.chunk_mel_frames
+        for _ in range(3):
+            t = t // 2 + 1
+        return t
+
+    @property
+    def chunk_enc_len(self) -> int:
+        """Encoder frames per chunk after dropping drop_extra_pre_encoded.
+
+        Equals valid_out_len for all standard latency modes."""
+        return self.subsampled_chunk_len - self.drop_extra_pre_encoded
+
+    @property
+    def kv_len(self) -> int:
+        """Attention key/value length: left-context cache + current chunk."""
+        return self.att_left_context + self.chunk_enc_len
+
+    @property
+    def pos_len(self) -> int:
+        """Relative-position embedding slice length for cached attention
+        (reference src/nemo-stream.cpp:150-159)."""
+        return 2 * self.kv_len - 1
+
+    @classmethod
+    def with_latency(cls, mode: LatencyMode | int) -> "CacheConfig":
+        return cls(att_right_context=int(mode))
+
+    @classmethod
+    def pure_causal(cls) -> "CacheConfig":
+        return cls.with_latency(LatencyMode.PURE_CAUSAL)
+
+    @classmethod
+    def ultra_low_latency(cls) -> "CacheConfig":
+        return cls.with_latency(LatencyMode.ULTRA_LOW)
+
+    @classmethod
+    def low_latency(cls) -> "CacheConfig":
+        return cls.with_latency(LatencyMode.LOW)
+
+    @classmethod
+    def balanced(cls) -> "CacheConfig":
+        return cls.with_latency(LatencyMode.DEFAULT)
+
+
+# Greedy RNN-T decode bound (reference src/nemo-ggml.cpp:1134).
+MAX_SYMBOLS_PER_STEP = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessorConfig:
+    """Mel frontend constants (reference src/preprocessor.cpp:46-57)."""
+
+    sample_rate: int = 16000
+    n_window_size: int = 400      # 25 ms
+    n_window_stride: int = 160    # 10 ms
+    n_fft: int = 512
+    preemph: float = 0.97
+    n_mels: int = 128
+    log_zero_guard: float = 2.0 ** -24
+    mag_power: float = 2.0
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1  # 257
+
+    @property
+    def initial_pad(self) -> int:
+        """Center-pad emulation: the audio buffer is pre-seeded with n_fft/2
+        zeros (reference src/preprocessor.cpp:220-222)."""
+        return self.n_fft // 2

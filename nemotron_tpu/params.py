@@ -1,0 +1,386 @@
+"""Parameter pytrees and GGUF <-> pytree mapping.
+
+Tensor-name mapping mirrors the reference loader
+(reference src/nemo-ggml.cpp:258-356). Conventions used throughout this
+framework (chosen for TPU / jnp idiom, NOT the ggml layout):
+
+  - Linear weights are stored as [in, out] so the forward pass is `x @ w`.
+    (GGUF/PyTorch store [out, in]; the loader transposes.)
+  - Conv2d kernels are HWIO: [kT, kF, in_ch, out_ch] for
+    lax.conv_general_dilated with ('NHWC', 'HWIO', 'NHWC').
+  - The depthwise conv1d weight is [kernel, d_model] (the reference converter
+    already stores it this way, scripts/convert_to_gguf.py:331-336).
+  - Conformer layer params are stacked along a leading layer axis so the
+    encoder can `lax.scan` over layers (one trace instead of 24).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import numpy as np
+
+from . import gguf as gguf_mod
+from .config import ModelConfig
+
+
+def _pytree_dataclass(cls):
+    cls = dataclasses.dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_pytree_dataclass
+class SubsamplingParams:
+    """Causal ConvSubsampling (reference src/nemo-ggml.cpp:877-952)."""
+
+    conv0_w: Any   # [3, 3, 1, 256]    full conv, stride 2
+    conv0_b: Any   # [256]
+    conv2_w: Any   # [3, 3, 1, 256]    depthwise, stride 2
+    conv2_b: Any   # [256]
+    conv3_w: Any   # [1, 1, 256, 256]  pointwise
+    conv3_b: Any   # [256]
+    conv5_w: Any   # [3, 3, 1, 256]    depthwise, stride 2
+    conv5_b: Any   # [256]
+    conv6_w: Any   # [1, 1, 256, 256]  pointwise
+    conv6_b: Any   # [256]
+    out_w: Any     # [4352, 1024]
+    out_b: Any     # [1024]
+
+
+@_pytree_dataclass
+class ConformerLayerParams:
+    """One (or L stacked) Conformer layer(s).
+
+    All arrays carry a leading layer axis when stacked (see
+    `stack_layers`). Residual structure: reference src/nemo-ggml.cpp:768-813.
+    """
+
+    norm_ff1_w: Any      # [D]
+    norm_ff1_b: Any
+    ffn1_w1: Any         # [D, 4D]
+    ffn1_w2: Any         # [4D, D]
+    norm_attn_w: Any
+    norm_attn_b: Any
+    attn_q_w: Any        # [D, D]
+    attn_k_w: Any
+    attn_v_w: Any
+    attn_pos_w: Any
+    attn_out_w: Any
+    pos_bias_u: Any      # [H, d_head]
+    pos_bias_v: Any
+    norm_conv_w: Any
+    norm_conv_b: Any
+    conv_pw1_w: Any      # [D, 2D]
+    conv_dw_w: Any       # [K, D]
+    conv_ln_w: Any
+    conv_ln_b: Any
+    conv_pw2_w: Any      # [D, D]
+    norm_ff2_w: Any
+    norm_ff2_b: Any
+    ffn2_w1: Any
+    ffn2_w2: Any
+    norm_final_w: Any
+    norm_final_b: Any
+
+
+@_pytree_dataclass
+class DecoderParams:
+    """RNN-T prediction network: Embedding + 2-layer LSTM
+    (reference src/nemo-ggml.cpp:333-344, docs/TENSOR_SHAPES.md:69-83)."""
+
+    embedding: Any      # [vocab, 640]
+    w_ih: Any           # [2, 640, 2560]  (layer, in, 4*hidden) gates [i,f,g,o]
+    w_hh: Any           # [2, 640, 2560]
+    b_ih: Any           # [2, 2560]
+    b_hh: Any           # [2, 2560]
+
+
+@_pytree_dataclass
+class JointParams:
+    """Joint network (reference src/nemo-ggml.cpp:347-352)."""
+
+    enc_w: Any   # [1024, 640]
+    enc_b: Any   # [640]
+    dec_w: Any   # [640, 640]
+    dec_b: Any   # [640]
+    out_w: Any   # [640, 1025]
+    out_b: Any   # [1025]
+
+
+@_pytree_dataclass
+class PreprocessorParams:
+    filterbank: Any   # [128, 257]
+    window: Any       # [400]
+
+
+@_pytree_dataclass
+class ModelParams:
+    subsampling: SubsamplingParams
+    layers: ConformerLayerParams     # stacked [L, ...]
+    decoder: DecoderParams
+    joint: JointParams
+    preprocessor: PreprocessorParams
+
+
+# ---------------------------------------------------------------------------
+# GGUF -> pytree
+# ---------------------------------------------------------------------------
+
+def _conv2d_hwio(w: np.ndarray) -> np.ndarray:
+    """PyTorch OIHW [O, I, kT, kF] -> HWIO [kT, kF, I, O]."""
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _linear(w: np.ndarray) -> np.ndarray:
+    """PyTorch [out, in] -> [in, out]."""
+    return np.ascontiguousarray(w.T)
+
+
+def params_from_arrays(t: dict[str, np.ndarray], cfg: ModelConfig) -> ModelParams:
+    """Build the param pytree from a name->array dict using the reference's
+    tensor names (reference src/nemo-ggml.cpp:258-356)."""
+
+    sub = SubsamplingParams(
+        conv0_w=_conv2d_hwio(t["encoder.pre_encode.conv.0.weight"]),
+        conv0_b=t["encoder.pre_encode.conv.0.bias"],
+        conv2_w=_conv2d_hwio(t["encoder.pre_encode.conv.2.weight"]),
+        conv2_b=t["encoder.pre_encode.conv.2.bias"],
+        conv3_w=_conv2d_hwio(t["encoder.pre_encode.conv.3.weight"]),
+        conv3_b=t["encoder.pre_encode.conv.3.bias"],
+        conv5_w=_conv2d_hwio(t["encoder.pre_encode.conv.5.weight"]),
+        conv5_b=t["encoder.pre_encode.conv.5.bias"],
+        conv6_w=_conv2d_hwio(t["encoder.pre_encode.conv.6.weight"]),
+        conv6_b=t["encoder.pre_encode.conv.6.bias"],
+        out_w=_linear(t["encoder.pre_encode.out.weight"]),
+        out_b=t["encoder.pre_encode.out.bias"],
+    )
+
+    def layer(i: int) -> ConformerLayerParams:
+        p = f"encoder.layers.{i}"
+        dw = t[f"{p}.conv.depthwise_conv.weight"]
+        if dw.ndim == 3:
+            # raw NeMo layout (D, 1, K) -> converter layout (K, D)
+            dw = dw.squeeze(1).T
+        pw1 = t[f"{p}.conv.pointwise_conv1.weight"]
+        if pw1.ndim == 3:
+            pw1 = pw1.squeeze(2)
+        pw2 = t[f"{p}.conv.pointwise_conv2.weight"]
+        if pw2.ndim == 3:
+            pw2 = pw2.squeeze(2)
+        return ConformerLayerParams(
+            norm_ff1_w=t[f"{p}.norm_feed_forward1.weight"],
+            norm_ff1_b=t[f"{p}.norm_feed_forward1.bias"],
+            ffn1_w1=_linear(t[f"{p}.feed_forward1.linear1.weight"]),
+            ffn1_w2=_linear(t[f"{p}.feed_forward1.linear2.weight"]),
+            norm_attn_w=t[f"{p}.norm_self_att.weight"],
+            norm_attn_b=t[f"{p}.norm_self_att.bias"],
+            attn_q_w=_linear(t[f"{p}.self_attn.linear_q.weight"]),
+            attn_k_w=_linear(t[f"{p}.self_attn.linear_k.weight"]),
+            attn_v_w=_linear(t[f"{p}.self_attn.linear_v.weight"]),
+            attn_pos_w=_linear(t[f"{p}.self_attn.linear_pos.weight"]),
+            attn_out_w=_linear(t[f"{p}.self_attn.linear_out.weight"]),
+            pos_bias_u=t[f"{p}.self_attn.pos_bias_u"],
+            pos_bias_v=t[f"{p}.self_attn.pos_bias_v"],
+            norm_conv_w=t[f"{p}.norm_conv.weight"],
+            norm_conv_b=t[f"{p}.norm_conv.bias"],
+            conv_pw1_w=np.ascontiguousarray(pw1.T),
+            conv_dw_w=np.ascontiguousarray(dw),
+            conv_ln_w=t[f"{p}.conv.batch_norm.weight"],
+            conv_ln_b=t[f"{p}.conv.batch_norm.bias"],
+            conv_pw2_w=np.ascontiguousarray(pw2.T),
+            norm_ff2_w=t[f"{p}.norm_feed_forward2.weight"],
+            norm_ff2_b=t[f"{p}.norm_feed_forward2.bias"],
+            ffn2_w1=_linear(t[f"{p}.feed_forward2.linear1.weight"]),
+            ffn2_w2=_linear(t[f"{p}.feed_forward2.linear2.weight"]),
+            norm_final_w=t[f"{p}.norm_out.weight"],
+            norm_final_b=t[f"{p}.norm_out.bias"],
+        )
+
+    layers = stack_layers([layer(i) for i in range(cfg.n_layers)])
+
+    dp = "decoder.prediction"
+    decoder = DecoderParams(
+        embedding=t[f"{dp}.embed.weight"],
+        w_ih=np.stack([_linear(t[f"{dp}.dec_rnn.lstm.weight_ih_l{i}"]) for i in (0, 1)]),
+        w_hh=np.stack([_linear(t[f"{dp}.dec_rnn.lstm.weight_hh_l{i}"]) for i in (0, 1)]),
+        b_ih=np.stack([t[f"{dp}.dec_rnn.lstm.bias_ih_l{i}"] for i in (0, 1)]),
+        b_hh=np.stack([t[f"{dp}.dec_rnn.lstm.bias_hh_l{i}"] for i in (0, 1)]),
+    )
+
+    joint = JointParams(
+        enc_w=_linear(t["joint.enc.weight"]),
+        enc_b=t["joint.enc.bias"],
+        dec_w=_linear(t["joint.pred.weight"]),
+        dec_b=t["joint.pred.bias"],
+        out_w=_linear(t["joint.joint_net.2.weight"]),
+        out_b=t["joint.joint_net.2.bias"],
+    )
+
+    pre = PreprocessorParams(
+        filterbank=np.ascontiguousarray(
+            t["preprocessor.featurizer.fb"].reshape(-1)[: cfg.n_mels * 257]
+            .reshape(cfg.n_mels, 257)
+        ),
+        window=t["preprocessor.featurizer.window"].reshape(-1),
+    )
+
+    return ModelParams(sub, layers, decoder, joint, pre)
+
+
+def stack_layers(layers: list[ConformerLayerParams]) -> ConformerLayerParams:
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *layers)
+
+
+def load_model(path: str) -> tuple[ModelParams, ModelConfig, list[str]]:
+    """Load a GGUF file: (params, config, vocab).
+
+    Mirrors the reference loader's hparam handling, including inferring
+    kernel_size from the depthwise weight (reference src/nemo-ggml.cpp:320-324)
+    rather than trusting the stale metadata value."""
+    g = gguf_mod.read_gguf(path)
+    md = g.metadata
+
+    def u32(key, default):
+        return int(md.get(key, default))
+
+    arrays = {name: tt.to_numpy() for name, tt in g.tensors.items()}
+    dw = arrays.get("encoder.layers.0.conv.depthwise_conv.weight")
+    kernel_size = 9
+    if dw is not None:
+        kernel_size = dw.shape[0] if dw.ndim == 2 else dw.shape[-1]
+
+    cfg = ModelConfig(
+        n_mels=u32("nemo.n_mels", 128),
+        d_model=u32("nemo.d_model", 1024),
+        n_heads=u32("nemo.n_heads", 8),
+        d_head=u32("nemo.d_head", 128),
+        d_ff=u32("nemo.d_ff", 4096),
+        n_layers=u32("nemo.n_layers", 24),
+        kernel_size=kernel_size,
+        vocab_size=u32("nemo.vocab_size", 1025),
+    )
+
+    vocab_blob = md.get("tokenizer.vocab", b"")
+    if isinstance(vocab_blob, str):
+        vocab_blob = vocab_blob.encode("utf-8", errors="surrogateescape")
+    vocab = gguf_mod.decode_vocab(vocab_blob, cfg.vocab_size) if vocab_blob else []
+
+    return params_from_arrays(arrays, cfg), cfg, vocab
+
+
+# ---------------------------------------------------------------------------
+# Random init (for tests / benchmarks when no real GGUF is available)
+# ---------------------------------------------------------------------------
+
+def random_weight_arrays(cfg: ModelConfig, seed: int = 0,
+                         scale: float = 0.05) -> dict[str, np.ndarray]:
+    """Random weights in the *reference's* name/shape convention
+    (docs/TENSOR_SHAPES.md), so they can round-trip through GGUF and feed both
+    the oracle and the JAX model."""
+    rng = np.random.default_rng(seed)
+    D, FF, H, DH = cfg.d_model, cfg.d_ff, cfg.n_heads, cfg.d_head
+    V, DD = cfg.vocab_size, cfg.decoder_dim
+    K = cfg.kernel_size
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def ones(*shape):
+        return np.ones(shape, dtype=np.float32)
+
+    def zeros(*shape):
+        return np.zeros(shape, dtype=np.float32)
+
+    t: dict[str, np.ndarray] = {}
+    C = cfg.subsampling_channels
+    t["encoder.pre_encode.conv.0.weight"] = w(C, 1, 3, 3)
+    t["encoder.pre_encode.conv.0.bias"] = w(C)
+    t["encoder.pre_encode.conv.2.weight"] = w(C, 1, 3, 3)
+    t["encoder.pre_encode.conv.2.bias"] = w(C)
+    t["encoder.pre_encode.conv.3.weight"] = w(C, C, 1, 1)
+    t["encoder.pre_encode.conv.3.bias"] = w(C)
+    t["encoder.pre_encode.conv.5.weight"] = w(C, 1, 3, 3)
+    t["encoder.pre_encode.conv.5.bias"] = w(C)
+    t["encoder.pre_encode.conv.6.weight"] = w(C, C, 1, 1)
+    t["encoder.pre_encode.conv.6.bias"] = w(C)
+    t["encoder.pre_encode.out.weight"] = w(D, cfg.pre_encode_out_dim)
+    t["encoder.pre_encode.out.bias"] = w(D)
+
+    for i in range(cfg.n_layers):
+        p = f"encoder.layers.{i}"
+        t[f"{p}.norm_feed_forward1.weight"] = ones(D)
+        t[f"{p}.norm_feed_forward1.bias"] = zeros(D)
+        t[f"{p}.feed_forward1.linear1.weight"] = w(FF, D)
+        t[f"{p}.feed_forward1.linear2.weight"] = w(D, FF)
+        t[f"{p}.norm_self_att.weight"] = ones(D)
+        t[f"{p}.norm_self_att.bias"] = zeros(D)
+        t[f"{p}.self_attn.linear_q.weight"] = w(D, D)
+        t[f"{p}.self_attn.linear_k.weight"] = w(D, D)
+        t[f"{p}.self_attn.linear_v.weight"] = w(D, D)
+        t[f"{p}.self_attn.linear_pos.weight"] = w(D, D)
+        t[f"{p}.self_attn.linear_out.weight"] = w(D, D)
+        t[f"{p}.self_attn.pos_bias_u"] = w(H, DH)
+        t[f"{p}.self_attn.pos_bias_v"] = w(H, DH)
+        t[f"{p}.norm_conv.weight"] = ones(D)
+        t[f"{p}.norm_conv.bias"] = zeros(D)
+        t[f"{p}.conv.pointwise_conv1.weight"] = w(2 * D, D, 1)
+        t[f"{p}.conv.depthwise_conv.weight"] = w(D, 1, K)
+        t[f"{p}.conv.batch_norm.weight"] = ones(D)
+        t[f"{p}.conv.batch_norm.bias"] = zeros(D)
+        t[f"{p}.conv.pointwise_conv2.weight"] = w(D, D, 1)
+        t[f"{p}.norm_feed_forward2.weight"] = ones(D)
+        t[f"{p}.norm_feed_forward2.bias"] = zeros(D)
+        t[f"{p}.feed_forward2.linear1.weight"] = w(FF, D)
+        t[f"{p}.feed_forward2.linear2.weight"] = w(D, FF)
+        t[f"{p}.norm_out.weight"] = ones(D)
+        t[f"{p}.norm_out.bias"] = zeros(D)
+
+    dp = "decoder.prediction"
+    t[f"{dp}.embed.weight"] = w(V, DD)
+    for i in (0, 1):
+        in_dim = DD
+        t[f"{dp}.dec_rnn.lstm.weight_ih_l{i}"] = w(4 * DD, in_dim)
+        t[f"{dp}.dec_rnn.lstm.weight_hh_l{i}"] = w(4 * DD, DD)
+        t[f"{dp}.dec_rnn.lstm.bias_ih_l{i}"] = w(4 * DD)
+        t[f"{dp}.dec_rnn.lstm.bias_hh_l{i}"] = w(4 * DD)
+
+    t["joint.enc.weight"] = w(cfg.joint_dim, D)
+    t["joint.enc.bias"] = w(cfg.joint_dim)
+    t["joint.pred.weight"] = w(cfg.joint_dim, DD)
+    t["joint.pred.bias"] = w(cfg.joint_dim)
+    t["joint.joint_net.2.weight"] = w(V, cfg.joint_dim)
+    t["joint.joint_net.2.bias"] = w(V)
+
+    t["preprocessor.featurizer.fb"] = np.abs(w(cfg.n_mels, 257))
+    win = np.hanning(400).astype(np.float32)
+    t["preprocessor.featurizer.window"] = win
+    return t
+
+
+@functools.lru_cache(maxsize=2)
+def _cached_random_params(seed: int) -> tuple:
+    cfg = ModelConfig()
+    arrays = random_weight_arrays(cfg, seed=seed)
+    return params_from_arrays(arrays, cfg), cfg
+
+
+def random_params(seed: int = 0) -> tuple[ModelParams, ModelConfig]:
+    return _cached_random_params(seed)
+
+
+def cast_params(params: ModelParams, dtype) -> ModelParams:
+    """Cast all floating-point leaves to `dtype` (e.g. bf16 for serving)."""
+    import jax.numpy as jnp
+
+    def cast(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, params)

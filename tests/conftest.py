@@ -1,0 +1,56 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Must set flags before jax initializes. Real-TPU behavior is exercised by
+bench.py / the driver, not the unit tests (mirrors the reference's
+CPU-backend-by-default test policy, reference tests/test_compute.cpp:17-19).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from nemotron_tpu import params as params_mod  # noqa: E402
+
+
+def tiny_config():
+    """Shrunken model with the exact same structure as the real one (same
+    layer composition, stride pattern, gate order) -- full-size parity runs on
+    real GGUF weights via scripts/, not in unit tests."""
+    from nemotron_tpu.config import ModelConfig
+
+    return ModelConfig(
+        n_mels=32,
+        d_model=64,
+        n_heads=4,
+        d_head=16,
+        d_ff=96,
+        n_layers=3,
+        kernel_size=9,
+        vocab_size=41,
+        decoder_dim=48,
+        joint_dim=56,
+        subsampling_channels=16,
+    )
+
+
+@pytest.fixture(scope="session")
+def model_setup():
+    """(raw weight arrays, ModelParams pytree, ModelConfig) with a small
+    deterministic random model shared across tests."""
+    cfg = tiny_config()
+    arrays = params_mod.random_weight_arrays(cfg, seed=0)
+    params = params_mod.params_from_arrays(arrays, cfg)
+    return arrays, params, cfg
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(1234)
