@@ -1,0 +1,86 @@
+"""Causal convolutions: 2D subsampling stack and depthwise 1D conv.
+
+TPU notes:
+  - The subsampling convs map to XLA's conv-on-MXU path via
+    lax.conv_general_dilated with explicit asymmetric causal padding
+    (left/top = k-1, right/bottom = stride-1; reference
+    src/nemo-ggml.cpp:820-873).
+  - The depthwise 1D conv (K=9) is expressed as K static shifted
+    multiply-adds, which XLA fuses into a handful of VPU ops -- the same
+    formulation the reference uses on ggml (src/nemo-ggml.cpp:719-743) but
+    vectorized over the batch/stream axis instead of built per-graph.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..params import SubsamplingParams
+from .basic import glu, layer_norm, silu
+
+
+def causal_conv2d(x, w, b, stride: int, groups: int = 1):
+    """x: [B, T, F, Cin]; w: [kT, kF, Cin/groups, O] (HWIO). Causal padding:
+    (k-1, stride-1) on both spatial dims."""
+    kT, kF = w.shape[0], w.shape[1]
+    out = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((kT - 1, stride - 1), (kF - 1, stride - 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    return out + b.astype(x.dtype)
+
+
+def conv_subsampling(p: SubsamplingParams, mel):
+    """Causal ConvSubsampling: mel [B, T, n_mels] -> [B, T//8(+1s), d_model].
+
+    Stage order and flatten convention (feature index = c*F' + f) follow
+    reference src/nemo-ggml.cpp:877-952."""
+    x = mel[..., None]                       # [B, T, F, 1]
+    C = p.conv0_b.shape[0]
+    x = jax.nn.relu(causal_conv2d(x, p.conv0_w, p.conv0_b, stride=2))
+    x = causal_conv2d(x, p.conv2_w, p.conv2_b, stride=2, groups=C)
+    x = jax.nn.relu(causal_conv2d(x, p.conv3_w, p.conv3_b, stride=1))
+    x = causal_conv2d(x, p.conv5_w, p.conv5_b, stride=2, groups=C)
+    x = jax.nn.relu(causal_conv2d(x, p.conv6_w, p.conv6_b, stride=1))
+    # [B, T', F', C] -> flatten feature as c*F' + f
+    B, Tp, Fp, Cc = x.shape
+    x = jnp.swapaxes(x, 2, 3).reshape(B, Tp, Cc * Fp)
+    return x @ p.out_w.astype(x.dtype) + p.out_b.astype(x.dtype)
+
+
+def depthwise_conv1d(x, w_kd, cache=None):
+    """Causal depthwise conv1d as K shifted multiply-adds.
+
+    x: [B, T, D]; w_kd: [K, D]. If cache [B, K-1, D] is given, it is
+    prepended (streaming); otherwise zero padding (batch). Returns
+    (out [B, T, D], new_cache [B, K-1, D]) -- new cache is the last K-1
+    frames of the padded input (reference src/nemo-stream.cpp:365-381)."""
+    K, D = w_kd.shape
+    B, T, _ = x.shape
+    if cache is None:
+        cache = jnp.zeros((B, K - 1, D), dtype=x.dtype)
+    padded = jnp.concatenate([cache.astype(x.dtype), x], axis=1)  # [B, K-1+T, D]
+    w = w_kd.astype(x.dtype)
+    out = padded[:, 0:T, :] * w[0]
+    for k in range(1, K):
+        out = out + padded[:, k : k + T, :] * w[k]
+    new_cache = padded[:, -(K - 1):, :]
+    return out, new_cache
+
+
+def conformer_conv_module(lp, x, cache=None):
+    """Conformer conv module: pw1 -> GLU -> causal depthwise -> LN -> SiLU ->
+    pw2 (reference src/nemo-ggml.cpp:683-761 / src/nemo-stream.cpp:618-651).
+
+    lp: a ConformerLayerParams slice (single layer). x: [B, T, D].
+    Returns (out, new_conv_cache)."""
+    cur = glu(x @ lp.conv_pw1_w.astype(x.dtype))
+    cur, new_cache = depthwise_conv1d(cur, lp.conv_dw_w, cache)
+    cur = layer_norm(cur, lp.conv_ln_w, lp.conv_ln_b)
+    cur = silu(cur)
+    return cur @ lp.conv_pw2_w.astype(x.dtype), new_cache

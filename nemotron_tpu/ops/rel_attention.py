@@ -1,0 +1,119 @@
+"""Relative-position multi-head attention (Transformer-XL style).
+
+Replaces the reference's pad-reshape-drop rel-shift graph trick
+(reference src/nemo-ggml.cpp:548-585, src/nemo-stream.cpp:391-433) with a
+direct static gather: for query i and key j the shifted score index is
+
+    out[i, j] = raw[i, j + Q - 1 - i]
+
+(derivation: the reference documents this index math at
+src/reference/conformer_modules.cpp:217-227 for the batch case; for the
+cached case with P = 2*(cache+Q)-1 positions and klen = cache+Q keys the same
+formula selects relative position value (cache + i) - j, i.e. the distance
+from the absolute query position to the absolute key position, because the
+pos table is stored in NeMo's descending order.)
+
+Since chunk/cache lengths are static under jit, the gather index matrix is a
+compile-time constant, so XLA lowers it to a cheap static gather -- no
+dynamic shapes, no host work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def pos_emb_descending(length_each_side: int, d_model: int) -> np.ndarray:
+    """Sinusoidal relative-position table in NeMo's descending order
+    (reference src/nemo-ggml.cpp:17-32): row p holds the embedding of
+    position value (length_each_side-1) - p. Computed in numpy -- it is a
+    compile-time constant for every static sequence length."""
+    total = 2 * length_each_side - 1
+    out = np.zeros((total, d_model), dtype=np.float32)
+    positions = (length_each_side - 1) - np.arange(total, dtype=np.float32)
+    i = np.arange(0, d_model, 2, dtype=np.float32)
+    div = np.exp(-i * np.log(10000.0) / d_model)
+    ang = positions[:, None] * div[None, :]
+    out[:, 0::2] = np.sin(ang)
+    out[:, 1::2] = np.cos(ang)
+    return out
+
+
+def rel_shift(pos_raw, klen: int):
+    """pos_raw: [..., Q, P] -> [..., Q, klen] with
+    out[..., i, j] = pos_raw[..., i, j + Q - 1 - i]."""
+    Q = pos_raw.shape[-2]
+    idx = np.arange(klen)[None, :] + (Q - 1) - np.arange(Q)[:, None]  # [Q, klen]
+    idx = jnp.asarray(idx, dtype=jnp.int32)
+    idx = jnp.broadcast_to(idx, pos_raw.shape[:-2] + idx.shape)
+    return jnp.take_along_axis(pos_raw, idx, axis=-1)
+
+
+def rel_pos_mha(lp, x, pos_heads, n_heads: int, d_head: int,
+                kv_cache=None, mask=None):
+    """Relative-position MHA, batch or cached-streaming.
+
+    lp: single-layer ConformerLayerParams.
+    x: [B, Q, D] (post-layernorm input).
+    pos_heads: [P, H, Dh] -- the position embeddings ALREADY projected through
+        linear_pos and reshaped to heads. P must be 2*(cache+Q)-1 where cache
+        is 0 in batch mode.
+    kv_cache: optional (k_cache, v_cache) each [B, C, D]; keys/values become
+        concat(cache, new) and the updated caches (last C frames) are
+        returned (reference src/nemo-stream.cpp:457-484).
+    mask: optional additive mask broadcastable to [B, 1, Q, kv]
+        (0 = valid, -1e9 = masked; reference src/nemo-stream.cpp:521-528).
+
+    Returns (out [B, Q, D], new_k_cache, new_v_cache).
+    """
+    B, Q, D = x.shape
+    dt = x.dtype
+    q = (x @ lp.attn_q_w.astype(dt)).reshape(B, Q, n_heads, d_head)
+    k_new = x @ lp.attn_k_w.astype(dt)
+    v_new = x @ lp.attn_v_w.astype(dt)
+
+    new_k_cache = new_v_cache = None
+    if kv_cache is not None:
+        k_cache, v_cache = kv_cache
+        C = k_cache.shape[1]
+        k_full = jnp.concatenate([k_cache.astype(dt), k_new], axis=1)
+        v_full = jnp.concatenate([v_cache.astype(dt), v_new], axis=1)
+        new_k_cache = k_full[:, -C:, :]
+        new_v_cache = v_full[:, -C:, :]
+    else:
+        k_full, v_full = k_new, v_new
+
+    kv = k_full.shape[1]
+    k = k_full.reshape(B, kv, n_heads, d_head)
+    v = v_full.reshape(B, kv, n_heads, d_head)
+
+    q_u = q + lp.pos_bias_u.astype(dt)
+    q_v = q + lp.pos_bias_v.astype(dt)
+
+    content = jnp.einsum("bihd,bjhd->bhij", q_u, k,
+                         preferred_element_type=jnp.float32)
+    pos_raw = jnp.einsum("bihd,phd->bhip", q_v, pos_heads.astype(dt),
+                         preferred_element_type=jnp.float32)
+    pos_attn = rel_shift(pos_raw, kv)
+
+    scale = 1.0 / np.sqrt(d_head)
+    scores = (content + pos_attn) * scale
+    if mask is not None:
+        scores = scores + mask
+    w = jax.nn.softmax(scores, axis=-1).astype(dt)
+
+    ctx = jnp.einsum("bhij,bjhd->bihd", w, v,
+                     preferred_element_type=jnp.float32).astype(dt)
+    out = ctx.reshape(B, Q, D) @ lp.attn_out_w.astype(dt)
+    return out, new_k_cache, new_v_cache
+
+
+def project_pos(lp_pos_w, pos_emb, n_heads: int, d_head: int):
+    """pos_emb [P, D] @ linear_pos -> [P, H, Dh]. For streaming this is
+    precomputed once per session instead of per chunk (the reference re-runs
+    the projection inside every chunk's graph, src/nemo-stream.cpp:487-488 --
+    hoisting it saves 24 [P,1024]x[1024,1024] matmuls per step)."""
+    P = pos_emb.shape[0]
+    return (pos_emb @ lp_pos_w).reshape(P, n_heads, d_head)

@@ -1,0 +1,105 @@
+"""Differential tests: JAX prediction network / joint / greedy decode vs the
+numpy oracle. The greedy gate is EXACT token match (the reference's bar:
+docs/STATUS.md:258, 121/121 tokens)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nemotron_tpu.models import decoder as dec_mod
+from nemotron_tpu.oracle import OracleModel
+
+
+@pytest.fixture(scope="module")
+def oracle(model_setup):
+    arrays, _params, cfg = model_setup
+    return OracleModel(arrays, cfg)
+
+
+def test_lstm_and_joint(model_setup, oracle, rng):
+    from nemotron_tpu.ops.lstm import lstm_step
+
+    _, params, cfg = model_setup
+    H = cfg.decoder_dim
+    h = rng.standard_normal((2, H)).astype(np.float32) * 0.3
+    c = rng.standard_normal((2, H)).astype(np.float32) * 0.3
+    token = 7
+    want_out, want_h, want_c = oracle.decoder_step(token, h, c)
+
+    emb = jnp.asarray(params.decoder.embedding)[jnp.asarray([token])]
+    got_out, got_h, got_c = lstm_step(params.decoder, emb,
+                                      jnp.asarray(h)[None], jnp.asarray(c)[None])
+    np.testing.assert_allclose(np.asarray(got_out)[0], want_out, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_h)[0], want_h, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_c)[0], want_c, atol=1e-5)
+
+    enc_frame = rng.standard_normal((cfg.d_model,)).astype(np.float32)
+    want_logits = oracle.joint(enc_frame, want_out)
+    ep = dec_mod.joint_project_enc(params.joint, jnp.asarray(enc_frame)[None])
+    got_logits = dec_mod.joint_logits(params.joint, ep, got_out)
+    np.testing.assert_allclose(np.asarray(got_logits)[0], want_logits, atol=1e-5)
+
+
+def test_greedy_decode_exact(model_setup, oracle, rng):
+    """Exact token-sequence match on random encoder output, incl. state
+    carry-over across two chunks."""
+    _, params, cfg = model_setup
+    T1, T2 = 9, 6
+    # scale up so the argmax isn't always the same token
+    enc1 = (rng.standard_normal((T1, cfg.d_model)) * 3).astype(np.float32)
+    enc2 = (rng.standard_normal((T2, cfg.d_model)) * 3).astype(np.float32)
+
+    want1, ostate = oracle.greedy_decode(enc1)
+    want2, ostate = oracle.greedy_decode(enc2, ostate)
+
+    st = dec_mod.init_decoder_state(cfg, batch=1)
+    toks1, st = jax.jit(dec_mod.greedy_decode, static_argnums=1)(
+        params, cfg, jnp.asarray(enc1)[None], st)
+    toks2, st = jax.jit(dec_mod.greedy_decode, static_argnums=1)(
+        params, cfg, jnp.asarray(enc2)[None], st)
+
+    got1 = dec_mod.tokens_to_list(np.asarray(toks1)[0], cfg.blank_token)
+    got2 = dec_mod.tokens_to_list(np.asarray(toks2)[0], cfg.blank_token)
+    assert got1 == [(t, f) for t, f in want1]
+    assert got2 == [(t, f - ostate["frame_offset"] + T2) for t, f in want2]
+    # at least some tokens should have been emitted for this to be meaningful
+    assert len(got1) + len(got2) > 0
+
+
+def test_greedy_decode_batched_consistency(model_setup, rng):
+    """Decoding B streams batched == decoding each alone (active-mask
+    correctness: a stream finishing early must not perturb others)."""
+    _, params, cfg = model_setup
+    B, T = 4, 7
+    enc = (rng.standard_normal((B, T, cfg.d_model)) * 3).astype(np.float32)
+
+    st = dec_mod.init_decoder_state(cfg, batch=B)
+    toks_b, st_b = jax.jit(dec_mod.greedy_decode, static_argnums=1)(
+        params, cfg, jnp.asarray(enc), st)
+
+    for b in range(B):
+        st1 = dec_mod.init_decoder_state(cfg, batch=1)
+        toks1, st1 = jax.jit(dec_mod.greedy_decode, static_argnums=1)(
+            params, cfg, jnp.asarray(enc[b : b + 1]), st1)
+        np.testing.assert_array_equal(np.asarray(toks_b)[b], np.asarray(toks1)[0])
+        np.testing.assert_allclose(np.asarray(st_b.h)[b], np.asarray(st1.h)[0],
+                                   atol=1e-6)
+        assert int(st_b.prev_token[b]) == int(st1.prev_token[0])
+
+
+def test_blank_freeze_semantics(model_setup):
+    """If the first symbol is blank, h/c/prev must be unchanged."""
+    _, params, cfg = model_setup
+    # zero encoder frame: outcome deterministic; find whether blank wins
+    st = dec_mod.init_decoder_state(cfg, batch=1)
+    enc = jnp.zeros((1, 1, cfg.d_model), jnp.float32)
+    toks, st2 = jax.jit(dec_mod.greedy_decode, static_argnums=1)(
+        params, cfg, enc, st)
+    emitted = dec_mod.tokens_to_list(np.asarray(toks)[0], cfg.blank_token)
+    if not emitted:
+        np.testing.assert_array_equal(np.asarray(st2.h), np.asarray(st.h))
+        np.testing.assert_array_equal(np.asarray(st2.c), np.asarray(st.c))
+        assert int(st2.prev_token[0]) == cfg.blank_token
+    else:
+        assert int(st2.prev_token[0]) == emitted[-1][0]

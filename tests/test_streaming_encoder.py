@@ -1,0 +1,93 @@
+"""Differential tests: JAX cache-aware streaming encoder vs the numpy
+streaming oracle, across latency modes and multiple chunks (validity-mask
+cold start, K/V sliding window, conv cache carry-over)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nemotron_tpu.config import CacheConfig
+from nemotron_tpu.models import encoder as enc_mod
+from nemotron_tpu.oracle import OracleModel
+from nemotron_tpu.oracle.model import OracleStream
+
+
+@pytest.fixture(scope="module")
+def oracle(model_setup):
+    arrays, _params, cfg = model_setup
+    return OracleModel(arrays, cfg)
+
+
+@pytest.mark.parametrize("right_context,n_chunks", [(0, 6), (1, 4), (6, 3), (13, 3)])
+def test_streaming_chunks_match_oracle(model_setup, oracle, rng,
+                                       right_context, n_chunks):
+    _, params, cfg = model_setup
+    # use a small left context so the sliding window actually slides in-test
+    cc = CacheConfig(att_right_context=right_context, att_left_context=12,
+                     n_mels=cfg.n_mels)
+
+    ostream = OracleStream(oracle, cc)
+    state = enc_mod.init_encoder_state(cfg, cc, batch=1)
+    pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc)
+
+    step = jax.jit(enc_mod.encode_chunk, static_argnums=(1, 2))
+
+    for ci in range(n_chunks):
+        mel = rng.standard_normal(
+            (cc.chunk_mel_frames, cfg.n_mels)).astype(np.float32)
+        want = ostream.encode_chunk(mel)
+        got, state = step(params, cfg, cc, jnp.asarray(mel)[None], state,
+                          pos_heads)
+        got = np.asarray(got)[0]
+        assert got.shape == want.shape == (cc.valid_out_len, cfg.d_model)
+        np.testing.assert_allclose(got, want, atol=5e-5,
+                                   err_msg=f"chunk {ci} R={right_context}")
+        # caches must track the oracle too
+        np.testing.assert_allclose(np.asarray(state.k_cache)[:, 0],
+                                   ostream.k_cache, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(state.conv_cache)[:, 0],
+                                   ostream.conv_cache, atol=5e-5)
+        assert int(state.valid_len[0]) == ostream.cache_valid_len
+
+
+def test_chunk_geometry():
+    """Latency-mode table from the reference
+    (docs/STREAMING_ANALYSIS.md:19-24, src/nemo-stream.h:65-100)."""
+    for r, chunk, shift, valid, ms in [(0, 17, 8, 1, 170), (1, 25, 16, 2, 250),
+                                       (6, 65, 56, 7, 650), (13, 121, 112, 14, 1210)]:
+        cc = CacheConfig.with_latency(r)
+        assert cc.chunk_mel_frames == chunk
+        assert cc.shift_mel_frames == shift
+        assert cc.valid_out_len == valid
+        assert cc.chunk_enc_len == valid
+        assert cc.latency_ms == ms
+        assert cc.chunk_samples == chunk * 160
+
+
+def test_streaming_batched_consistency(model_setup, rng):
+    """Streams batched along the stream axis behave exactly like streams
+    processed alone (the serving-path invariant)."""
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=1, att_left_context=8, n_mels=cfg.n_mels)
+    B = 3
+    mel = rng.standard_normal(
+        (B, 2, cc.chunk_mel_frames, cfg.n_mels)).astype(np.float32)
+
+    step = jax.jit(enc_mod.encode_chunk, static_argnums=(1, 2))
+    pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc)
+
+    state = enc_mod.init_encoder_state(cfg, cc, batch=B)
+    outs_b = []
+    for ci in range(2):
+        out, state = step(params, cfg, cc, jnp.asarray(mel[:, ci]), state,
+                          pos_heads)
+        outs_b.append(np.asarray(out))
+
+    for b in range(B):
+        st1 = enc_mod.init_encoder_state(cfg, cc, batch=1)
+        for ci in range(2):
+            out, st1 = step(params, cfg, cc, jnp.asarray(mel[b : b + 1, ci]),
+                            st1, pos_heads)
+            np.testing.assert_allclose(outs_b[ci][b], np.asarray(out)[0],
+                                       atol=1e-5)
