@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Batch (whole-file) transcription CLI (reference src/transcribe.cpp):
+
+    transcribe.py <model.gguf> <audio.pcm> [--cpu] [--timestamps]
+"""
+
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    args = [a for a in argv[1:] if not a.startswith("--")]
+    flags = set(a for a in argv[1:] if a.startswith("--"))
+    if len(args) < 2:
+        print(__doc__, file=sys.stderr)
+        return 1
+
+    if "--cpu" in flags:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from nemotron_tpu.params import load_model
+    from nemotron_tpu.streaming.session import transcribe_batch
+
+    params, cfg, vocab = load_model(args[0])
+    audio = np.fromfile(args[1], dtype="<i2")
+    t0 = time.perf_counter()
+    text = transcribe_batch(params, cfg, vocab, audio,
+                            timestamp_words="--timestamps" in flags)
+    elapsed = time.perf_counter() - t0
+    print(text)
+    audio_s = audio.size / 16000.0
+    print(f"{audio_s:.2f}s audio in {elapsed:.2f}s "
+          f"(RTF {elapsed / max(audio_s, 1e-9):.4f})", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

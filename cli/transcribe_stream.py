@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Streaming transcription CLI.
+
+Preserves the reference binary's contract (reference
+src/transcribe_stream.cpp:27-36):
+
+    transcribe_stream.py <model.gguf> <audio.pcm|-|--stdin> [chunk_ms]
+                         [right_context] [--cpu|--tpu]
+
+  - input: raw s16le 16 kHz mono PCM file, or '-' / '--stdin' for stdin
+  - chunk_ms is advisory (>=10 warning); the actual read size comes from the
+    cache config, same as the reference (src/transcribe_stream.cpp:119,143-146)
+  - right_context in {0, 1, 6, 13} selects the latency mode
+  - incremental text on stdout; config + stats on stderr
+"""
+
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    args = [a for a in argv[1:] if not a.startswith("--")]
+    flags = [a for a in argv[1:] if a.startswith("--") and a != "--stdin"]
+    if "--stdin" in argv[1:] and len(args) == 1:
+        args.append("-")
+
+    if len(args) < 2:
+        print(__doc__, file=sys.stderr)
+        return 1
+
+    model_path, audio_path = args[0], args[1]
+    chunk_ms = int(args[2]) if len(args) > 2 else 0
+    right_context = int(args[3]) if len(args) > 3 else 13
+
+    if chunk_ms and chunk_ms < 10:
+        print(f"warning: chunk_ms {chunk_ms} < 10, ignoring", file=sys.stderr)
+    if right_context not in (0, 1, 6, 13):
+        print(f"warning: right_context {right_context} is non-standard "
+              "(expected 0, 1, 6 or 13)", file=sys.stderr)
+
+    if "--cpu" in flags:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    for f in flags:
+        if f in ("--cuda", "--metal"):
+            print(f"warning: {f} is not a TPU backend; using default device",
+                  file=sys.stderr)
+
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.params import load_model
+    from nemotron_tpu.streaming.session import StreamSession
+
+    params, cfg, vocab = load_model(model_path)
+    cc = CacheConfig(att_right_context=right_context, n_mels=cfg.n_mels)
+    print(f"config: chunk={cc.chunk_mel_frames} mel frames "
+          f"({cc.latency_ms} ms), shift={cc.shift_mel_frames}, "
+          f"valid_out={cc.valid_out_len}, left_context={cc.att_left_context}",
+          file=sys.stderr)
+
+    sess = StreamSession(params, cfg, vocab, cc)
+
+    import numpy as np
+
+    src = sys.stdin.buffer if audio_path in ("-", "--stdin") else open(
+        audio_path, "rb")
+    chunk_bytes = cc.chunk_samples * 2
+
+    t_start = time.perf_counter()
+    n_samples = 0
+    try:
+        while True:
+            buf = src.read(chunk_bytes)
+            if not buf:
+                break
+            audio = np.frombuffer(buf, dtype="<i2")
+            n_samples += audio.size
+            text = sess.process(audio)
+            if text:
+                sys.stdout.write(text)
+                sys.stdout.flush()
+    finally:
+        if src is not sys.stdin.buffer:
+            src.close()
+
+    before = len(sess.get_transcript(0))
+    final = sess.finalize()
+    if len(final) > before:  # text emitted by the flush chunk
+        sys.stdout.write(final[before:])
+    sys.stdout.write("\n")
+    sys.stdout.flush()
+
+    elapsed = time.perf_counter() - t_start
+    audio_s = n_samples / 16000.0
+    print(f"\nprocessed {sess.total_chunks} chunks, {audio_s:.2f}s audio "
+          f"in {elapsed:.2f}s (RTF {elapsed / max(audio_s, 1e-9):.4f})",
+          file=sys.stderr)
+    print(f"frontend {sess.frontend_seconds:.3f}s, "
+          f"chunk-step {sess.chunk_seconds:.3f}s", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

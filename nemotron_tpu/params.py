@@ -254,6 +254,10 @@ def load_model(path: str) -> tuple[ModelParams, ModelConfig, list[str]]:
     if dw is not None:
         kernel_size = dw.shape[0] if dw.ndim == 2 else dw.shape[-1]
 
+    # Dims the GGUF metadata doesn't carry (or carries stale -- the reference
+    # hardcodes decoder dims as constants, src/nemo-ggml.h:130-133) are
+    # inferred from weight shapes instead.
+    emb = arrays["decoder.prediction.embed.weight"]
     cfg = ModelConfig(
         n_mels=u32("nemo.n_mels", 128),
         d_model=u32("nemo.d_model", 1024),
@@ -262,7 +266,10 @@ def load_model(path: str) -> tuple[ModelParams, ModelConfig, list[str]]:
         d_ff=u32("nemo.d_ff", 4096),
         n_layers=u32("nemo.n_layers", 24),
         kernel_size=kernel_size,
-        vocab_size=u32("nemo.vocab_size", 1025),
+        vocab_size=u32("nemo.vocab_size", emb.shape[0]),
+        decoder_dim=emb.shape[1],
+        joint_dim=arrays["joint.enc.weight"].shape[0],
+        subsampling_channels=arrays["encoder.pre_encode.conv.0.weight"].shape[0],
     )
 
     vocab_blob = md.get("tokenizer.vocab", b"")

@@ -1,0 +1,212 @@
+"""Streaming session engine.
+
+The TPU-native counterpart of the reference's nemo_stream_* API
+(reference src/nemo-stream.h:176-312). One `StreamSession` manages S parallel
+streams (S=1 for the interactive CLI): host-side PCM->mel frontend and mel
+ring buffer, plus ONE fused jitted `chunk_step` that runs the whole
+encoder + greedy decode on device and returns only int32 tokens -- replacing
+the reference's per-symbol host round-trips (src/nemo-stream.cpp:813-875).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CacheConfig, ModelConfig
+from ..models import decoder as dec_mod
+from ..models import encoder as enc_mod
+from ..params import ModelParams
+from ..frontend.preprocessor import StreamingPreprocessor
+from ..utils.text import tokens_to_text
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def chunk_step(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
+               mel_chunk, enc_state, dec_state, pos_heads):
+    """Fused streaming step: cached encoder + greedy RNN-T decode.
+
+    mel_chunk: [S, chunk_mel_frames, n_mels]
+    Returns (tokens [S, valid_out, MAX_SYMBOLS] int32 blank-padded,
+             enc_state', dec_state').
+    """
+    enc_out, enc_state = enc_mod.encode_chunk(params, cfg, cc, mel_chunk,
+                                              enc_state, pos_heads)
+    tokens, dec_state = dec_mod.greedy_decode(params, cfg, enc_out, dec_state)
+    return tokens, enc_state, dec_state
+
+
+class StreamSession:
+    """Lifecycle mirror of nemo_stream_init / process_incremental / finalize /
+    get_transcript / get_tokens / reset / free (free == GC)."""
+
+    def __init__(self, params: ModelParams, cfg: ModelConfig,
+                 vocab: list[str] | None = None,
+                 cache_config: CacheConfig | None = None,
+                 n_streams: int = 1,
+                 filterbank: np.ndarray | None = None,
+                 window: np.ndarray | None = None,
+                 compute_dtype=jnp.float32):
+        self.params = params
+        self.cfg = cfg
+        self.cc = cache_config or CacheConfig(n_mels=cfg.n_mels)
+        self.vocab = vocab or []
+        self.n_streams = n_streams
+        self.dtype = compute_dtype
+
+        fb = filterbank if filterbank is not None else np.asarray(
+            params.preprocessor.filterbank)
+        win = window if window is not None else np.asarray(
+            params.preprocessor.window)
+        from ..config import PreprocessorConfig
+
+        self.preproc = StreamingPreprocessor(
+            fb, win, n_streams=n_streams,
+            cfg=PreprocessorConfig(n_mels=cfg.n_mels))
+
+        self.pos_heads = enc_mod.precompute_pos_heads(
+            params, cfg, self.cc, dtype=compute_dtype)
+        self.reset()
+
+    # -- state --------------------------------------------------------------
+
+    def reset(self) -> None:
+        """Clear caches/transcript, keep compiled step (reference
+        src/nemo-stream.cpp:81-101)."""
+        cfg, cc, S = self.cfg, self.cc, self.n_streams
+        self.enc_state = enc_mod.init_encoder_state(cfg, cc, S, self.dtype)
+        self.dec_state = dec_mod.init_decoder_state(cfg, S, self.dtype)
+        self.preproc.reset()
+        # 9-frame zero-seeded overlap (reference src/nemo-stream.cpp:58-60)
+        self.mel_buffer = np.zeros((S, cc.pre_encode_cache_size, cfg.n_mels),
+                                   np.float32)
+        self.tokens: list[list[tuple[int, int]]] = [[] for _ in range(S)]
+        self.transcripts = [""] * S
+        self.frame_offset = 0
+        # stats (reference src/nemo-stream.h:228-252)
+        self.total_audio_seconds = 0.0
+        self.total_compute_seconds = 0.0
+        self.frontend_seconds = 0.0
+        self.chunk_seconds = 0.0
+        self.total_chunks = 0
+
+    # -- processing ---------------------------------------------------------
+
+    def process(self, audio_i16: np.ndarray) -> list[str] | str:
+        """Feed PCM ([S, N] or [N] int16); returns newly decoded text per
+        stream (a plain str when n_streams == 1)."""
+        squeeze = audio_i16.ndim == 1
+        if squeeze:
+            audio_i16 = audio_i16[None]
+        t0 = time.perf_counter()
+        self.total_audio_seconds += (
+            audio_i16.shape[1] / self.preproc.cfg.sample_rate)
+
+        mel = self.preproc.process(audio_i16)
+        t1 = time.perf_counter()
+        self.frontend_seconds += t1 - t0
+        if mel.shape[1]:
+            self.mel_buffer = np.concatenate([self.mel_buffer, mel], axis=1)
+        new_text = self._drain_chunks()
+        self.total_compute_seconds += time.perf_counter() - t0
+        return new_text[0] if squeeze else new_text
+
+    def process_mel(self, mel: np.ndarray) -> list[str]:
+        """Feed mel frames directly ([S, T, n_mels])."""
+        t0 = time.perf_counter()
+        self.mel_buffer = np.concatenate([self.mel_buffer, mel], axis=1)
+        out = self._drain_chunks()
+        self.total_compute_seconds += time.perf_counter() - t0
+        return out
+
+    def _drain_chunks(self) -> list[str]:
+        cc = self.cc
+        new_text = [""] * self.n_streams
+        while self.mel_buffer.shape[1] >= cc.chunk_mel_frames:
+            chunk = jnp.asarray(
+                self.mel_buffer[:, : cc.chunk_mel_frames], self.dtype)
+            t0 = time.perf_counter()
+            tokens, self.enc_state, self.dec_state = chunk_step(
+                self.params, self.cfg, cc, chunk, self.enc_state,
+                self.dec_state, self.pos_heads)
+            tokens = np.asarray(tokens)  # [S, valid_out, MAX]
+            self.chunk_seconds += time.perf_counter() - t0
+            self.total_chunks += 1
+            self.mel_buffer = self.mel_buffer[:, cc.shift_mel_frames :]
+
+            blank = self.cfg.blank_token
+            for s in range(self.n_streams):
+                toks = [
+                    (int(tokens[s, t, i]), self.frame_offset + t)
+                    for t in range(tokens.shape[1])
+                    for i in range(tokens.shape[2])
+                    if tokens[s, t, i] != blank
+                ]
+                if toks:
+                    self.tokens[s].extend(toks)
+                    text = tokens_to_text(toks, self.vocab)
+                    self.transcripts[s] += text
+                    new_text[s] += text
+            self.frame_offset += tokens.shape[1]
+        return new_text
+
+    def finalize(self) -> list[str] | str:
+        """Flush: pad the remaining mel buffer out to one more chunk if any
+        *new* (non-overlap) frames are pending, then return transcripts."""
+        cc = self.cc
+        pending = self.mel_buffer.shape[1] - cc.pre_encode_cache_size
+        if pending > 0:
+            pad = cc.chunk_mel_frames - self.mel_buffer.shape[1]
+            if pad > 0:
+                self.mel_buffer = np.concatenate(
+                    [self.mel_buffer,
+                     np.zeros((self.n_streams, pad, self.cfg.n_mels),
+                              np.float32)], axis=1)
+            self._drain_chunks()
+        return (self.transcripts[0] if self.n_streams == 1
+                else list(self.transcripts))
+
+    def get_transcript(self, stream: int = 0) -> str:
+        return self.transcripts[stream]
+
+    def get_tokens(self, stream: int = 0) -> list[tuple[int, int]]:
+        return self.tokens[stream]
+
+    @property
+    def rtf(self) -> float:
+        """Real-time factor: compute seconds per audio second (per stream
+        batch; divide by n_streams for aggregate throughput)."""
+        if self.total_audio_seconds == 0:
+            return 0.0
+        return self.total_compute_seconds / self.total_audio_seconds
+
+
+def transcribe_batch(params: ModelParams, cfg: ModelConfig,
+                     vocab: list[str], audio_i16: np.ndarray,
+                     filterbank: np.ndarray | None = None,
+                     window: np.ndarray | None = None,
+                     timestamp_words: bool = False,
+                     compute_dtype=jnp.float32) -> str:
+    """Offline full-utterance transcription (the reference `transcribe` CLI
+    path: src/transcribe.cpp + nemo_transcribe_audio,
+    src/nemo-ggml.cpp:1585-1598). Unlike the reference there is no 164 s
+    pos-emb cap: the position table is sized per call."""
+    fb = filterbank if filterbank is not None else np.asarray(
+        params.preprocessor.filterbank)
+    win = window if window is not None else np.asarray(
+        params.preprocessor.window)
+    from ..config import PreprocessorConfig
+
+    pre = StreamingPreprocessor(fb, win,
+                                cfg=PreprocessorConfig(n_mels=cfg.n_mels))
+    mel = pre.process(audio_i16.reshape(1, -1))
+    enc = enc_mod.encode_batch(params, cfg, jnp.asarray(mel, compute_dtype))
+    dec_state = dec_mod.init_decoder_state(cfg, 1, compute_dtype)
+    tokens, _ = jax.jit(dec_mod.greedy_decode, static_argnums=1)(
+        params, cfg, enc, dec_state)
+    toks = dec_mod.tokens_to_list(np.asarray(tokens)[0], cfg.blank_token)
+    return tokens_to_text(toks, vocab, timestamp_words=timestamp_words)

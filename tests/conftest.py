@@ -60,3 +60,30 @@ def model_setup():
 @pytest.fixture()
 def rng():
     return np.random.default_rng(1234)
+
+
+def write_tiny_gguf(path: str, arrays: dict, cfg, quantize: dict | None = None,
+                    vocab: list[str] | None = None) -> None:
+    """Write the random model as a GGUF file using the reference converter's
+    conventions (conv-weight reshapes, vocab blob, nemo.* metadata)."""
+    from nemotron_tpu import gguf
+
+    vocab = vocab or [f"t{i}"[:7] for i in range(cfg.vocab_size)]
+    meta = {
+        "general.architecture": "nemo",
+        "tokenizer.vocab": gguf.encode_vocab(vocab),
+        "nemo.n_mels": cfg.n_mels, "nemo.d_model": cfg.d_model,
+        "nemo.n_heads": cfg.n_heads, "nemo.d_head": cfg.d_head,
+        "nemo.d_ff": cfg.d_ff, "nemo.n_layers": cfg.n_layers,
+        "nemo.kernel_size": 31,  # stale metadata, like the reference converter
+        "nemo.vocab_size": cfg.vocab_size,
+    }
+    conv_arrays = {}
+    for name, a in arrays.items():
+        if name.endswith(".conv.depthwise_conv.weight") and a.ndim == 3:
+            a = a.squeeze(1).T
+        elif name.endswith((".conv.pointwise_conv1.weight",
+                            ".conv.pointwise_conv2.weight")) and a.ndim == 3:
+            a = a.squeeze(2)
+        conv_arrays[name] = a
+    gguf.write_gguf(path, meta, conv_arrays, quantize=quantize)

@@ -1,0 +1,69 @@
+"""CLI contract tests: argv parsing, PCM-in / text-out, stats on stderr
+(counterpart of the reference's main-binary contract,
+src/transcribe_stream.cpp:27-36)."""
+
+import subprocess
+import sys
+import os
+
+import numpy as np
+import pytest
+
+from conftest import tiny_config, write_tiny_gguf
+from nemotron_tpu import params as params_mod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def model_file(tmp_path_factory):
+    cfg = tiny_config()
+    arrays = params_mod.random_weight_arrays(cfg, seed=0)
+    path = str(tmp_path_factory.mktemp("m") / "model.gguf")
+    write_tiny_gguf(path, arrays, cfg)
+    return path, cfg
+
+
+def run_cli(script, args, stdin=None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli", script), *args],
+        input=stdin, capture_output=True, timeout=300, env=env)
+
+
+def test_stream_cli_file(model_file, tmp_path):
+    path, cfg = model_file
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(17 * 160 * 4) * 8000).astype(np.int16)
+    pcm = tmp_path / "a.pcm"
+    audio.tofile(pcm)
+    r = run_cli("transcribe_stream.py", [path, str(pcm), "170", "0", "--cpu"])
+    assert r.returncode == 0, r.stderr.decode()
+    assert "chunks" in r.stderr.decode()
+    assert "config:" in r.stderr.decode()
+
+
+def test_stream_cli_stdin(model_file):
+    path, cfg = model_file
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(17 * 160 * 3) * 8000).astype(np.int16)
+    r = run_cli("transcribe_stream.py", [path, "-", "170", "0", "--cpu"],
+                stdin=audio.tobytes())
+    assert r.returncode == 0, r.stderr.decode()
+
+
+def test_batch_cli(model_file, tmp_path):
+    path, cfg = model_file
+    rng = np.random.default_rng(2)
+    audio = (rng.standard_normal(16000) * 8000).astype(np.int16)
+    pcm = tmp_path / "b.pcm"
+    audio.tofile(pcm)
+    r = run_cli("transcribe.py", [path, str(pcm), "--cpu"])
+    assert r.returncode == 0, r.stderr.decode()
+    assert "RTF" in r.stderr.decode()
+
+
+def test_cli_usage_error():
+    r = run_cli("transcribe_stream.py", [])
+    assert r.returncode == 1

@@ -1,0 +1,94 @@
+"""End-to-end streaming session tests: exact token parity with the numpy
+streaming oracle, lifecycle semantics (reset, finalize), and detokenization
+(counterparts of reference tests/test_streaming.cpp lifecycle/E2E tests)."""
+
+import numpy as np
+import pytest
+
+from nemotron_tpu.config import CacheConfig
+from nemotron_tpu.oracle import OracleModel
+from nemotron_tpu.oracle.model import OracleStream
+from nemotron_tpu.streaming.session import StreamSession
+from nemotron_tpu.utils.text import tokens_to_text
+from nemotron_tpu.frontend.preprocessor import hann_window, mel_filterbank_slaney
+
+
+@pytest.fixture(scope="module")
+def vocab(model_setup):
+    _, _, cfg = model_setup
+    v = [f"x{i}" for i in range(cfg.vocab_size)]
+    v[1] = "▁a"
+    v[2] = "▁the"
+    v[3] = "b"
+    return v
+
+
+def make_session(model_setup, vocab, cc, n_streams=1):
+    _, params, cfg = model_setup
+    fb = mel_filterbank_slaney(n_mels=cfg.n_mels)
+    win = hann_window(400)
+    return StreamSession(params, cfg, vocab, cc, n_streams=n_streams,
+                         filterbank=fb, window=win)
+
+
+@pytest.mark.parametrize("right_context", [0, 13])
+def test_session_tokens_match_oracle(model_setup, vocab, rng, right_context):
+    arrays, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=right_context, att_left_context=12,
+                     n_mels=cfg.n_mels)
+    sess = make_session(model_setup, vocab, cc)
+    ostream = OracleStream(OracleModel(arrays, cfg), cc)
+
+    total = cc.chunk_mel_frames * 3 + 5
+    mel = (rng.standard_normal((total, cfg.n_mels)) * 2).astype(np.float32)
+
+    want_tokens = []
+    got_text = ""
+    # feed in uneven slices to exercise the mel ring buffer
+    cuts = [0, 7, cc.chunk_mel_frames + 3, total]
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        want_tokens.extend(ostream.process_mel(mel[a:b]))
+        got_text += sess.process_mel(mel[None, a:b])[0]
+
+    assert sess.get_tokens(0) == want_tokens
+    assert got_text == sess.get_transcript(0)
+    assert sess.get_transcript(0) == tokens_to_text(want_tokens, vocab)
+
+
+def test_session_audio_path_runs(model_setup, vocab):
+    _, _, cfg = model_setup
+    cc = CacheConfig(att_right_context=0, att_left_context=12, n_mels=cfg.n_mels)
+    sess = make_session(model_setup, vocab, cc)
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(cc.chunk_samples * 3) * 8000).astype(np.int16)
+    out = sess.process(audio)
+    assert isinstance(out, str)
+    final = sess.finalize()
+    assert isinstance(final, str)
+    assert sess.total_chunks >= 2
+    assert sess.rtf > 0
+
+
+def test_session_reset(model_setup, vocab, rng):
+    _, _, cfg = model_setup
+    cc = CacheConfig(att_right_context=1, att_left_context=12, n_mels=cfg.n_mels)
+    sess = make_session(model_setup, vocab, cc)
+    mel = (rng.standard_normal((cc.chunk_mel_frames * 2, cfg.n_mels)) * 2
+           ).astype(np.float32)
+    first = sess.process_mel(mel[None])[0]
+    toks_first = list(sess.get_tokens(0))
+    sess.reset()
+    assert sess.get_transcript(0) == ""
+    assert sess.get_tokens(0) == []
+    second = sess.process_mel(mel[None])[0]
+    assert second == first
+    assert sess.get_tokens(0) == toks_first
+
+
+def test_detokenizer():
+    vocab = ["▁hello", "▁world", "ing", "!"]
+    toks = [(0, 0), (1, 5), (2, 6), (3, 7)]
+    assert tokens_to_text(toks, vocab) == " hello worlding!"
+    timed = tokens_to_text(toks, vocab, timestamp_words=True)
+    assert timed.startswith(" {0.00}hello")
+    assert "{0.40}world" in timed
