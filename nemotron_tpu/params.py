@@ -295,7 +295,7 @@ def random_weight_arrays(cfg: ModelConfig, seed: int = 0,
     K = cfg.kernel_size
 
     def w(*shape):
-        return (rng.standard_normal(shape) * scale).astype(np.float32)
+        return rng.standard_normal(shape, dtype=np.float32) * np.float32(scale)
 
     def ones(*shape):
         return np.ones(shape, dtype=np.float32)

@@ -1,0 +1,183 @@
+"""Many-stream continuous-batching serving engine.
+
+The new capability on top of the reference (which is strictly 1 session = 1
+stream, SURVEY.md 2.4): a fixed slab of S stream slots whose state lives
+permanently on device (sharded over the mesh 'data' axis), with admission /
+eviction implemented as on-device zeroing of slab slices -- the reference's
+reset semantics (src/nemo-stream.cpp:81-101) per slot.
+
+Every engine tick runs ONE fused chunk_step over all S slots; inactive slots
+process zero mel and their tokens are discarded host-side. This keeps the
+step shape static (one compiled program for the lifetime of the engine) --
+the TPU analogue of continuous batching.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CacheConfig, ModelConfig, PreprocessorConfig
+from ..models import decoder as dec_mod
+from ..models import encoder as enc_mod
+from ..params import ModelParams
+from ..frontend.preprocessor import StreamingPreprocessor
+from ..utils.text import tokens_to_text
+from .session import chunk_step
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _reset_slot(enc_state, dec_state, slot, blank_token):
+    """Zero one slot's caches and decoder state on device (admission and
+    eviction both reduce to this)."""
+    enc_state = enc_mod.EncoderState(
+        k_cache=enc_state.k_cache.at[:, slot].set(0),
+        v_cache=enc_state.v_cache.at[:, slot].set(0),
+        conv_cache=enc_state.conv_cache.at[:, slot].set(0),
+        valid_len=enc_state.valid_len.at[slot].set(0),
+    )
+    dec_state = dec_mod.DecoderState(
+        h=dec_state.h.at[slot].set(0),
+        c=dec_state.c.at[slot].set(0),
+        prev_token=dec_state.prev_token.at[slot].set(blank_token),
+    )
+    return enc_state, dec_state
+
+
+class ServingEngine:
+    def __init__(self, params: ModelParams, cfg: ModelConfig,
+                 vocab: list[str] | None = None,
+                 cache_config: CacheConfig | None = None,
+                 n_slots: int = 64, mesh=None,
+                 compute_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.cc = cache_config or CacheConfig(n_mels=cfg.n_mels)
+        self.vocab = vocab or []
+        self.n_slots = n_slots
+        self.dtype = compute_dtype
+        self.mesh = mesh
+
+        from ..params import cast_params
+
+        self.params = cast_params(params, compute_dtype)
+        self.pos_heads = enc_mod.precompute_pos_heads(
+            params, cfg, self.cc, dtype=compute_dtype)
+        self.enc_state = enc_mod.init_encoder_state(cfg, self.cc, n_slots,
+                                                    compute_dtype)
+        self.dec_state = dec_mod.init_decoder_state(cfg, n_slots,
+                                                    compute_dtype)
+        if mesh is not None:
+            from ..parallel.mesh import (param_shardings, shard_params,
+                                         shard_state)
+
+            self.params = shard_params(self.params, mesh)
+            self.pos_heads = jax.device_put(
+                self.pos_heads,
+                param_shardings(self.pos_heads, mesh))
+            self.enc_state = shard_state(self.enc_state, mesh)
+            self.dec_state = shard_state(self.dec_state, mesh)
+
+        fb = np.asarray(params.preprocessor.filterbank)
+        win = np.asarray(params.preprocessor.window)
+        self.preproc = StreamingPreprocessor(
+            fb, win, n_streams=n_slots,
+            cfg=PreprocessorConfig(n_mels=cfg.n_mels))
+
+        self.active = np.zeros(n_slots, bool)
+        self.mel_buffer = np.zeros(
+            (n_slots, self.cc.pre_encode_cache_size, cfg.n_mels), np.float32)
+        self.tokens: list[list[tuple[int, int]]] = [[] for _ in range(n_slots)]
+        self.transcripts = [""] * n_slots
+        self.frame_offsets = np.zeros(n_slots, np.int64)
+        self.step_times: list[float] = []
+
+    # -- admission / eviction -------------------------------------------------
+
+    def add_stream(self) -> int:
+        free = np.flatnonzero(~self.active)
+        if free.size == 0:
+            raise RuntimeError("no free stream slots")
+        slot = int(free[0])
+        self.active[slot] = True
+        self._clear_slot(slot)
+        return slot
+
+    def remove_stream(self, slot: int) -> str:
+        text = self.transcripts[slot]
+        self.active[slot] = False
+        self._clear_slot(slot)
+        return text
+
+    def _clear_slot(self, slot: int) -> None:
+        self.enc_state, self.dec_state = _reset_slot(
+            self.enc_state, self.dec_state, jnp.int32(slot),
+            jnp.int32(self.cfg.blank_token))
+        self.preproc.reset(slot)
+        self.mel_buffer[slot] = 0.0
+        self.tokens[slot] = []
+        self.transcripts[slot] = ""
+        self.frame_offsets[slot] = 0
+
+    # -- the engine tick -------------------------------------------------------
+
+    def feed_audio(self, audio_by_slot: dict[int, np.ndarray]) -> None:
+        """Stage PCM for active slots; all inputs this tick must be the same
+        length (the engine cadence is one fixed chunk per tick)."""
+        if not audio_by_slot:
+            return
+        n = len(next(iter(audio_by_slot.values())))
+        batch = np.zeros((self.n_slots, n), np.int16)
+        for slot, audio in audio_by_slot.items():
+            assert self.active[slot], f"slot {slot} inactive"
+            assert len(audio) == n, "all slots must advance uniformly"
+            batch[slot] = audio
+        mel = self.preproc.process(batch)
+        if mel.shape[1]:
+            self.mel_buffer = np.concatenate([self.mel_buffer, mel], axis=1)
+
+    def step(self) -> dict[int, str]:
+        """Run chunk steps while enough mel is buffered; returns new text for
+        each active slot that produced output."""
+        cc = self.cc
+        out: dict[int, str] = {}
+        while self.mel_buffer.shape[1] >= cc.chunk_mel_frames:
+            chunk = jnp.asarray(self.mel_buffer[:, : cc.chunk_mel_frames],
+                                self.dtype)
+            t0 = time.perf_counter()
+            tokens, self.enc_state, self.dec_state = chunk_step(
+                self.params, self.cfg, cc, chunk, self.enc_state,
+                self.dec_state, self.pos_heads)
+            tokens = np.asarray(tokens)
+            self.step_times.append(time.perf_counter() - t0)
+            self.mel_buffer = self.mel_buffer[:, cc.shift_mel_frames:]
+
+            blank = self.cfg.blank_token
+            for slot in np.flatnonzero(self.active):
+                toks = [
+                    (int(tokens[slot, t, i]), int(self.frame_offsets[slot]) + t)
+                    for t in range(tokens.shape[1])
+                    for i in range(tokens.shape[2])
+                    if tokens[slot, t, i] != blank
+                ]
+                if toks:
+                    self.tokens[slot].extend(toks)
+                    text = tokens_to_text(toks, self.vocab)
+                    self.transcripts[slot] += text
+                    out[int(slot)] = out.get(int(slot), "") + text
+            self.frame_offsets[self.active] += tokens.shape[1]
+        return out
+
+    # -- stats -----------------------------------------------------------------
+
+    def latency_percentiles(self) -> dict[str, float]:
+        if not self.step_times:
+            return {}
+        t = np.asarray(self.step_times)
+        return {"p50": float(np.percentile(t, 50)),
+                "p90": float(np.percentile(t, 90)),
+                "p99": float(np.percentile(t, 99)),
+                "mean": float(t.mean())}

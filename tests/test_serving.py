@@ -1,0 +1,112 @@
+"""Serving-engine tests: continuous batching (admission/eviction, slot
+isolation) and mesh-sharded execution on a virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nemotron_tpu.config import CacheConfig
+from nemotron_tpu.streaming.serving import ServingEngine
+
+
+@pytest.fixture()
+def cc(model_setup):
+    _, _, cfg = model_setup
+    return CacheConfig(att_right_context=1, att_left_context=12,
+                       n_mels=cfg.n_mels)
+
+
+def make_engine(model_setup, cc, n_slots=4, mesh=None):
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    return ServingEngine(params, cfg, vocab, cc, n_slots=n_slots, mesh=mesh,
+                         compute_dtype=jnp.float32)
+
+
+def synth(n, seed):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(n) * 8000).astype(np.int16)
+
+
+def test_admission_eviction_isolation(model_setup, cc):
+    eng = make_engine(model_setup, cc)
+    s0 = eng.add_stream()
+    s1 = eng.add_stream()
+    assert s0 != s1
+
+    n = cc.chunk_samples
+    a0, a1 = synth(n, 0), synth(n, 1)
+    eng.feed_audio({s0: a0, s1: a1})
+    eng.step()
+
+    # evict s1, admit a new stream into the same slot: must start clean
+    text1 = eng.remove_stream(s1)
+    s2 = eng.add_stream()
+    assert s2 == s1
+    assert eng.transcripts[s2] == ""
+    assert int(eng.enc_state.valid_len[s2]) == 0
+    assert int(eng.dec_state.prev_token[s2]) == eng.cfg.blank_token
+    assert np.all(np.asarray(eng.enc_state.k_cache)[:, s2] == 0)
+    # s0 survives eviction of its neighbor
+    assert int(eng.enc_state.valid_len[s0]) > 0
+
+
+def test_engine_matches_solo_session(model_setup, cc):
+    """A stream served in a busy slab == the same audio in a solo session."""
+    from nemotron_tpu.streaming.session import StreamSession
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    eng = make_engine(model_setup, cc)
+    slots = [eng.add_stream() for _ in range(3)]
+
+    n = cc.chunk_samples
+    audio = {s: np.concatenate([synth(n, 10 + s), synth(n, 20 + s)])
+             for s in slots}
+    for tick in range(2):
+        eng.feed_audio({s: audio[s][tick * n : (tick + 1) * n] for s in slots})
+        eng.step()
+
+    target = slots[1]
+    sess = StreamSession(params, cfg, vocab, cc)
+    sess.process(audio[target][:n])
+    sess.process(audio[target][n:])
+    assert eng.transcripts[target] == sess.get_transcript(0)
+    assert eng.tokens[target] == sess.get_tokens(0)
+
+
+def test_engine_on_mesh(model_setup, cc):
+    """Sharded slab over the 8-device CPU mesh: same results as unsharded."""
+    from nemotron_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() == 8
+    mesh = make_mesh(8, model_parallel=2)
+    eng_m = make_engine(model_setup, cc, n_slots=8, mesh=mesh)
+    eng_1 = make_engine(model_setup, cc, n_slots=8, mesh=None)
+
+    slots = [eng_m.add_stream() for _ in range(5)]
+    for s in slots:
+        assert eng_1.add_stream() == s
+
+    n = cc.chunk_samples
+    feeds = {s: synth(n, 100 + s) for s in slots}
+    eng_m.feed_audio(feeds)
+    eng_1.feed_audio(feeds)
+    out_m = eng_m.step()
+    out_1 = eng_1.step()
+    assert out_m == out_1
+    for s in slots:
+        assert eng_m.tokens[s] == eng_1.tokens[s]
+    np.testing.assert_allclose(np.asarray(eng_m.enc_state.k_cache),
+                               np.asarray(eng_1.enc_state.k_cache),
+                               atol=2e-4)
+
+
+def test_latency_stats(model_setup, cc):
+    eng = make_engine(model_setup, cc, n_slots=2)
+    s = eng.add_stream()
+    eng.feed_audio({s: synth(cc.chunk_samples, 7)})
+    eng.step()
+    stats = eng.latency_percentiles()
+    assert stats and stats["p50"] > 0 and stats["p99"] >= stats["p50"]
