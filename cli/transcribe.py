@@ -4,8 +4,11 @@
     transcribe.py <model.gguf> <audio.pcm> [--cpu] [--timestamps]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str]) -> int:
@@ -39,4 +42,8 @@ def main(argv: list[str]) -> int:
 
 
 if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))
+
+
+def entry() -> None:
     raise SystemExit(main(sys.argv))

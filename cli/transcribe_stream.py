@@ -14,15 +14,19 @@ src/transcribe_stream.cpp:27-36):
   - incremental text on stdout; config + stats on stderr
 """
 
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main(argv: list[str]) -> int:
-    args = [a for a in argv[1:] if not a.startswith("--")]
-    flags = [a for a in argv[1:] if a.startswith("--") and a != "--stdin"]
-    if "--stdin" in argv[1:] and len(args) == 1:
-        args.append("-")
+    # --stdin is positional (it IS the audio argument, reference
+    # src/transcribe_stream.cpp:27-36); map it to '-' keeping its position.
+    argv_t = ["-" if a == "--stdin" else a for a in argv[1:]]
+    args = [a for a in argv_t if not a.startswith("--")]
+    flags = [a for a in argv_t if a.startswith("--")]
 
     if len(args) < 2:
         print(__doc__, file=sys.stderr)
@@ -101,4 +105,8 @@ def main(argv: list[str]) -> int:
 
 
 if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))
+
+
+def entry() -> None:
     raise SystemExit(main(sys.argv))

@@ -38,7 +38,7 @@ def conformer_layer(lp: ConformerLayerParams, x, pos_heads, mask=None,
     (y, new_k_cache, new_v_cache, new_conv_cache)."""
     r = x
     cur = layer_norm(r, lp.norm_ff1_w, lp.norm_ff1_b)
-    r = r + 0.5 * ffn(cur, lp.ffn1_w1.astype(x.dtype), lp.ffn1_w2.astype(x.dtype))
+    r = r + 0.5 * ffn(cur, lp.ffn1_w1, lp.ffn1_w2)
 
     cur = layer_norm(r, lp.norm_attn_w, lp.norm_attn_b)
     attn, new_k, new_v = rel_pos_mha(lp, cur, pos_heads, n_heads, d_head,
@@ -50,7 +50,7 @@ def conformer_layer(lp: ConformerLayerParams, x, pos_heads, mask=None,
     r = r + conv
 
     cur = layer_norm(r, lp.norm_ff2_w, lp.norm_ff2_b)
-    r = r + 0.5 * ffn(cur, lp.ffn2_w1.astype(x.dtype), lp.ffn2_w2.astype(x.dtype))
+    r = r + 0.5 * ffn(cur, lp.ffn2_w1, lp.ffn2_w2)
 
     return layer_norm(r, lp.norm_final_w, lp.norm_final_b), new_k, new_v, new_conv
 
@@ -65,7 +65,7 @@ def encode_batch(params: ModelParams, cfg: ModelConfig, mel):
     pos = jnp.asarray(pos_emb_descending(Tp, cfg.d_model), dtype=x.dtype)
 
     def body(h, lp):
-        pos_heads = project_pos(lp.attn_pos_w.astype(h.dtype), pos,
+        pos_heads = project_pos(lp.attn_pos_w, pos.astype(h.dtype),
                                 cfg.n_heads, cfg.d_head)
         y, _, _, _ = conformer_layer(lp, h, pos_heads,
                                      n_heads=cfg.n_heads, d_head=cfg.d_head)
@@ -121,7 +121,7 @@ def precompute_pos_heads(params: ModelParams, cfg: ModelConfig,
     pos = jnp.asarray(pos_emb_descending(cc.kv_len, cfg.d_model), dtype)
 
     def proj(lp_pos_w):
-        return project_pos(lp_pos_w.astype(dtype), pos, cfg.n_heads, cfg.d_head)
+        return project_pos(lp_pos_w, pos, cfg.n_heads, cfg.d_head)
 
     return jax.vmap(proj)(params.layers.attn_pos_w)
 

@@ -33,5 +33,8 @@ def glu(x):
 
 
 def ffn(x, w1, w2):
-    """Linear -> SiLU -> Linear (no biases in this model)."""
-    return silu(x @ w1) @ w2
+    """Linear -> SiLU -> Linear (no biases in this model). Weights may be
+    dense arrays or int8 QTensors (weight-only quantized path)."""
+    from .quant import qmm
+
+    return qmm(silu(qmm(x, w1)), w2)

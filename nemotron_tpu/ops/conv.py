@@ -79,8 +79,10 @@ def conformer_conv_module(lp, x, cache=None):
 
     lp: a ConformerLayerParams slice (single layer). x: [B, T, D].
     Returns (out, new_conv_cache)."""
-    cur = glu(x @ lp.conv_pw1_w.astype(x.dtype))
+    from .quant import qmm
+
+    cur = glu(qmm(x, lp.conv_pw1_w))
     cur, new_cache = depthwise_conv1d(cur, lp.conv_dw_w, cache)
     cur = layer_norm(cur, lp.conv_ln_w, lp.conv_ln_b)
     cur = silu(cur)
-    return cur @ lp.conv_pw2_w.astype(x.dtype), new_cache
+    return qmm(cur, lp.conv_pw2_w), new_cache

@@ -1,0 +1,136 @@
+"""Weight-only int8 quantization (GGUF Q8_0-compatible) for TPU.
+
+The reference keeps Q8_0/Q4_0 tensors quantized in device memory and
+dequantizes on the fly inside ggml's mul_mat (reference
+src/nemo-ggml.cpp:187-247; block layout: fp16 scale + 32 int8 values,
+scripts/convert_to_gguf.py:93-139). The TPU-native analogue:
+
+  - A `QTensor` pytree leaf holds int8 values [.., in, out] plus per-block
+    f32 scales [.., in//32, out] -- the same 32-element blocking along the
+    contraction dim as Q8_0, transposed into x @ w orientation.
+  - `qmm` dequantizes into the compute dtype and runs the matmul on the MXU.
+    Under jit, XLA keeps weights in HBM as int8 (half the bytes of bf16 --
+    the win when the step is HBM-bound) and fuses the scale multiply.
+
+Numerics match round-tripping through the reference's Q8_0 exactly:
+quantize -> QTensor -> qmm == quantize -> dequantize f32 -> matmul.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+QK = 32  # Q8_0 block size (elements per scale)
+
+
+def _pytree_dataclass(cls):
+    cls = dataclasses.dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_pytree_dataclass
+class QTensor:
+    """Blockwise-quantized weight in x @ w orientation.
+
+    q:     int8  [..., in, out]
+    scale: f32   [..., in // QK, out]   (per 32-row block, per column)
+    """
+
+    q: Any
+    scale: Any
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+
+def quantize_tensor(w: np.ndarray) -> QTensor:
+    """Quantize a [in, out] (or [L, in, out]) f32 weight to Q8_0 blocks along
+    the contraction (in) dim. Same scale/rounding rule as the reference
+    quantizer (scripts/convert_to_gguf.py:93-139): scale = amax/127 stored as
+    f16, q = round(w / scale)."""
+    w = np.asarray(w, dtype=np.float32)
+    *lead, n_in, n_out = w.shape
+    assert n_in % QK == 0, f"in dim {n_in} not divisible by {QK}"
+    blocks = w.reshape(*lead, n_in // QK, QK, n_out)
+    amax = np.max(np.abs(blocks), axis=-2)                     # [.., nb, out]
+    # match the reference: scales pass through fp16 storage
+    scale = np.where(amax != 0, amax / 127.0, 0.0).astype(np.float16)
+    s32 = scale.astype(np.float32)
+    s_safe = np.where(s32 != 0, s32, 1.0)
+    q = np.round(blocks / s_safe[..., None, :]).astype(np.int8)
+    q = np.where(s32[..., None, :] != 0, q, 0).astype(np.int8)
+    return QTensor(q=q.reshape(w.shape), scale=s32)
+
+
+def dequantize(qt: QTensor, dtype=jnp.float32):
+    """Expand a QTensor to a dense array (for testing / fallback)."""
+    q = jnp.asarray(qt.q)
+    scale = jnp.asarray(qt.scale)
+    *lead, n_in, n_out = q.shape
+    nb = n_in // QK
+    w = q.astype(dtype).reshape(*lead, nb, QK, n_out)
+    w = w * scale.astype(dtype)[..., :, None, :]
+    return w.reshape(*lead, n_in, n_out)
+
+
+def qmm(x, w, prefer_pallas: bool = True):
+    """Matmul with a possibly-quantized weight: x [.., in] @ w [in, out].
+
+    Accepts a plain array (cast to x.dtype) or a QTensor. The Pallas kernel
+    path is used on TPU for 2D QTensors when shapes are tile-aligned;
+    otherwise dequant-then-matmul (XLA fuses the dequant into the HBM->VMEM
+    weight load under jit)."""
+    if not isinstance(w, QTensor):
+        return x @ w.astype(x.dtype)
+    if prefer_pallas and _pallas_eligible(x, w):
+        from .quant_kernel import q8_matmul
+
+        lead = x.shape[:-1]
+        out = q8_matmul(x.reshape(-1, x.shape[-1]), w.q, w.scale)
+        return out.reshape(*lead, w.q.shape[-1]).astype(x.dtype)
+    return x @ dequantize(w, x.dtype)
+
+
+def _pallas_eligible(x, w: QTensor) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    if w.q.ndim != 2:
+        return False
+    n_in, n_out = w.q.shape
+    rows = int(np.prod(x.shape[:-1]))
+    return n_in % 256 == 0 and n_out % 256 == 0 and rows >= 8
+
+
+_ENCODER_MATMUL_SUFFIXES = (
+    "feed_forward1.linear1.weight", "feed_forward1.linear2.weight",
+    "feed_forward2.linear1.weight", "feed_forward2.linear2.weight",
+    "self_attn.linear_q.weight", "self_attn.linear_k.weight",
+    "self_attn.linear_v.weight", "self_attn.linear_pos.weight",
+    "self_attn.linear_out.weight",
+    "conv.pointwise_conv1.weight", "conv.pointwise_conv2.weight",
+)
+
+
+def should_quantize(name: str, arr: np.ndarray,
+                    pattern: str = "encoder-matmul") -> bool:
+    """The reference's default quant selection
+    (scripts/convert_to_gguf.py:212-238)."""
+    if pattern == "none":
+        return False
+    if not name.startswith("encoder.layers."):
+        return False
+    if arr.ndim < 2:
+        return False
+    return name.endswith(_ENCODER_MATMUL_SUFFIXES)

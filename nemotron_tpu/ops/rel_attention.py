@@ -68,11 +68,13 @@ def rel_pos_mha(lp, x, pos_heads, n_heads: int, d_head: int,
 
     Returns (out [B, Q, D], new_k_cache, new_v_cache).
     """
+    from .quant import qmm
+
     B, Q, D = x.shape
     dt = x.dtype
-    q = (x @ lp.attn_q_w.astype(dt)).reshape(B, Q, n_heads, d_head)
-    k_new = x @ lp.attn_k_w.astype(dt)
-    v_new = x @ lp.attn_v_w.astype(dt)
+    q = qmm(x, lp.attn_q_w).reshape(B, Q, n_heads, d_head)
+    k_new = qmm(x, lp.attn_k_w)
+    v_new = qmm(x, lp.attn_v_w)
 
     new_k_cache = new_v_cache = None
     if kv_cache is not None:
@@ -106,7 +108,7 @@ def rel_pos_mha(lp, x, pos_heads, n_heads: int, d_head: int,
 
     ctx = jnp.einsum("bhij,bjhd->bihd", w, v,
                      preferred_element_type=jnp.float32).astype(dt)
-    out = ctx.reshape(B, Q, D) @ lp.attn_out_w.astype(dt)
+    out = qmm(ctx.reshape(B, Q, D), lp.attn_out_w)
     return out, new_k_cache, new_v_cache
 
 
@@ -115,5 +117,9 @@ def project_pos(lp_pos_w, pos_emb, n_heads: int, d_head: int):
     precomputed once per session instead of per chunk (the reference re-runs
     the projection inside every chunk's graph, src/nemo-stream.cpp:487-488 --
     hoisting it saves 24 [P,1024]x[1024,1024] matmuls per step)."""
+    from .quant import QTensor, dequantize
+
+    if isinstance(lp_pos_w, QTensor):
+        lp_pos_w = dequantize(lp_pos_w, pos_emb.dtype)
     P = pos_emb.shape[0]
-    return (pos_emb @ lp_pos_w).reshape(P, n_heads, d_head)
+    return (pos_emb @ lp_pos_w.astype(pos_emb.dtype)).reshape(P, n_heads, d_head)

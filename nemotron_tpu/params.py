@@ -25,6 +25,7 @@ import numpy as np
 
 from . import gguf as gguf_mod
 from .config import ModelConfig
+from .ops.quant import QTensor, quantize_tensor, should_quantize
 
 
 def _pytree_dataclass(cls):
@@ -136,8 +137,13 @@ def _conv2d_hwio(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
 
 
-def _linear(w: np.ndarray) -> np.ndarray:
-    """PyTorch [out, in] -> [in, out]."""
+def _linear(w) -> np.ndarray | QTensor:
+    """PyTorch [out, in] -> [in, out]. QTensor-aware: Q8_0 blocks run along
+    the contiguous (in) dim in GGUF, which becomes the contraction-dim
+    blocking QTensor expects after the transpose."""
+    if isinstance(w, QTensor):
+        return QTensor(q=np.ascontiguousarray(w.q.T),
+                       scale=np.ascontiguousarray(w.scale.T))
     return np.ascontiguousarray(w.T)
 
 
@@ -167,10 +173,10 @@ def params_from_arrays(t: dict[str, np.ndarray], cfg: ModelConfig) -> ModelParam
             # raw NeMo layout (D, 1, K) -> converter layout (K, D)
             dw = dw.squeeze(1).T
         pw1 = t[f"{p}.conv.pointwise_conv1.weight"]
-        if pw1.ndim == 3:
+        if not isinstance(pw1, QTensor) and pw1.ndim == 3:
             pw1 = pw1.squeeze(2)
         pw2 = t[f"{p}.conv.pointwise_conv2.weight"]
-        if pw2.ndim == 3:
+        if not isinstance(pw2, QTensor) and pw2.ndim == 3:
             pw2 = pw2.squeeze(2)
         return ConformerLayerParams(
             norm_ff1_w=t[f"{p}.norm_feed_forward1.weight"],
@@ -188,11 +194,11 @@ def params_from_arrays(t: dict[str, np.ndarray], cfg: ModelConfig) -> ModelParam
             pos_bias_v=t[f"{p}.self_attn.pos_bias_v"],
             norm_conv_w=t[f"{p}.norm_conv.weight"],
             norm_conv_b=t[f"{p}.norm_conv.bias"],
-            conv_pw1_w=np.ascontiguousarray(pw1.T),
+            conv_pw1_w=_linear(pw1),
             conv_dw_w=np.ascontiguousarray(dw),
             conv_ln_w=t[f"{p}.conv.batch_norm.weight"],
             conv_ln_b=t[f"{p}.conv.batch_norm.bias"],
-            conv_pw2_w=np.ascontiguousarray(pw2.T),
+            conv_pw2_w=_linear(pw2),
             norm_ff2_w=t[f"{p}.norm_feed_forward2.weight"],
             norm_ff2_b=t[f"{p}.norm_feed_forward2.bias"],
             ffn2_w1=_linear(t[f"{p}.feed_forward2.linear1.weight"]),
@@ -236,19 +242,58 @@ def stack_layers(layers: list[ConformerLayerParams]) -> ConformerLayerParams:
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *layers)
 
 
-def load_model(path: str) -> tuple[ModelParams, ModelConfig, list[str]]:
+_QUANT_LAYER_FIELDS = (
+    "ffn1_w1", "ffn1_w2", "ffn2_w1", "ffn2_w2",
+    "attn_q_w", "attn_k_w", "attn_v_w", "attn_pos_w", "attn_out_w",
+    "conv_pw1_w", "conv_pw2_w",
+)
+
+
+def quantize_model_params(params: ModelParams) -> ModelParams:
+    """Weight-only Q8_0 quantization of the encoder conformer matmul weights
+    (the reference's default quant pattern, scripts/convert_to_gguf.py:212-238).
+    Subsampling, depthwise convs, norms, decoder and joint stay dense."""
+    layers = params.layers
+    updates = {}
+    for f in _QUANT_LAYER_FIELDS:
+        w = getattr(layers, f)
+        if isinstance(w, QTensor):
+            continue
+        updates[f] = quantize_tensor(np.asarray(w))
+    layers = dataclasses.replace(layers, **updates)
+    return dataclasses.replace(params, layers=layers)
+
+
+def load_model(path: str, keep_quantized: bool = True,
+               ) -> tuple[ModelParams, ModelConfig, list[str]]:
     """Load a GGUF file: (params, config, vocab).
 
     Mirrors the reference loader's hparam handling, including inferring
     kernel_size from the depthwise weight (reference src/nemo-ggml.cpp:320-324)
-    rather than trusting the stale metadata value."""
+    rather than trusting the stale metadata value.
+
+    With keep_quantized=True, Q8_0 tensors in the file stay quantized as
+    QTensor leaves (bit-identical to the file blocks) and are dequantized on
+    the fly in the matmul -- the reference's approach
+    (src/nemo-ggml.cpp:187-247). Q4_0 is always dequantized to f32 (no native
+    4-bit matmul path)."""
     g = gguf_mod.read_gguf(path)
     md = g.metadata
 
     def u32(key, default):
         return int(md.get(key, default))
 
-    arrays = {name: tt.to_numpy() for name, tt in g.tensors.items()}
+    arrays: dict[str, object] = {}
+    for name, tt in g.tensors.items():
+        if (keep_quantized and tt.ggml_type == gguf_mod.GGML_Q8_0
+                and len(tt.shape) == 2 and tt.shape[1] % 32 == 0
+                and should_quantize(name, np.empty(tt.shape))):
+            vals, scales = gguf_mod.q8_0_to_int8(tt.raw, tt.n_elements)
+            arrays[name] = QTensor(
+                q=vals.reshape(tt.shape),
+                scale=scales.reshape(tt.shape[0], tt.shape[1] // 32))
+        else:
+            arrays[name] = tt.to_numpy()
     dw = arrays.get("encoder.layers.0.conv.depthwise_conv.weight")
     kernel_size = 9
     if dw is not None:
@@ -381,13 +426,18 @@ def random_params(seed: int = 0) -> tuple[ModelParams, ModelConfig]:
 
 
 def cast_params(params: ModelParams, dtype) -> ModelParams:
-    """Cast all floating-point leaves to `dtype` (e.g. bf16 for serving)."""
+    """Cast all floating-point leaves to `dtype` (e.g. bf16 for serving).
+    QTensor leaves are left untouched: int8 values + f32 block scales."""
     import jax.numpy as jnp
 
     def cast(x):
+        if isinstance(x, QTensor):
+            return QTensor(q=jnp.asarray(x.q),
+                           scale=jnp.asarray(x.scale, jnp.float32))
         x = jnp.asarray(x)
         if jnp.issubdtype(x.dtype, jnp.floating):
             return x.astype(dtype)
         return x
 
-    return jax.tree_util.tree_map(cast, params)
+    return jax.tree_util.tree_map(
+        cast, params, is_leaf=lambda x: isinstance(x, QTensor))

@@ -1,0 +1,133 @@
+"""Quantized-path tests (SURVEY.md §7 stage 7).
+
+Gates, mirroring the reference's quant guarantees:
+  - QTensor quantization is bit-identical to the GGUF Q8_0 writer
+    (reference scripts/convert_to_gguf.py:93-139).
+  - qmm on QTensor == matmul on the dequantized weight (exact).
+  - The Pallas int8 kernel (interpret mode on CPU) matches the dequant path.
+  - A Q8_0 GGUF round-trips into QTensor leaves and the full pipeline still
+    matches the f32 model within quantization tolerance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nemotron_tpu import gguf
+from nemotron_tpu import params as params_mod
+from nemotron_tpu.ops import quant
+from nemotron_tpu.ops.quant_kernel import q8_matmul
+
+from conftest import tiny_config, write_tiny_gguf
+
+
+def test_quantize_matches_gguf_q8_0(rng):
+    """quantize_tensor on the transposed ([in, out]) weight produces exactly
+    the GGUF writer's Q8_0 blocks (which run along the contiguous `in` dim of
+    the PyTorch [out, in] layout)."""
+    w = rng.standard_normal((96, 64), dtype=np.float32)  # [out, in]
+    qt = quant.quantize_tensor(w.T)                       # [in, out]
+
+    blocks = np.frombuffer(
+        gguf.quantize_q8_0(w),
+        dtype=np.dtype([("scale", np.float16), ("q", np.int8, 32)]))
+    ref_q = blocks["q"].reshape(96, 64)                   # [out, in]
+    ref_s = blocks["scale"].astype(np.float32).reshape(96, 64 // 32)
+    np.testing.assert_array_equal(np.asarray(qt.q).T, ref_q)
+    np.testing.assert_array_equal(np.asarray(qt.scale).T, ref_s)
+
+
+def test_qmm_equals_dequant_matmul(rng):
+    w = rng.standard_normal((64, 96), dtype=np.float32)
+    x = jnp.asarray(rng.standard_normal((5, 64), dtype=np.float32))
+    qt = quant.quantize_tensor(w)
+    ref = x @ quant.dequantize(qt, jnp.float32)
+    out = quant.qmm(x, qt, prefer_pallas=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+
+def test_qmm_plain_array_passthrough(rng):
+    w = rng.standard_normal((8, 4), dtype=np.float32)
+    x = jnp.asarray(rng.standard_normal((3, 8), dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(quant.qmm(x, jnp.asarray(w))),
+                               np.asarray(x @ w), rtol=1e-6)
+
+
+@pytest.mark.parametrize("M", [8, 37, 300])
+def test_pallas_q8_matmul_interpret(rng, M):
+    K, N = 512, 256
+    w = rng.standard_normal((K, N), dtype=np.float32) * 0.1
+    x = jnp.asarray(rng.standard_normal((M, K), dtype=np.float32))
+    qt = quant.quantize_tensor(w)
+    ref = np.asarray(x @ quant.dequantize(qt, jnp.float32))
+    out = np.asarray(q8_matmul(x, jnp.asarray(qt.q), jnp.asarray(qt.scale),
+                               interpret=True))
+    assert out.shape == (M, N)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_model_params_pipeline(model_setup, rng):
+    """Full streaming chunk step with quantized encoder weights stays close
+    to the f32 model."""
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.models import decoder as dec_mod
+    from nemotron_tpu.models import encoder as enc_mod
+    from nemotron_tpu.streaming.session import chunk_step
+
+    _, params, cfg = model_setup
+    qparams = params_mod.quantize_model_params(params)
+    assert isinstance(qparams.layers.ffn1_w1, quant.QTensor)
+    assert qparams.layers.ffn1_w1.q.dtype == np.int8
+    assert not isinstance(qparams.decoder.embedding, quant.QTensor)
+
+    cc = CacheConfig(att_right_context=1, n_mels=cfg.n_mels)
+    mel = jnp.asarray(
+        rng.standard_normal((2, cc.chunk_mel_frames, cfg.n_mels),
+                            dtype=np.float32))
+
+    outs = {}
+    for name, p in [("f32", params), ("q8", qparams)]:
+        enc_state = enc_mod.init_encoder_state(cfg, cc, 2)
+        dec_state = dec_mod.init_decoder_state(cfg, 2)
+        pos_heads = enc_mod.precompute_pos_heads(p, cfg, cc)
+        toks, enc_state, _ = chunk_step(p, cfg, cc, mel, enc_state,
+                                        dec_state, pos_heads)
+        outs[name] = np.asarray(enc_state.k_cache)
+
+    # encoder activations should agree to ~1% of scale with int8 weights
+    diff = np.abs(outs["f32"] - outs["q8"]).max()
+    scale = np.abs(outs["f32"]).max() + 1e-9
+    assert diff / scale < 0.05, (diff, scale)
+
+
+def test_gguf_q8_roundtrip_to_qtensor(model_setup, tmp_path):
+    arrays, params, cfg = model_setup
+    qnames = {n: gguf.GGML_Q8_0 for n in arrays
+              if quant.should_quantize(
+                  n, arrays[n] if arrays[n].ndim != 3 else arrays[n].squeeze())}
+    assert qnames
+    path = str(tmp_path / "q8.gguf")
+    write_tiny_gguf(path, arrays, cfg, quantize=qnames)
+
+    qp, qcfg, vocab = params_mod.load_model(path, keep_quantized=True)
+    assert isinstance(qp.layers.ffn1_w1, quant.QTensor)
+    assert qcfg.d_model == cfg.d_model
+
+    dp, _, _ = params_mod.load_model(path, keep_quantized=False)
+    # QTensor dequantizes to exactly the f32 the dense loader produced
+    np.testing.assert_allclose(
+        np.asarray(quant.dequantize(qp.layers.ffn1_w1)),
+        np.asarray(dp.layers.ffn1_w1), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(quant.dequantize(qp.layers.conv_pw1_w)),
+        np.asarray(dp.layers.conv_pw1_w), rtol=1e-6, atol=1e-7)
+
+
+def test_cast_params_preserves_qtensor(model_setup):
+    _, params, cfg = model_setup
+    qparams = params_mod.quantize_model_params(params)
+    cast = params_mod.cast_params(qparams, jnp.bfloat16)
+    assert cast.layers.ffn1_w1.q.dtype == jnp.int8
+    assert cast.layers.ffn1_w1.scale.dtype == jnp.float32
+    assert cast.decoder.embedding.dtype == jnp.bfloat16
