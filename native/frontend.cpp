@@ -1,0 +1,217 @@
+// Native (C++) streaming audio frontend: PCM s16le -> log-mel spectrogram.
+//
+// TPU-native equivalent of the reference's stateful DSP preprocessor
+// (reference src/preprocessor.cpp:330-395): i16 -> f32 scale 1/32768,
+// pre-emphasis 0.97 with cross-call carry of last_sample, center-pad
+// emulation via an initial n_fft/2-zero buffer, Hann(400) window zero-padded
+// to 512, radix-2 Cooley-Tukey FFT with precomputed twiddles + bit-reversal
+// (reference src/preprocessor.cpp:80-161), power spectrum, mel filterbank
+// matvec, log(x + 2^-24), and ring-buffer carry-over of unconsumed samples
+// (reference src/preprocessor.cpp:388-394).
+//
+// Differences from the reference, by design:
+//   - batched: one frontend object processes S parallel streams per call
+//     (the serving engine's fixed cadence guarantees uniform advance);
+//   - produces mel on the HOST so only [S, T, n_mels] floats cross the
+//     host->TPU link (the device-side jit path needs [S, T, n_fft] frames:
+//     4x the bytes).
+//
+// C ABI only; bound from Python via ctypes (no pybind11 in this image).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct FFT {
+    int n = 0;
+    std::vector<int> rev;          // bit-reversal permutation
+    std::vector<float> tw_re, tw_im;  // twiddles per stage, packed
+
+    void init(int n_) {
+        n = n_;
+        rev.assign(n, 0);
+        int logn = 0;
+        while ((1 << logn) < n) ++logn;
+        for (int i = 0; i < n; ++i) {
+            int r = 0;
+            for (int b = 0; b < logn; ++b)
+                if (i & (1 << b)) r |= 1 << (logn - 1 - b);
+            rev[i] = r;
+        }
+        // per stage m = 2,4,...,n: n/2 twiddles total per stage-half
+        tw_re.clear();
+        tw_im.clear();
+        for (int m = 2; m <= n; m <<= 1) {
+            for (int j = 0; j < m / 2; ++j) {
+                double ang = -2.0 * M_PI * j / m;
+                tw_re.push_back((float)std::cos(ang));
+                tw_im.push_back((float)std::sin(ang));
+            }
+        }
+    }
+
+    // in-place complex FFT on interleaved re/im arrays of length n
+    void run(float* re, float* im) const {
+        for (int i = 0; i < n; ++i) {
+            int r = rev[i];
+            if (i < r) {
+                std::swap(re[i], re[r]);
+                std::swap(im[i], im[r]);
+            }
+        }
+        size_t tw_off = 0;
+        for (int m = 2; m <= n; m <<= 1) {
+            int half = m / 2;
+            for (int k = 0; k < n; k += m) {
+                for (int j = 0; j < half; ++j) {
+                    float wr = tw_re[tw_off + j], wi = tw_im[tw_off + j];
+                    int a = k + j, b = k + j + half;
+                    float xr = re[b] * wr - im[b] * wi;
+                    float xi = re[b] * wi + im[b] * wr;
+                    re[b] = re[a] - xr;
+                    im[b] = im[a] - xi;
+                    re[a] += xr;
+                    im[a] += xi;
+                }
+            }
+            tw_off += half;
+        }
+    }
+};
+
+struct Frontend {
+    int n_streams = 1;
+    int n_fft = 512;
+    int win_length = 400;
+    int hop = 160;
+    int n_mels = 128;
+    int n_freqs = 257;
+    float preemph = 0.97f;
+    float log_zero_guard = 5.960464477539063e-08f;  // 2^-24
+
+    std::vector<float> window;       // [n_fft] zero-padded
+    std::vector<float> filterbank;   // [n_mels, n_freqs]
+    FFT fft;
+
+    // per-stream state
+    std::vector<float> last_sample;             // [S]
+    std::vector<std::vector<float>> residue;    // [S][<n_fft + incoming]
+
+    void reset_stream(int s) {
+        last_sample[s] = 0.0f;
+        // Residue lengths must stay uniform across streams (the batch
+        // advances in lockstep). A stream reset mid-session keeps the shared
+        // length but zero content -- as if it had been hearing silence; a
+        // fresh/global reset uses the center-pad emulation length
+        // (reference src/preprocessor.cpp:220-222).
+        size_t len = (size_t)n_fft / 2;
+        for (int o = 0; o < n_streams; ++o)
+            if (o != s && !residue[o].empty()) {
+                len = residue[o].size();
+                break;
+            }
+        residue[s].assign(len, 0.0f);
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* nemo_frontend_create(int n_streams, int n_fft, int win_length, int hop,
+                           int n_mels, float preemph, float log_zero_guard,
+                           const float* window, const float* filterbank) {
+    auto* f = new Frontend();
+    f->n_streams = n_streams;
+    f->n_fft = n_fft;
+    f->win_length = win_length;
+    f->hop = hop;
+    f->n_mels = n_mels;
+    f->n_freqs = n_fft / 2 + 1;
+    f->preemph = preemph;
+    f->log_zero_guard = log_zero_guard;
+    f->window.assign(window, window + n_fft);
+    f->filterbank.assign(filterbank, filterbank + (size_t)n_mels * f->n_freqs);
+    f->fft.init(n_fft);
+    f->last_sample.assign(n_streams, 0.0f);
+    f->residue.resize(n_streams);
+    for (int s = 0; s < n_streams; ++s) f->reset_stream(s);
+    return f;
+}
+
+void nemo_frontend_free(void* h) { delete (Frontend*)h; }
+
+void nemo_frontend_reset(void* h, int stream) {
+    auto* f = (Frontend*)h;
+    if (stream < 0)
+        for (int s = 0; s < f->n_streams; ++s) f->reset_stream(s);
+    else
+        f->reset_stream(stream);
+}
+
+// Number of frames the next process() call will produce given n new samples
+// (all streams advance uniformly; reference src/preprocessor.cpp:313-328).
+int nemo_frontend_n_frames(void* h, int n_samples) {
+    auto* f = (Frontend*)h;
+    long avail = (long)f->residue[0].size() + n_samples;
+    if (avail < f->n_fft) return 0;
+    return (int)((avail - f->n_fft) / f->hop + 1);
+}
+
+// audio: [n_streams, n_samples] s16le. out_mel: [n_streams, n_frames, n_mels]
+// f32 (row-major), n_frames from nemo_frontend_n_frames. Returns n_frames.
+int nemo_frontend_process(void* h, const int16_t* audio, int n_samples,
+                          float* out_mel) {
+    auto* f = (Frontend*)h;
+    const int n_frames = nemo_frontend_n_frames(h, n_samples);
+    const int n_fft = f->n_fft, hop = f->hop;
+    const int n_mels = f->n_mels, n_freqs = f->n_freqs;
+
+    std::vector<float> re(n_fft), im(n_fft), power(n_freqs);
+
+    for (int s = 0; s < f->n_streams; ++s) {
+        auto& buf = f->residue[s];
+        const size_t residue_len = buf.size();
+        buf.resize(residue_len + n_samples);
+        // i16 -> f32, pre-emphasis with carry (reference
+        // src/preprocessor.cpp:349-356)
+        const int16_t* in = audio + (size_t)s * n_samples;
+        float prev = f->last_sample[s];
+        for (int i = 0; i < n_samples; ++i) {
+            float x = (float)in[i] / 32768.0f;
+            buf[residue_len + i] = x - f->preemph * prev;
+            prev = x;
+        }
+        f->last_sample[s] = prev;
+
+        float* mel_out = out_mel + (size_t)s * n_frames * n_mels;
+        for (int t = 0; t < n_frames; ++t) {
+            const float* frame = buf.data() + (size_t)t * hop;
+            for (int i = 0; i < n_fft; ++i) {
+                re[i] = frame[i] * f->window[i];
+                im[i] = 0.0f;
+            }
+            f->fft.run(re.data(), im.data());
+            for (int k = 0; k < n_freqs; ++k)
+                power[k] = re[k] * re[k] + im[k] * im[k];
+            // mel = log(fb @ power + guard)
+            float* row = mel_out + (size_t)t * n_mels;
+            for (int m = 0; m < n_mels; ++m) {
+                const float* fb = f->filterbank.data() + (size_t)m * n_freqs;
+                float acc = 0.0f;
+                for (int k = 0; k < n_freqs; ++k) acc += fb[k] * power[k];
+                row[m] = std::log(acc + f->log_zero_guard);
+            }
+        }
+
+        // keep unconsumed tail (reference src/preprocessor.cpp:388-394)
+        const size_t consumed = (size_t)n_frames * hop;
+        buf.erase(buf.begin(), buf.begin() + consumed);
+    }
+    return n_frames;
+}
+
+}  // extern "C"

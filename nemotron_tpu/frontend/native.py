@@ -1,0 +1,118 @@
+"""ctypes binding for the native (C++) streaming audio frontend.
+
+The native library implements the reference's stateful DSP preprocessor
+(reference src/preprocessor.cpp) batched over streams; see
+native/frontend.cpp. Falls back to the numpy/JAX path when the shared
+library is absent (it is built on demand with `make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libnemotron_frontend.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            if not os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
+                return None
+            try:
+                subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
+                               check=True, capture_output=True, timeout=120)
+            except (OSError, subprocess.SubprocessError):
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+
+        lib.nemo_frontend_create.restype = ctypes.c_void_p
+        lib.nemo_frontend_create.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+        lib.nemo_frontend_free.argtypes = [ctypes.c_void_p]
+        lib.nemo_frontend_reset.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.nemo_frontend_n_frames.restype = ctypes.c_int
+        lib.nemo_frontend_n_frames.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.nemo_frontend_process.restype = ctypes.c_int
+        lib.nemo_frontend_process.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float)]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeFrontend:
+    """Stateful PCM -> log-mel for S parallel streams, all host-side in C++.
+
+    Mirrors StreamingPreprocessor's interface (process/reset/n_frames_for)
+    so the session/serving engines can swap it in transparently."""
+
+    def __init__(self, filterbank: np.ndarray, window_padded: np.ndarray,
+                 n_streams: int = 1, n_fft: int = 512, hop: int = 160,
+                 n_mels: int = 128, preemph: float = 0.97,
+                 log_zero_guard: float = 2.0 ** -24):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native frontend library unavailable")
+        self._lib = lib
+        self.n_streams = n_streams
+        self.n_mels = n_mels
+        fb = np.ascontiguousarray(filterbank, np.float32)
+        win = np.ascontiguousarray(window_padded, np.float32)
+        assert win.size == n_fft and fb.shape == (n_mels, n_fft // 2 + 1)
+        self._handle = ctypes.c_void_p(lib.nemo_frontend_create(
+            n_streams, n_fft, 400, hop, n_mels,
+            ctypes.c_float(preemph), ctypes.c_float(log_zero_guard),
+            win.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            fb.ctypes.data_as(ctypes.POINTER(ctypes.c_float))))
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.nemo_frontend_free(self._handle)
+            self._handle = None
+
+    def reset(self, stream: int | None = None) -> None:
+        self._lib.nemo_frontend_reset(
+            self._handle, -1 if stream is None else stream)
+
+    def n_frames_for(self, n_new_samples: int) -> int:
+        return self._lib.nemo_frontend_n_frames(self._handle, n_new_samples)
+
+    def process(self, audio_i16: np.ndarray) -> np.ndarray:
+        squeeze = audio_i16.ndim == 1
+        if squeeze:
+            audio_i16 = audio_i16[None]
+        S, N = audio_i16.shape
+        assert S == self.n_streams
+        audio = np.ascontiguousarray(audio_i16, "<i2")
+        n_frames = self.n_frames_for(N)
+        out = np.empty((S, n_frames, self.n_mels), np.float32)
+        if n_frames or N:
+            got = self._lib.nemo_frontend_process(
+                self._handle,
+                audio.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), N,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            assert got == n_frames
+        return out

@@ -106,26 +106,49 @@ class StreamingPreprocessor:
     def __init__(self, filterbank: np.ndarray, window: np.ndarray,
                  n_streams: int = 1,
                  cfg: PreprocessorConfig = PreprocessorConfig(),
-                 device: bool = True):
+                 device: bool = True, backend: str = "auto"):
+        """backend: 'native' = C++ host DSP (native/frontend.cpp -- the
+        reference's radix-2 f32 FFT, and 4x less host->device traffic),
+        'numpy' = numpy framing + device/np spectral compute, 'auto' = native
+        when the shared library is available."""
         self.cfg = cfg
         assert filterbank.shape == (cfg.n_mels, cfg.n_freqs)
         self.filterbank = jnp.asarray(filterbank, jnp.float32)
         self.window = jnp.asarray(pad_window(window, cfg.n_fft), jnp.float32)
         self.n_streams = n_streams
         self.device = device
+        self._native = None
+        if backend in ("auto", "native"):
+            try:
+                from .native import NativeFrontend
+
+                self._native = NativeFrontend(
+                    np.asarray(filterbank, np.float32),
+                    pad_window(np.asarray(window, np.float32), cfg.n_fft),
+                    n_streams=n_streams, n_fft=cfg.n_fft,
+                    hop=cfg.n_window_stride, n_mels=cfg.n_mels,
+                    preemph=cfg.preemph, log_zero_guard=cfg.log_zero_guard)
+            except Exception:
+                if backend == "native":
+                    raise
         self.reset()
 
     def reset(self, stream: int | None = None) -> None:
+        if self._native is not None:
+            self._native.reset(stream)
         if stream is None:
             self.last_sample = np.zeros(self.n_streams, np.float32)
             self.residue = np.zeros(
                 (self.n_streams, self.cfg.initial_pad), np.float32)
         else:
+            # keep the shared residue length (lockstep batch); the reset
+            # stream behaves as if it had been hearing silence
             self.last_sample[stream] = 0.0
             self.residue[stream, :] = 0.0
-            self.residue = self.residue[:, : self.cfg.initial_pad].copy()
 
     def n_frames_for(self, n_new_samples: int) -> int:
+        if self._native is not None:
+            return self._native.n_frames_for(n_new_samples)
         avail = self.residue.shape[1] + n_new_samples
         if avail < self.cfg.n_fft:
             return 0
@@ -138,6 +161,8 @@ class StreamingPreprocessor:
         squeeze = audio_i16.ndim == 1
         if squeeze:
             audio_i16 = audio_i16[None]
+        if self._native is not None:
+            return self._native.process(audio_i16)
         S, N = audio_i16.shape
         assert S == self.n_streams
 
