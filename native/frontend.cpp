@@ -214,4 +214,33 @@ int nemo_frontend_process(void* h, const int16_t* audio, int n_samples,
     return n_frames;
 }
 
+// --- state snapshot (checkpoint/resume of a streaming session) -------------
+
+// Residue length is uniform across streams; returns it.
+int nemo_frontend_residue_len(void* h) {
+    auto* f = (Frontend*)h;
+    return (int)f->residue[0].size();
+}
+
+// out_last: [n_streams]; out_residue: [n_streams, residue_len]
+void nemo_frontend_get_state(void* h, float* out_last, float* out_residue) {
+    auto* f = (Frontend*)h;
+    const size_t len = f->residue[0].size();
+    for (int s = 0; s < f->n_streams; ++s) {
+        out_last[s] = f->last_sample[s];
+        std::memcpy(out_residue + (size_t)s * len, f->residue[s].data(),
+                    len * sizeof(float));
+    }
+}
+
+void nemo_frontend_set_state(void* h, const float* last, const float* residue,
+                             int residue_len) {
+    auto* f = (Frontend*)h;
+    for (int s = 0; s < f->n_streams; ++s) {
+        f->last_sample[s] = last[s];
+        f->residue[s].assign(residue + (size_t)s * residue_len,
+                             residue + (size_t)(s + 1) * residue_len);
+    }
+}
+
 }  // extern "C"

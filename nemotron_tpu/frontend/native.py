@@ -55,6 +55,14 @@ def _load() -> ctypes.CDLL | None:
         lib.nemo_frontend_process.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float)]
+        lib.nemo_frontend_residue_len.restype = ctypes.c_int
+        lib.nemo_frontend_residue_len.argtypes = [ctypes.c_void_p]
+        lib.nemo_frontend_get_state.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float)]
+        lib.nemo_frontend_set_state.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -99,6 +107,28 @@ class NativeFrontend:
 
     def n_frames_for(self, n_new_samples: int) -> int:
         return self._lib.nemo_frontend_n_frames(self._handle, n_new_samples)
+
+    def state_dict(self) -> dict[str, np.ndarray]:
+        """Snapshot the DSP state (checkpoint/resume of a session)."""
+        rl = self._lib.nemo_frontend_residue_len(self._handle)
+        last = np.empty(self.n_streams, np.float32)
+        residue = np.empty((self.n_streams, rl), np.float32)
+        self._lib.nemo_frontend_get_state(
+            self._handle,
+            last.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            residue.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return {"last_sample": last, "residue": residue}
+
+    def load_state_dict(self, state: dict[str, np.ndarray]) -> None:
+        last = np.ascontiguousarray(state["last_sample"], np.float32)
+        residue = np.ascontiguousarray(state["residue"], np.float32)
+        assert last.shape == (self.n_streams,)
+        assert residue.ndim == 2 and residue.shape[0] == self.n_streams
+        self._lib.nemo_frontend_set_state(
+            self._handle,
+            last.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            residue.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            residue.shape[1])
 
     def process(self, audio_i16: np.ndarray) -> np.ndarray:
         squeeze = audio_i16.ndim == 1

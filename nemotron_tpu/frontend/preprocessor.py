@@ -146,6 +146,21 @@ class StreamingPreprocessor:
             self.last_sample[stream] = 0.0
             self.residue[stream, :] = 0.0
 
+    def state_dict(self) -> dict:
+        """Snapshot the DSP state (checkpoint/resume of a session)."""
+        if self._native is not None:
+            return self._native.state_dict()
+        return {"last_sample": self.last_sample.copy(),
+                "residue": self.residue.copy()}
+
+    def load_state_dict(self, state: dict) -> None:
+        if self._native is not None:
+            self._native.load_state_dict(state)
+            return
+        self.last_sample = np.asarray(state["last_sample"],
+                                      np.float32).copy()
+        self.residue = np.asarray(state["residue"], np.float32).copy()
+
     def n_frames_for(self, n_new_samples: int) -> int:
         if self._native is not None:
             return self._native.n_frames_for(n_new_samples)

@@ -127,12 +127,16 @@ def precompute_pos_heads(params: ModelParams, cfg: ModelConfig,
 
 
 def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
-                 mel_chunk, state: EncoderState, pos_heads):
+                 mel_chunk, state: EncoderState, pos_heads,
+                 capture: bool = False):
     """One streaming encoder step.
 
     mel_chunk: [B, chunk_mel_frames, n_mels]
     pos_heads: [L, P, H, Dh] from `precompute_pos_heads`.
-    Returns (enc_out [B, valid_out_len, d_model], new EncoderState).
+    Returns (enc_out [B, valid_out_len, d_model], new EncoderState), plus a
+    named-intermediates dict when capture=True (static) -- the TPU analogue
+    of the reference's tensor-dump instrumentation
+    (reference src/nemo-stream.cpp:880-958, scripts/my_streaming.py:265-300).
 
     Replicates reference src/nemo-stream.cpp:961-1030: subsampling, dropping
     drop_extra_pre_encoded overlap frames, validity-masked cached layers,
@@ -140,6 +144,7 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     """
     x = conv_subsampling(params.subsampling, mel_chunk)
     x = x[:, cc.drop_extra_pre_encoded :, :]
+    pre_encode_out = x
     B, chunk_len, _ = x.shape
 
     # additive validity mask [B, 1, 1, kv]: cache slots [0, C - valid) invalid
@@ -154,12 +159,14 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
         y, nk, nv, ncv = conformer_layer(
             lp, h, ph, mask=mask, kv_cache=(kc, vc), conv_cache=cvc,
             n_heads=cfg.n_heads, d_head=cfg.d_head)
-        return y, (nk, nv, ncv)
+        outs = (nk, nv, ncv, y) if capture else (nk, nv, ncv)
+        return y, outs
 
-    x, (nk, nv, ncv) = jax.lax.scan(
+    x, scanned = jax.lax.scan(
         body, x,
         (params.layers, pos_heads, state.k_cache, state.v_cache,
          state.conv_cache))
+    nk, nv, ncv = scanned[:3]
 
     new_state = EncoderState(
         k_cache=nk,
@@ -167,4 +174,10 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
         conv_cache=ncv,
         valid_len=jnp.minimum(state.valid_len + chunk_len, C),
     )
-    return x[:, : cc.valid_out_len, :], new_state
+    enc_out = x[:, : cc.valid_out_len, :]
+    if capture:
+        inter = {"pre_encode_out": pre_encode_out,
+                 "layer_out": scanned[3],     # [L, B, T, D]
+                 "encoder_out": enc_out}
+        return enc_out, new_state, inter
+    return enc_out, new_state

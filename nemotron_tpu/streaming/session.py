@@ -40,6 +40,17 @@ def chunk_step(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     return tokens, enc_state, dec_state
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def chunk_step_captured(params: ModelParams, cfg: ModelConfig,
+                        cc: CacheConfig, mel_chunk, enc_state, dec_state,
+                        pos_heads):
+    """chunk_step + named intermediate capture (for dump tracing)."""
+    enc_out, enc_state, inter = enc_mod.encode_chunk(
+        params, cfg, cc, mel_chunk, enc_state, pos_heads, capture=True)
+    tokens, dec_state = dec_mod.greedy_decode(params, cfg, enc_out, dec_state)
+    return tokens, enc_state, dec_state, inter
+
+
 class StreamSession:
     """Lifecycle mirror of nemo_stream_init / process_incremental / finalize /
     get_transcript / get_tokens / reset / free (free == GC)."""
@@ -50,13 +61,24 @@ class StreamSession:
                  n_streams: int = 1,
                  filterbank: np.ndarray | None = None,
                  window: np.ndarray | None = None,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 trace_dir: str | None = None):
+        """trace_dir: when set, every chunk dumps named intermediates (mel,
+        pre_encode_out, per-layer outputs, encoder_out, tokens) in the
+        reference's binary dump format to that directory -- the analogue of
+        the reference's my_bin/ tensor tracing (src/nemo-stream.cpp:880-958);
+        diff runs with scripts/compare_tensors.py."""
         self.params = params
         self.cfg = cfg
         self.cc = cache_config or CacheConfig(n_mels=cfg.n_mels)
         self.vocab = vocab or []
         self.n_streams = n_streams
         self.dtype = compute_dtype
+        self.tracer = None
+        if trace_dir is not None:
+            from ..utils.dump import DumpTracer
+
+            self.tracer = DumpTracer(trace_dir)
 
         fb = filterbank if filterbank is not None else np.asarray(
             params.preprocessor.filterbank)
@@ -130,9 +152,13 @@ class StreamSession:
             chunk = jnp.asarray(
                 self.mel_buffer[:, : cc.chunk_mel_frames], self.dtype)
             t0 = time.perf_counter()
-            tokens, self.enc_state, self.dec_state = chunk_step(
-                self.params, self.cfg, cc, chunk, self.enc_state,
-                self.dec_state, self.pos_heads)
+            if self.tracer is not None:
+                tokens, self.enc_state, self.dec_state = self._traced_step(
+                    chunk)
+            else:
+                tokens, self.enc_state, self.dec_state = chunk_step(
+                    self.params, self.cfg, cc, chunk, self.enc_state,
+                    self.dec_state, self.pos_heads)
             tokens = np.asarray(tokens)  # [S, valid_out, MAX]
             self.chunk_seconds += time.perf_counter() - t0
             self.total_chunks += 1
@@ -153,6 +179,86 @@ class StreamSession:
                     new_text[s] += text
             self.frame_offset += tokens.shape[1]
         return new_text
+
+    def _traced_step(self, chunk):
+        """Chunk step with named-intermediate capture + dump-file tracing."""
+        tokens, enc_state, dec_state, inter = chunk_step_captured(
+            self.params, self.cfg, self.cc, chunk, self.enc_state,
+            self.dec_state, self.pos_heads)
+        self.tracer("mel", chunk)
+        self.tracer("pre_encode_out", inter["pre_encode_out"])
+        layer_out = np.asarray(inter["layer_out"])
+        for l in range(layer_out.shape[0]):
+            self.tracer(f"layer_{l:02d}_out", layer_out[l])
+        self.tracer("encoder_out", inter["encoder_out"])
+        self.tracer("tokens", np.asarray(tokens).astype(np.float32))
+        return tokens, enc_state, dec_state
+
+    # -- checkpoint / resume --------------------------------------------------
+
+    def state_dict(self) -> dict:
+        """Full session snapshot: encoder caches, decoder state, DSP state,
+        mel buffer, accumulated tokens/transcripts. The reference designs
+        its stream state to be snapshot-able (nemo_decoder_state POD +
+        persistent cache tensors, src/nemo-ggml.h:358-398); this makes it an
+        actual API."""
+        return {
+            "enc/k_cache": np.asarray(self.enc_state.k_cache),
+            "enc/v_cache": np.asarray(self.enc_state.v_cache),
+            "enc/conv_cache": np.asarray(self.enc_state.conv_cache),
+            "enc/valid_len": np.asarray(self.enc_state.valid_len),
+            "dec/h": np.asarray(self.dec_state.h),
+            "dec/c": np.asarray(self.dec_state.c),
+            "dec/prev_token": np.asarray(self.dec_state.prev_token),
+            "preproc": self.preproc.state_dict(),
+            "mel_buffer": self.mel_buffer.copy(),
+            "tokens": [list(t) for t in self.tokens],
+            "transcripts": list(self.transcripts),
+            "frame_offset": self.frame_offset,
+        }
+
+    def load_state_dict(self, st: dict) -> None:
+        self.enc_state = enc_mod.EncoderState(
+            k_cache=jnp.asarray(st["enc/k_cache"], self.dtype),
+            v_cache=jnp.asarray(st["enc/v_cache"], self.dtype),
+            conv_cache=jnp.asarray(st["enc/conv_cache"], self.dtype),
+            valid_len=jnp.asarray(st["enc/valid_len"], jnp.int32),
+        )
+        self.dec_state = dec_mod.DecoderState(
+            h=jnp.asarray(st["dec/h"], self.dtype),
+            c=jnp.asarray(st["dec/c"], self.dtype),
+            prev_token=jnp.asarray(st["dec/prev_token"], jnp.int32),
+        )
+        self.preproc.load_state_dict(st["preproc"])
+        self.mel_buffer = np.asarray(st["mel_buffer"], np.float32).copy()
+        self.tokens = [[tuple(t) for t in ts] for ts in st["tokens"]]
+        self.transcripts = list(st["transcripts"])
+        self.frame_offset = int(st["frame_offset"])
+
+    def save(self, path: str) -> None:
+        st = self.state_dict()
+        flat = {k: v for k, v in st.items() if isinstance(v, np.ndarray)}
+        flat["preproc/last_sample"] = st["preproc"]["last_sample"]
+        flat["preproc/residue"] = st["preproc"]["residue"]
+        flat["frame_offset"] = np.int64(st["frame_offset"])
+        for s, toks in enumerate(st["tokens"]):
+            flat[f"tokens/{s}"] = np.asarray(toks, np.int64).reshape(-1, 2)
+        flat["transcripts"] = np.asarray(st["transcripts"], dtype=object)
+        np.savez(path, **flat)
+
+    def load(self, path: str) -> None:
+        z = np.load(path, allow_pickle=True)
+        st = {k: z[k] for k in z.files
+              if not k.startswith(("preproc/", "tokens/"))
+              and k not in ("transcripts", "frame_offset")}
+        st["preproc"] = {"last_sample": z["preproc/last_sample"],
+                         "residue": z["preproc/residue"]}
+        st["tokens"] = [
+            [tuple(int(x) for x in row) for row in z[f"tokens/{s}"]]
+            for s in range(self.n_streams)]
+        st["transcripts"] = [str(t) for t in z["transcripts"]]
+        st["frame_offset"] = int(z["frame_offset"])
+        self.load_state_dict(st)
 
     def finalize(self) -> list[str] | str:
         """Flush: pad the remaining mel buffer out to one more chunk if any
