@@ -1,0 +1,86 @@
+"""End-to-end tests for the offline tooling scripts (SURVEY.md §2.3)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
+
+
+def run_script(name, *args, timeout=240):
+    return subprocess.run([sys.executable, os.path.join(SCRIPTS, name), *args],
+                          capture_output=True, text=True, timeout=timeout)
+
+
+def test_convert_to_gguf_roundtrip(model_setup, tmp_path):
+    """torch ckpt (NeMo names) -> convert script -> GGUF -> load_model
+    reproduces the same params as building from the raw arrays."""
+    torch = pytest.importorskip("torch")
+    arrays, params, cfg = model_setup
+
+    ckpt = {name: torch.from_numpy(np.asarray(a)) for name, a in arrays.items()}
+    ckpt_path = str(tmp_path / "model_weights.ckpt")
+    torch.save(ckpt, ckpt_path)
+    vocab_path = str(tmp_path / "v.vocab")
+    with open(vocab_path, "w") as f:
+        for i in range(cfg.vocab_size):
+            f.write(f"t{i}\t-1.0\n")
+
+    out = str(tmp_path / "model.gguf")
+    r = run_script("convert_to_gguf.py", ckpt_path, out, "--vocab", vocab_path)
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out)
+
+    from nemotron_tpu.params import load_model, params_from_arrays
+
+    loaded, lcfg, vocab = load_model(out)
+    assert lcfg.d_model == cfg.d_model and lcfg.n_layers == cfg.n_layers
+    assert lcfg.kernel_size == cfg.kernel_size  # inferred, not the stale 31
+    assert vocab[3] == "t3"
+    want = params_from_arrays(arrays, cfg)
+    np.testing.assert_allclose(np.asarray(loaded.layers.ffn1_w1),
+                               np.asarray(want.layers.ffn1_w1), atol=0)
+    np.testing.assert_allclose(np.asarray(loaded.subsampling.conv0_w),
+                               np.asarray(want.subsampling.conv0_w), atol=0)
+    np.testing.assert_allclose(np.asarray(loaded.decoder.w_ih),
+                               np.asarray(want.decoder.w_ih), atol=0)
+
+
+def test_convert_to_gguf_quantized(model_setup, tmp_path):
+    torch = pytest.importorskip("torch")
+    arrays, _, cfg = model_setup
+    ckpt_path = str(tmp_path / "w.ckpt")
+    torch.save({n: torch.from_numpy(np.asarray(a)) for n, a in arrays.items()},
+               ckpt_path)
+    out = str(tmp_path / "q8.gguf")
+    r = run_script("convert_to_gguf.py", ckpt_path, out, "--quantize", "q8_0")
+    assert r.returncode == 0, r.stderr
+    assert "quantized q8_0" in r.stderr
+
+    from nemotron_tpu.ops.quant import QTensor
+    from nemotron_tpu.params import load_model
+
+    qp, _, _ = load_model(out, keep_quantized=True)
+    assert isinstance(qp.layers.ffn1_w1, QTensor)
+    # quantized file is meaningfully smaller
+    f32 = str(tmp_path / "f.gguf")
+    run_script("convert_to_gguf.py", ckpt_path, f32)
+    assert os.path.getsize(out) < 0.65 * os.path.getsize(f32)
+
+
+def test_gen_mel(tmp_path):
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(16000) * 8000).astype("<i2")
+    audio_path = str(tmp_path / "a.pcm")
+    pcm.tofile(audio_path)
+    out = str(tmp_path / "a.mel.bin")
+    r = run_script("gen_mel.py", audio_path, out)
+    assert r.returncode == 0, r.stderr
+
+    from nemotron_tpu.utils.dump import read_dump
+
+    mel = read_dump(out)
+    assert mel.shape[1] == 128 and mel.shape[0] > 90
