@@ -22,8 +22,14 @@ from .basic import glu, layer_norm, silu
 
 def causal_conv2d(x, w, b, stride: int, groups: int = 1):
     """x: [B, T, F, Cin]; w: [kT, kF, Cin/groups, O] (HWIO). Causal padding:
-    (k-1, stride-1) on both spatial dims."""
+    (k-1, stride-1) on both spatial dims.
+
+    Depthwise case (groups == Cin == O) is expanded into kT*kF strided-slice
+    multiply-adds: XLA lowers grouped convolutions poorly on TPU (they miss
+    the MXU), while the expansion is a fused chain of VPU ops."""
     kT, kF = w.shape[0], w.shape[1]
+    if groups > 1 and w.shape[2] == 1 and groups == x.shape[-1] == w.shape[3]:
+        return _depthwise_conv2d(x, w, b, stride)
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -32,6 +38,32 @@ def causal_conv2d(x, w, b, stride: int, groups: int = 1):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )
+    return out + b.astype(x.dtype)
+
+
+def _depthwise_conv2d(x, w, b, stride: int):
+    """Causal depthwise conv2d as kT*kF shifted multiply-adds.
+
+    x: [B, T, F, C]; w: [kT, kF, 1, C]. Same causal padding/output size as
+    the grouped-conv path: out dims = in//stride + 1 per spatial dim."""
+    B, T, F, C = x.shape
+    kT, kF = w.shape[0], w.shape[1]
+    s = stride
+    xp = jnp.pad(x, ((0, 0), (kT - 1, s - 1), (kF - 1, s - 1), (0, 0)))
+    T_out = (T + kT + s - 2 - kT) // s + 1
+    F_out = (F + kF + s - 2 - kF) // s + 1
+    wd = w.astype(x.dtype)
+    out = None
+    for di in range(kT):
+        for dj in range(kF):
+            sl = jax.lax.slice(
+                xp,
+                (0, di, dj, 0),
+                (B, di + s * (T_out - 1) + 1, dj + s * (F_out - 1) + 1, C),
+                (1, s, s, 1),
+            )
+            term = sl * wd[di, dj, 0]
+            out = term if out is None else out + term
     return out + b.astype(x.dtype)
 
 

@@ -43,12 +43,27 @@ def pos_emb_descending(length_each_side: int, d_model: int) -> np.ndarray:
 
 def rel_shift(pos_raw, klen: int):
     """pos_raw: [..., Q, P] -> [..., Q, klen] with
-    out[..., i, j] = pos_raw[..., i, j + Q - 1 - i]."""
-    Q = pos_raw.shape[-2]
-    idx = np.arange(klen)[None, :] + (Q - 1) - np.arange(Q)[:, None]  # [Q, klen]
-    idx = jnp.asarray(idx, dtype=jnp.int32)
-    idx = jnp.broadcast_to(idx, pos_raw.shape[:-2] + idx.shape)
-    return jnp.take_along_axis(pos_raw, idx, axis=-1)
+    out[..., i, j] = pos_raw[..., i, j + Q - 1 - i].
+
+    Implemented as pad -> reshape -> drop -> slice (the Transformer-XL
+    trick; same algebra the reference builds from ggml views,
+    src/nemo-ggml.cpp:548-585) rather than a gather: on TPU this lowers to
+    pure reshapes/slices that XLA fuses, while take_along_axis lowers to a
+    real gather, which is slow on the VPU.
+
+    Derivation: pad one zero column on the left -> [..., Q, P+1]; flattening
+    row-major and re-viewing as [..., P+1, Q] skews each original row i left
+    by i; dropping the first row and re-viewing as [..., Q, P] leaves
+    row i = original row i shifted left by i starting at column Q-1-i... net
+    effect after slicing columns [0, klen): out[i, j] = in[i, j + Q-1-i]
+    (requires P >= Q - 1 + klen, which 2*klen-1 >= Q-1+klen satisfies since
+    klen >= Q)."""
+    *lead, Q, P = pos_raw.shape
+    padded = jnp.pad(pos_raw, [(0, 0)] * len(lead) + [(0, 0), (1, 0)])
+    skewed = padded.reshape(*lead, P + 1, Q)
+    skewed = skewed[..., 1:, :]                    # drop first row
+    shifted = skewed.reshape(*lead, Q, P)
+    return shifted[..., :klen]
 
 
 def rel_pos_mha(lp, x, pos_heads, n_heads: int, d_head: int,
