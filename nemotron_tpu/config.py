@@ -98,6 +98,12 @@ class CacheConfig:
     hop_length: int = 160
     drop_extra_pre_encoded: int = 2
     pre_encode_cache_size: int = 9
+    # Intra-chunk future masking: when True, frame i may attend at most
+    # att_right_context frames ahead WITHIN the chunk (NeMo's [70, R]
+    # semantics). The reference leaves this unimplemented (TODO at
+    # src/nemo-stream.cpp:446) and relies on valid_out_len truncation only;
+    # False reproduces that behavior exactly.
+    strict_right_context: bool = False
 
     @property
     def conv_cache_size(self) -> int:

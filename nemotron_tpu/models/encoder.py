@@ -153,6 +153,14 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     j = jnp.arange(kv, dtype=jnp.int32)
     invalid = j[None, :] < (C - state.valid_len)[:, None]
     mask = jnp.where(invalid, jnp.float32(-1e9), 0.0)[:, None, None, :]
+    if cc.strict_right_context:
+        # intra-chunk lookahead limit: query i (absolute kv index C+i) may
+        # see keys j <= C + i + R -- the [left, R] attention contract the
+        # reference's streaming graph does not enforce (its TODO)
+        i = jnp.arange(chunk_len, dtype=jnp.int32)
+        future = j[None, :] > (C + i[:, None] + cc.att_right_context)
+        mask = mask + jnp.where(future, jnp.float32(-1e9),
+                                0.0)[None, None, :, :]
 
     def body(h, per_layer):
         lp, ph, kc, vc, cvc = per_layer

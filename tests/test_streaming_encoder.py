@@ -91,3 +91,37 @@ def test_streaming_batched_consistency(model_setup, rng):
                             st1, pos_heads)
             np.testing.assert_allclose(outs_b[ci][b], np.asarray(out)[0],
                                        atol=1e-5)
+
+
+def test_strict_right_context_vacuous_for_standard_chunks(model_setup, rng):
+    """For the standard geometry chunk_enc_len == 1+R, the intra-chunk
+    future mask never binds: query i may see i+R ahead and the chunk only
+    extends to frame R <= i+R. (This is why the reference could leave its
+    right-context mask TODO -- src/nemo-stream.cpp:446 -- unimplemented
+    without breaking the standard latency modes.) strict_right_context must
+    therefore be a numerical no-op here; it exists for custom geometries
+    with cache_drop_size or oversized chunks."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.models import encoder as enc_mod
+
+    _, params, cfg = model_setup
+    for R in (1, 6):
+        cc = CacheConfig(att_right_context=R, n_mels=cfg.n_mels)
+        cc_strict = dataclasses.replace(cc, strict_right_context=True)
+        assert cc.chunk_enc_len == 1 + R
+        mel = jnp.asarray(rng.standard_normal(
+            (2, cc.chunk_mel_frames, cfg.n_mels), dtype=np.float32))
+        outs = []
+        for c in (cc, cc_strict):
+            ph = enc_mod.precompute_pos_heads(params, cfg, c)
+            st = enc_mod.init_encoder_state(cfg, c, 2)
+            # run two chunks so the cache is warm for the second
+            out1, st = enc_mod.encode_chunk(params, cfg, c, mel, st, ph)
+            out2, st = enc_mod.encode_chunk(params, cfg, c, mel, st, ph)
+            outs.append((np.asarray(out1), np.asarray(out2)))
+        np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-6)
+        np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-6)
