@@ -42,7 +42,12 @@ def _pspec_for_param(path: str, ndim: int) -> P:
     Layer params are stacked [L, ...]; dim 0 (layers) is never sharded.
     FFN: w1 [L, D, FF] shards FF, w2 [L, FF, D] shards FF (contracting) --
     GSPMD inserts the psum. Attention q/k/v/pos shard the head-packed output
-    dim; out_w shards its input dim."""
+    dim; out_w shards its input dim. QTensor leaves (path .../q, .../scale)
+    inherit the parent weight's rule: the int8 values shard like the dense
+    weight, and the per-block scales shard the same way (the block axis is
+    in//32, aligned with the contraction axis)."""
+    if path.endswith(("/q", "/scale")):
+        path = path.rsplit("/", 1)[0]
     if "ffn" in path and path.endswith("w1"):
         return P(None, None, "model")
     if "ffn" in path and path.endswith("w2"):
@@ -60,12 +65,17 @@ def _pspec_for_param(path: str, ndim: int) -> P:
 
 def param_shardings(params, mesh: Mesh):
     """NamedSharding tree for ModelParams (TP over 'model', replicated over
-    'data')."""
+    'data'). Any axis whose size does not divide the mesh axis falls back to
+    replication (e.g. Q8_0 block-scale axes of small models)."""
 
     def one(path, leaf):
         name = "/".join(str(getattr(p, "name", p)) for p in path)
         spec = _pspec_for_param(name, np.ndim(leaf))
-        return NamedSharding(mesh, spec)
+        shape = np.shape(leaf)
+        fixed = tuple(
+            ax if ax is None or shape[i] % mesh.shape[ax] == 0 else None
+            for i, ax in enumerate(spec))
+        return NamedSharding(mesh, P(*fixed))
 
     return jax.tree_util.tree_map_with_path(one, params)
 

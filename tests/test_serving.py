@@ -110,3 +110,49 @@ def test_latency_stats(model_setup, cc):
     eng.step()
     stats = eng.latency_percentiles()
     assert stats and stats["p50"] > 0 and stats["p99"] >= stats["p50"]
+
+
+def test_quantized_params_shard_and_run(model_setup, rng):
+    """Quantized (QTensor) weights shard over the mesh and the fused step
+    still runs: int8 values and block scales follow the dense weight's TP
+    rule."""
+    import jax
+    import jax.numpy as jnp
+
+    from nemotron_tpu import params as params_mod
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.models import decoder as dec_mod
+    from nemotron_tpu.models import encoder as enc_mod
+    from nemotron_tpu.parallel.mesh import (make_mesh, param_shardings,
+                                            shard_state, mel_sharding)
+    from nemotron_tpu.streaming.session import chunk_step
+
+    _, params, cfg = model_setup
+    qparams = params_mod.quantize_model_params(params)
+    mesh = make_mesh(8, model_parallel=2)
+    qparams = jax.device_put(qparams, param_shardings(qparams, mesh))
+
+    cc = CacheConfig(att_right_context=1, n_mels=cfg.n_mels)
+    pos_heads = jax.device_put(
+        enc_mod.precompute_pos_heads(qparams, cfg, cc),
+        param_shardings(enc_mod.precompute_pos_heads(qparams, cfg, cc), mesh))
+    B = 8
+    enc_state = shard_state(enc_mod.init_encoder_state(cfg, cc, B), mesh)
+    dec_state = shard_state(dec_mod.init_decoder_state(cfg, B), mesh)
+    mel = jax.device_put(
+        jnp.asarray(rng.standard_normal((B, cc.chunk_mel_frames, cfg.n_mels),
+                                        dtype=np.float32)),
+        mel_sharding(mesh))
+    tokens, enc_state, dec_state = chunk_step(
+        qparams, cfg, cc, mel, enc_state, dec_state, pos_heads)
+    assert np.asarray(tokens).shape[0] == B
+
+    # sharded quantized == unsharded quantized
+    qp2 = params_mod.quantize_model_params(params)
+    ph2 = enc_mod.precompute_pos_heads(qp2, cfg, cc)
+    es2 = enc_mod.init_encoder_state(cfg, cc, B)
+    ds2 = dec_mod.init_decoder_state(cfg, B)
+    tokens2, es2, _ = chunk_step(qp2, cfg, cc, jnp.asarray(mel), es2, ds2, ph2)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(tokens2))
+    np.testing.assert_allclose(np.asarray(enc_state.k_cache),
+                               np.asarray(es2.k_cache), atol=2e-5)
