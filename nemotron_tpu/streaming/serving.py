@@ -171,6 +171,64 @@ class ServingEngine:
             self.frame_offsets[self.active] += tokens.shape[1]
         return out
 
+    # -- checkpoint / resume ---------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Snapshot the whole engine: all slots' device state, DSP state,
+        admission map, transcripts. Restoring into a fresh engine with the
+        same n_slots resumes every active stream exactly."""
+        flat = {
+            "enc/k_cache": np.asarray(self.enc_state.k_cache),
+            "enc/v_cache": np.asarray(self.enc_state.v_cache),
+            "enc/conv_cache": np.asarray(self.enc_state.conv_cache),
+            "enc/valid_len": np.asarray(self.enc_state.valid_len),
+            "dec/h": np.asarray(self.dec_state.h),
+            "dec/c": np.asarray(self.dec_state.c),
+            "dec/prev_token": np.asarray(self.dec_state.prev_token),
+            "active": self.active,
+            "mel_buffer": self.mel_buffer,
+            "frame_offsets": self.frame_offsets,
+            "transcripts": np.asarray(self.transcripts, dtype=object),
+        }
+        pp = self.preproc.state_dict()
+        flat["preproc/last_sample"] = pp["last_sample"]
+        flat["preproc/residue"] = pp["residue"]
+        for s, toks in enumerate(self.tokens):
+            flat[f"tokens/{s}"] = np.asarray(toks, np.int64).reshape(-1, 2)
+        np.savez(path, **flat)
+
+    def load(self, path: str) -> None:
+        import jax.numpy as jnp
+
+        from ..models.decoder import DecoderState
+        from ..models.encoder import EncoderState
+
+        z = np.load(path, allow_pickle=True)
+        assert z["active"].shape == (self.n_slots,), "n_slots mismatch"
+        self.enc_state = EncoderState(
+            k_cache=jnp.asarray(z["enc/k_cache"], self.dtype),
+            v_cache=jnp.asarray(z["enc/v_cache"], self.dtype),
+            conv_cache=jnp.asarray(z["enc/conv_cache"], self.dtype),
+            valid_len=jnp.asarray(z["enc/valid_len"], jnp.int32))
+        self.dec_state = DecoderState(
+            h=jnp.asarray(z["dec/h"], self.dtype),
+            c=jnp.asarray(z["dec/c"], self.dtype),
+            prev_token=jnp.asarray(z["dec/prev_token"], jnp.int32))
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_state
+
+            self.enc_state = shard_state(self.enc_state, self.mesh)
+            self.dec_state = shard_state(self.dec_state, self.mesh)
+        self.preproc.load_state_dict({"last_sample": z["preproc/last_sample"],
+                                      "residue": z["preproc/residue"]})
+        self.active = z["active"].astype(bool)
+        self.mel_buffer = np.asarray(z["mel_buffer"], np.float32).copy()
+        self.frame_offsets = z["frame_offsets"].astype(np.int64)
+        self.transcripts = [str(t) for t in z["transcripts"]]
+        self.tokens = [
+            [tuple(int(x) for x in row) for row in z[f"tokens/{s}"]]
+            for s in range(self.n_slots)]
+
     # -- stats -----------------------------------------------------------------
 
     def latency_percentiles(self) -> dict[str, float]:

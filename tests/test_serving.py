@@ -156,3 +156,46 @@ def test_quantized_params_shard_and_run(model_setup, rng):
     np.testing.assert_array_equal(np.asarray(tokens), np.asarray(tokens2))
     np.testing.assert_allclose(np.asarray(enc_state.k_cache),
                                np.asarray(es2.k_cache), atol=2e-5)
+
+
+def test_engine_snapshot_resume(model_setup, tmp_path):
+    """Engine save/load resumes all active streams exactly."""
+    import jax.numpy as jnp
+
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.frontend.preprocessor import (hann_window,
+                                                    mel_filterbank_slaney)
+    from nemotron_tpu.streaming.serving import ServingEngine
+
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=1, n_mels=cfg.n_mels)
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+    # patch the preprocessor weights in (random fb from fixture is fine too)
+    rng = np.random.default_rng(5)
+
+    def audio(seed, n=4000):
+        r = np.random.default_rng(seed)
+        return (r.standard_normal(n) * 8000).astype(np.int16)
+
+    def make_engine():
+        return ServingEngine(params, cfg, vocab, cc, n_slots=4,
+                             compute_dtype=jnp.float32)
+
+    eng = make_engine()
+    s0, s1 = eng.add_stream(), eng.add_stream()
+    eng.feed_audio({s0: audio(1), s1: audio(2)})
+    eng.step()
+    snap = str(tmp_path / "engine.npz")
+    eng.save(snap)
+    eng.feed_audio({s0: audio(3), s1: audio(4)})
+    eng.step()
+    want = [eng.transcripts[s0], eng.transcripts[s1]]
+    want_tokens = [list(eng.tokens[s0]), list(eng.tokens[s1])]
+
+    eng2 = make_engine()
+    eng2.load(snap)
+    assert eng2.active[s0] and eng2.active[s1] and not eng2.active[2]
+    eng2.feed_audio({s0: audio(3), s1: audio(4)})
+    eng2.step()
+    assert [eng2.transcripts[s0], eng2.transcripts[s1]] == want
+    assert [list(eng2.tokens[s0]), list(eng2.tokens[s1])] == want_tokens
