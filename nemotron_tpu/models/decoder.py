@@ -96,7 +96,7 @@ def decode_frame(params: ModelParams, cfg: ModelConfig, state: DecoderState,
 
     def body(carry):
         sym, st, active, tokens = carry
-        emb = dp.embedding.astype(enc_proj_t.dtype)[st.prev_token]  # [B, H]
+        emb = jnp.asarray(dp.embedding, enc_proj_t.dtype)[st.prev_token]
         dec_out, h2, c2 = lstm_step(dp, emb, st.h, st.c)
         logits = joint_logits(params.joint, enc_proj_t, dec_out)
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)         # [B]
@@ -113,13 +113,11 @@ def decode_frame(params: ModelParams, cfg: ModelConfig, state: DecoderState,
     return st, tokens
 
 
-def greedy_decode(params: ModelParams, cfg: ModelConfig, enc,
-                  state: DecoderState):
-    """Greedy RNN-T over encoder frames, fully on-device.
-
-    enc: [B, T, d_model]. Returns (tokens [B, T, MAX_SYMBOLS_PER_STEP] int32
-    blank-padded, new DecoderState). Flatten + filter != blank on the host to
-    recover the reference's (token, frame) stream in order."""
+def greedy_decode_by_frame(params: ModelParams, cfg: ModelConfig, enc,
+                           state: DecoderState):
+    """Greedy RNN-T as a scan over frames (the direct transliteration of the
+    reference loop, src/nemo-ggml.cpp:1138-1246). Kept as the semantics
+    oracle for greedy_decode; O(T) sequential iterations."""
     enc_proj = joint_project_enc(params.joint, enc)  # [B, T, J]
 
     def frame(st, ep_t):
@@ -129,6 +127,83 @@ def greedy_decode(params: ModelParams, cfg: ModelConfig, enc,
     state, tokens = jax.lax.scan(frame, state, jnp.swapaxes(enc_proj, 0, 1))
     # tokens: [T, MAX, B] -> [B, T, MAX]
     return jnp.transpose(tokens, (2, 0, 1)), state
+
+
+def greedy_decode(params: ModelParams, cfg: ModelConfig, enc,
+                  state: DecoderState):
+    """Frame-skipping batched greedy RNN-T, fully on-device.
+
+    Semantically identical to the reference's per-frame label loop
+    (src/nemo-ggml.cpp:1138-1246: blank freezes the LSTM state and advances
+    the frame; at most MAX_SYMBOLS_PER_STEP non-blanks per frame) but
+    restructured for TPU: the LSTM state only changes on non-blank
+    emissions, so for a FIXED state the joint can be evaluated against ALL
+    remaining frames in one batched matmul, and each stream jumps directly
+    to its first non-blank frame. The while_loop then runs
+    O(total emitted tokens) iterations instead of O(T) -- for real speech at
+    ~1 token/frame-chunk this is a ~5x cut in sequential steps, each of
+    which is a large MXU matmul instead of a chain of tiny ones.
+
+    enc: [B, T, d_model]. Returns (tokens [B, T, MAX_SYMBOLS_PER_STEP]
+    int32 blank-padded, new DecoderState)."""
+    dp: DecoderParams = params.decoder
+    blank = cfg.blank_token
+    B, T, _ = enc.shape
+    MAX = MAX_SYMBOLS_PER_STEP
+
+    enc_proj = joint_project_enc(params.joint, enc)       # [B, T, J]
+    tokens0 = jnp.full((B, T * MAX), blank, jnp.int32)
+    ptr0 = jnp.zeros((B,), jnp.int32)                     # current frame
+    sym0 = jnp.zeros((B,), jnp.int32)                     # symbols this frame
+    bidx = jnp.arange(B)
+
+    def cond(carry):
+        it, _st, ptr, _sym, _tokens = carry
+        # safety bound: every iteration either emits or finishes a stream
+        return jnp.logical_and(jnp.any(ptr < T), it < T * MAX + T)
+
+    def body(carry):
+        it, st, ptr, sym, tokens = carry
+        emb = jnp.asarray(dp.embedding, enc_proj.dtype)[st.prev_token]
+        dec_out, h2, c2 = lstm_step(dp, emb, st.h, st.c)   # [B, H]
+        logits = joint_logits(params.joint, enc_proj, dec_out[:, None, :])
+        best = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [B, T]
+
+        # first frame >= ptr whose argmax is non-blank (with current state)
+        t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+        cand = jnp.logical_and(best != blank, t_idx >= ptr[:, None])
+        has = jnp.any(cand, axis=1)                            # [B]
+        first = jnp.argmax(cand, axis=1).astype(jnp.int32)     # [B]
+
+        active = ptr < T
+        emit = jnp.logical_and(active, has)
+        # streams with no remaining non-blank frame are done with this chunk
+        new_ptr = jnp.where(jnp.logical_and(active, ~has), T, ptr)
+        # emitting streams: jump to the emitting frame
+        jumped = first != ptr
+        new_ptr = jnp.where(emit, first, new_ptr)
+        new_sym = jnp.where(emit, jnp.where(jumped, 0, sym), sym)
+
+        tok = best[bidx, first]                                # [B]
+        slot = new_ptr * MAX + new_sym
+        tokens = tokens.at[bidx, jnp.clip(slot, 0, T * MAX - 1)].set(
+            jnp.where(emit, tok, tokens[bidx, jnp.clip(slot, 0, T * MAX - 1)]))
+
+        h = jnp.where(emit[:, None, None], h2, st.h)
+        c = jnp.where(emit[:, None, None], c2, st.c)
+        prev = jnp.where(emit, tok, st.prev_token)
+
+        new_sym = jnp.where(emit, new_sym + 1, new_sym)
+        # MAX symbols reached on this frame: force-advance (reference bound)
+        hit_max = new_sym >= MAX
+        new_ptr = jnp.where(hit_max, new_ptr + 1, new_ptr)
+        new_sym = jnp.where(hit_max, 0, new_sym)
+
+        return (it + 1, DecoderState(h, c, prev), new_ptr, new_sym, tokens)
+
+    _, state, _, _, tokens = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state, ptr0, sym0, tokens0))
+    return tokens.reshape(B, T, MAX), state
 
 
 def tokens_to_list(tokens, blank: int):

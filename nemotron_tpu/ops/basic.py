@@ -15,9 +15,15 @@ import jax.numpy as jnp
 def layer_norm(x, w, b, eps: float = 1e-5):
     # Normalize in f32 regardless of compute dtype: LN statistics in bf16
     # lose too much precision for parity with the reference.
+    #
+    # Single-pass statistics (E[x^2] - mu^2) so XLA emits ONE fused reduction
+    # over x instead of two (mean, then centered variance) -- profiling shows
+    # the LN convert+reduce fusions dominate the non-matmul encoder time.
+    # Cancellation is a non-issue at f32 for bf16-sourced activations.
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(ms - mu * mu, 0.0)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
     return (y * w + b).astype(x.dtype)
 

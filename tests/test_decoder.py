@@ -103,3 +103,43 @@ def test_blank_freeze_semantics(model_setup):
         assert int(st2.prev_token[0]) == cfg.blank_token
     else:
         assert int(st2.prev_token[0]) == emitted[-1][0]
+
+
+@pytest.mark.parametrize("bias,seed", [(0.0, 0), (4.0, 1), (-3.0, 2)])
+def test_frame_skipping_greedy_matches_frame_scan(model_setup, bias, seed):
+    """greedy_decode (frame-skipping while_loop) must reproduce
+    greedy_decode_by_frame (the reference-shaped per-frame scan) exactly:
+    same tokens, same frame assignment, same final state. Covers blank-heavy
+    (bias>0), mixed, and symbol-heavy (bias<0, exercising the
+    MAX_SYMBOLS_PER_STEP force-advance) regimes."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from nemotron_tpu import params as params_mod
+    from nemotron_tpu.models import decoder as dec_mod
+
+    _, params, cfg = model_setup
+    # bias the blank logit to steer emission density
+    jb = np.asarray(params.joint.out_b).copy()
+    jb[cfg.blank_token] += bias
+    params = dataclasses.replace(
+        params, joint=dataclasses.replace(params.joint, out_w=params.joint.out_w,
+                                          out_b=jnp.asarray(jb)))
+
+    rng = np.random.default_rng(seed)
+    B, T = 5, 9
+    enc = jnp.asarray(rng.standard_normal((B, T, cfg.d_model)), jnp.float32)
+    st0 = dec_mod.init_decoder_state(cfg, B)
+
+    tok_a, st_a = dec_mod.greedy_decode_by_frame(params, cfg, enc, st0)
+    tok_b, st_b = dec_mod.greedy_decode(params, cfg, enc, st0)
+
+    # same multiset of (frame, ordered symbols): compare token tensors
+    np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_b))
+    np.testing.assert_allclose(np.asarray(st_a.h), np.asarray(st_b.h),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_a.c), np.asarray(st_b.c),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st_a.prev_token),
+                                  np.asarray(st_b.prev_token))
