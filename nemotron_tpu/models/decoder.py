@@ -66,12 +66,16 @@ def joint_project_enc(jp: JointParams, enc):
 
 def joint_logits(jp: JointParams, enc_proj, dec_out):
     """relu(enc_proj + dec_proj) @ out (reference src/nemo-ggml.cpp:1062-1100).
-    Returns f32 logits for a numerically stable argmax."""
+    The vocab projection keeps its f32 MXU accumulator (no bf16 downcast
+    before argmax -- ties would flip vs the reference's f32 logits)."""
     dt = dec_out.dtype
     d = dec_out @ jp.dec_w.astype(dt) + jp.dec_b.astype(dt)
     h = jax.nn.relu(enc_proj + d)
-    return (h @ jp.out_w.astype(dt)).astype(jnp.float32) + jp.out_b.astype(
-        jnp.float32)
+    logits = jax.lax.dot_general(
+        h, jp.out_w.astype(dt),
+        dimension_numbers=(((h.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return logits + jp.out_b.astype(jnp.float32)
 
 
 def decode_frame(params: ModelParams, cfg: ModelConfig, state: DecoderState,
