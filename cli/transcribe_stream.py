@@ -5,7 +5,8 @@ Preserves the reference binary's contract (reference
 src/transcribe_stream.cpp:27-36):
 
     transcribe_stream.py <model.gguf> <audio.pcm|-|--stdin> [chunk_ms]
-                         [right_context] [--cpu|--tpu]
+                         [right_context] [--cpu|--tpu] [--timestamps]
+                         [--profile=DIR] [--trace=DIR]
 
   - input: raw s16le 16 kHz mono PCM file, or '-' / '--stdin' for stdin
   - chunk_ms is advisory (>=10 warning); the actual read size comes from the
@@ -50,6 +51,13 @@ def main(argv: list[str]) -> int:
         if f in ("--cuda", "--metal"):
             print(f"warning: {f} is not a TPU backend; using default device",
                   file=sys.stderr)
+    profile_dir = None
+    trace_dir = None
+    for f in flags:
+        if f.startswith("--profile="):
+            profile_dir = f.split("=", 1)[1]
+        elif f.startswith("--trace="):
+            trace_dir = f.split("=", 1)[1]
 
     from nemotron_tpu.config import CacheConfig
     from nemotron_tpu.params import load_model
@@ -62,7 +70,12 @@ def main(argv: list[str]) -> int:
           f"valid_out={cc.valid_out_len}, left_context={cc.att_left_context}",
           file=sys.stderr)
 
-    sess = StreamSession(params, cfg, vocab, cc)
+    sess = StreamSession(params, cfg, vocab, cc, trace_dir=trace_dir,
+                         timestamp_words="--timestamps" in flags)
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
 
     import numpy as np
 
@@ -93,6 +106,12 @@ def main(argv: list[str]) -> int:
         sys.stdout.write(final[before:])
     sys.stdout.write("\n")
     sys.stdout.flush()
+
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {profile_dir}", file=sys.stderr)
 
     elapsed = time.perf_counter() - t_start
     audio_s = n_samples / 16000.0

@@ -109,17 +109,24 @@ def rel_pos_mha(lp, x, pos_heads, n_heads: int, d_head: int,
     q_u = q + lp.pos_bias_u.astype(dt)
     q_v = q + lp.pos_bias_v.astype(dt)
 
+    # Scores are stored in the compute dtype (halves attention HBM traffic
+    # in bf16 serving); the MXU still accumulates in f32 and the softmax
+    # does its exp/sum math in f32. In f32 compute mode this is numerically
+    # identical to an all-f32 pipeline.
     content = jnp.einsum("bihd,bjhd->bhij", q_u, k,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32).astype(dt)
     pos_raw = jnp.einsum("bihd,phd->bhip", q_v, pos_heads.astype(dt),
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32).astype(dt)
     pos_attn = rel_shift(pos_raw, kv)
 
-    scale = 1.0 / np.sqrt(d_head)
-    scores = (content + pos_attn) * scale
+    scale = np.float32(1.0 / np.sqrt(d_head))
+    scores = (content + pos_attn) * scale.astype(dt)
     if mask is not None:
-        scores = scores + mask
-    w = jax.nn.softmax(scores, axis=-1).astype(dt)
+        scores = scores + mask.astype(dt)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp((scores - m).astype(jnp.float32)).astype(dt)
+    s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+    w = (e.astype(jnp.float32) / s).astype(dt)
 
     ctx = jnp.einsum("bhij,bjhd->bihd", w, v,
                      preferred_element_type=jnp.float32).astype(dt)

@@ -25,7 +25,7 @@ from ..frontend.preprocessor import StreamingPreprocessor
 from ..utils.text import tokens_to_text
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
 def chunk_step(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
                mel_chunk, enc_state, dec_state, pos_heads):
     """Fused streaming step: cached encoder + greedy RNN-T decode.
@@ -33,6 +33,11 @@ def chunk_step(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     mel_chunk: [S, chunk_mel_frames, n_mels]
     Returns (tokens [S, valid_out, MAX_SYMBOLS] int32 blank-padded,
              enc_state', dec_state').
+
+    The state pytrees are DONATED: XLA reuses their buffers for the updated
+    caches (the K/V window shift becomes an in-place update instead of an
+    alloc+copy of ~7 MB/stream). Callers must rebind the returned state, as
+    all call sites here do.
     """
     enc_out, enc_state = enc_mod.encode_chunk(params, cfg, cc, mel_chunk,
                                               enc_state, pos_heads)
@@ -40,7 +45,7 @@ def chunk_step(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     return tokens, enc_state, dec_state
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
 def chunk_step_captured(params: ModelParams, cfg: ModelConfig,
                         cc: CacheConfig, mel_chunk, enc_state, dec_state,
                         pos_heads):
@@ -62,7 +67,8 @@ class StreamSession:
                  filterbank: np.ndarray | None = None,
                  window: np.ndarray | None = None,
                  compute_dtype=jnp.float32,
-                 trace_dir: str | None = None):
+                 trace_dir: str | None = None,
+                 timestamp_words: bool = False):
         """trace_dir: when set, every chunk dumps named intermediates (mel,
         pre_encode_out, per-layer outputs, encoder_out, tokens) in the
         reference's binary dump format to that directory -- the analogue of
@@ -74,6 +80,9 @@ class StreamSession:
         self.vocab = vocab or []
         self.n_streams = n_streams
         self.dtype = compute_dtype
+        # word timestamps in the transcript ({sec} markers): the reference
+        # has the flag but no CLI switch (src/nemo-ggml.h:226, :1446-1450)
+        self.timestamp_words = timestamp_words
         self.tracer = None
         if trace_dir is not None:
             from ..utils.dump import DumpTracer
@@ -174,7 +183,8 @@ class StreamSession:
                 ]
                 if toks:
                     self.tokens[s].extend(toks)
-                    text = tokens_to_text(toks, self.vocab)
+                    text = tokens_to_text(toks, self.vocab,
+                                          timestamp_words=self.timestamp_words)
                     self.transcripts[s] += text
                     new_text[s] += text
             self.frame_offset += tokens.shape[1]
