@@ -134,8 +134,11 @@ def greedy_decode_by_frame(params: ModelParams, cfg: ModelConfig, enc,
 
 
 def greedy_decode(params: ModelParams, cfg: ModelConfig, enc,
-                  state: DecoderState):
+                  state: DecoderState, step_mask=None):
     """Frame-skipping batched greedy RNN-T, fully on-device.
+
+    step_mask [B] bool (optional): streams marked False are skipped entirely
+    this call -- no tokens, frozen state (continuous-batching support).
 
     Semantically identical to the reference's per-frame label loop
     (src/nemo-ggml.cpp:1138-1246: blank freezes the LSTM state and advances
@@ -158,6 +161,8 @@ def greedy_decode(params: ModelParams, cfg: ModelConfig, enc,
     enc_proj = joint_project_enc(params.joint, enc)       # [B, T, J]
     tokens0 = jnp.full((B, T * MAX), blank, jnp.int32)
     ptr0 = jnp.zeros((B,), jnp.int32)                     # current frame
+    if step_mask is not None:
+        ptr0 = jnp.where(step_mask, ptr0, T)              # skip masked streams
     sym0 = jnp.zeros((B,), jnp.int32)                     # symbols this frame
     bidx = jnp.arange(B)
 

@@ -128,7 +128,7 @@ def precompute_pos_heads(params: ModelParams, cfg: ModelConfig,
 
 def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
                  mel_chunk, state: EncoderState, pos_heads,
-                 capture: bool = False):
+                 capture: bool = False, step_mask=None):
     """One streaming encoder step.
 
     mel_chunk: [B, chunk_mel_frames, n_mels]
@@ -176,11 +176,21 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
          state.conv_cache))
     nk, nv, ncv = scanned[:3]
 
+    new_valid = jnp.minimum(state.valid_len + chunk_len, C)
+    if step_mask is not None:
+        # continuous batching: streams not advancing this step keep their
+        # caches frozen (their mel slot is padding, not audio)
+        m = step_mask[None, :, None, None]
+        nk = jnp.where(m, nk, state.k_cache)
+        nv = jnp.where(m, nv, state.v_cache)
+        ncv = jnp.where(m, ncv, state.conv_cache)
+        new_valid = jnp.where(step_mask, new_valid, state.valid_len)
+
     new_state = EncoderState(
         k_cache=nk,
         v_cache=nv,
         conv_cache=ncv,
-        valid_len=jnp.minimum(state.valid_len + chunk_len, C),
+        valid_len=new_valid,
     )
     enc_out = x[:, : cc.valid_out_len, :]
     if capture:

@@ -27,7 +27,7 @@ from ..models import encoder as enc_mod
 from ..params import ModelParams
 from ..frontend.preprocessor import StreamingPreprocessor
 from ..utils.text import tokens_to_text
-from .session import chunk_step
+from .session import chunk_step_masked
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -83,17 +83,25 @@ class ServingEngine:
 
         fb = np.asarray(params.preprocessor.filterbank)
         win = np.asarray(params.preprocessor.window)
-        self.preproc = StreamingPreprocessor(
-            fb, win, n_streams=n_slots,
-            cfg=PreprocessorConfig(n_mels=cfg.n_mels))
+        # one 1-stream frontend per slot: streams may receive audio at
+        # independent rates (true continuous batching); the batched-lockstep
+        # DSP constraint applies per slot only
+        self.preprocs = [
+            StreamingPreprocessor(fb, win, n_streams=1,
+                                  cfg=PreprocessorConfig(n_mels=cfg.n_mels))
+            for _ in range(n_slots)]
 
         self.active = np.zeros(n_slots, bool)
-        self.mel_buffer = np.zeros(
-            (n_slots, self.cc.pre_encode_cache_size, cfg.n_mels), np.float32)
+        self.mel_buffers = [self._fresh_mel_buffer() for _ in range(n_slots)]
         self.tokens: list[list[tuple[int, int]]] = [[] for _ in range(n_slots)]
         self.transcripts = [""] * n_slots
         self.frame_offsets = np.zeros(n_slots, np.int64)
         self.step_times: list[float] = []
+
+    def _fresh_mel_buffer(self) -> np.ndarray:
+        # 9-frame zero-seeded overlap (reference src/nemo-stream.cpp:58-60)
+        return np.zeros((self.cc.pre_encode_cache_size, self.cfg.n_mels),
+                        np.float32)
 
     # -- admission / eviction -------------------------------------------------
 
@@ -116,8 +124,8 @@ class ServingEngine:
         self.enc_state, self.dec_state = _reset_slot(
             self.enc_state, self.dec_state, jnp.int32(slot),
             jnp.int32(self.cfg.blank_token))
-        self.preproc.reset(slot)
-        self.mel_buffer[slot] = 0.0
+        self.preprocs[slot].reset()
+        self.mel_buffers[slot] = self._fresh_mel_buffer()
         self.tokens[slot] = []
         self.transcripts[slot] = ""
         self.frame_offsets[slot] = 0
@@ -125,38 +133,49 @@ class ServingEngine:
     # -- the engine tick -------------------------------------------------------
 
     def feed_audio(self, audio_by_slot: dict[int, np.ndarray]) -> None:
-        """Stage PCM for active slots; all inputs this tick must be the same
-        length (the engine cadence is one fixed chunk per tick)."""
-        if not audio_by_slot:
-            return
-        n = len(next(iter(audio_by_slot.values())))
-        batch = np.zeros((self.n_slots, n), np.int16)
+        """Stage PCM per slot; slots advance at independent rates (true
+        continuous batching -- a slot that falls behind simply skips engine
+        ticks, its device state frozen via the step mask)."""
         for slot, audio in audio_by_slot.items():
             assert self.active[slot], f"slot {slot} inactive"
-            assert len(audio) == n, "all slots must advance uniformly"
-            batch[slot] = audio
-        mel = self.preproc.process(batch)
-        if mel.shape[1]:
-            self.mel_buffer = np.concatenate([self.mel_buffer, mel], axis=1)
+            mel = self.preprocs[slot].process(
+                np.asarray(audio, np.int16)[None])[0]
+            if mel.shape[0]:
+                self.mel_buffers[slot] = np.concatenate(
+                    [self.mel_buffers[slot], mel])
+
+    def _ready(self) -> np.ndarray:
+        need = self.cc.chunk_mel_frames
+        return np.array(
+            [self.active[s] and self.mel_buffers[s].shape[0] >= need
+             for s in range(self.n_slots)], bool)
 
     def step(self) -> dict[int, str]:
-        """Run chunk steps while enough mel is buffered; returns new text for
-        each active slot that produced output."""
+        """Run fused chunk steps while any slot has a full chunk buffered;
+        returns new text per slot. Slots without enough mel are masked out
+        of the step (state frozen), not fed padding."""
         cc = self.cc
         out: dict[int, str] = {}
-        while self.mel_buffer.shape[1] >= cc.chunk_mel_frames:
-            chunk = jnp.asarray(self.mel_buffer[:, : cc.chunk_mel_frames],
-                                self.dtype)
+        ready = self._ready()
+        while ready.any():
+            chunk_np = np.zeros(
+                (self.n_slots, cc.chunk_mel_frames, self.cfg.n_mels),
+                np.float32)
+            for s in np.flatnonzero(ready):
+                chunk_np[s] = self.mel_buffers[s][: cc.chunk_mel_frames]
+            chunk = jnp.asarray(chunk_np, self.dtype)
+            mask = jnp.asarray(ready)
             t0 = time.perf_counter()
-            tokens, self.enc_state, self.dec_state = chunk_step(
+            tokens, self.enc_state, self.dec_state = chunk_step_masked(
                 self.params, self.cfg, cc, chunk, self.enc_state,
-                self.dec_state, self.pos_heads)
+                self.dec_state, self.pos_heads, mask)
             tokens = np.asarray(tokens)
             self.step_times.append(time.perf_counter() - t0)
-            self.mel_buffer = self.mel_buffer[:, cc.shift_mel_frames:]
 
             blank = self.cfg.blank_token
-            for slot in np.flatnonzero(self.active):
+            for slot in np.flatnonzero(ready):
+                self.mel_buffers[slot] = self.mel_buffers[slot][
+                    cc.shift_mel_frames:]
                 toks = [
                     (int(tokens[slot, t, i]), int(self.frame_offsets[slot]) + t)
                     for t in range(tokens.shape[1])
@@ -168,7 +187,8 @@ class ServingEngine:
                     text = tokens_to_text(toks, self.vocab)
                     self.transcripts[slot] += text
                     out[int(slot)] = out.get(int(slot), "") + text
-            self.frame_offsets[self.active] += tokens.shape[1]
+                self.frame_offsets[slot] += tokens.shape[1]
+            ready = self._ready()
         return out
 
     # -- checkpoint / resume ---------------------------------------------------
@@ -186,15 +206,16 @@ class ServingEngine:
             "dec/c": np.asarray(self.dec_state.c),
             "dec/prev_token": np.asarray(self.dec_state.prev_token),
             "active": self.active,
-            "mel_buffer": self.mel_buffer,
             "frame_offsets": self.frame_offsets,
             "transcripts": np.asarray(self.transcripts, dtype=object),
         }
-        pp = self.preproc.state_dict()
-        flat["preproc/last_sample"] = pp["last_sample"]
-        flat["preproc/residue"] = pp["residue"]
-        for s, toks in enumerate(self.tokens):
-            flat[f"tokens/{s}"] = np.asarray(toks, np.int64).reshape(-1, 2)
+        for s in range(self.n_slots):
+            pp = self.preprocs[s].state_dict()
+            flat[f"preproc/last_sample/{s}"] = pp["last_sample"]
+            flat[f"preproc/residue/{s}"] = pp["residue"]
+            flat[f"mel_buffer/{s}"] = self.mel_buffers[s]
+            flat[f"tokens/{s}"] = np.asarray(
+                self.tokens[s], np.int64).reshape(-1, 2)
         np.savez(path, **flat)
 
     def load(self, path: str) -> None:
@@ -219,15 +240,19 @@ class ServingEngine:
 
             self.enc_state = shard_state(self.enc_state, self.mesh)
             self.dec_state = shard_state(self.dec_state, self.mesh)
-        self.preproc.load_state_dict({"last_sample": z["preproc/last_sample"],
-                                      "residue": z["preproc/residue"]})
         self.active = z["active"].astype(bool)
-        self.mel_buffer = np.asarray(z["mel_buffer"], np.float32).copy()
         self.frame_offsets = z["frame_offsets"].astype(np.int64)
         self.transcripts = [str(t) for t in z["transcripts"]]
         self.tokens = [
             [tuple(int(x) for x in row) for row in z[f"tokens/{s}"]]
             for s in range(self.n_slots)]
+        self.mel_buffers = [
+            np.asarray(z[f"mel_buffer/{s}"], np.float32).copy()
+            for s in range(self.n_slots)]
+        for s in range(self.n_slots):
+            self.preprocs[s].load_state_dict(
+                {"last_sample": z[f"preproc/last_sample/{s}"],
+                 "residue": z[f"preproc/residue/{s}"]})
 
     # -- stats -----------------------------------------------------------------
 

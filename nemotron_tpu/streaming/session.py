@@ -46,6 +46,19 @@ def chunk_step(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
+def chunk_step_masked(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
+                      mel_chunk, enc_state, dec_state, pos_heads, step_mask):
+    """chunk_step for continuous batching: `step_mask` [S] bool marks which
+    streams actually advance; the rest keep caches, decoder state and
+    valid_len frozen and emit nothing (their mel rows are padding)."""
+    enc_out, enc_state = enc_mod.encode_chunk(
+        params, cfg, cc, mel_chunk, enc_state, pos_heads, step_mask=step_mask)
+    tokens, dec_state = dec_mod.greedy_decode(params, cfg, enc_out, dec_state,
+                                              step_mask=step_mask)
+    return tokens, enc_state, dec_state
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
 def chunk_step_captured(params: ModelParams, cfg: ModelConfig,
                         cc: CacheConfig, mel_chunk, enc_state, dec_state,
                         pos_heads):

@@ -199,3 +199,42 @@ def test_engine_snapshot_resume(model_setup, tmp_path):
     eng2.step()
     assert [eng2.transcripts[s0], eng2.transcripts[s1]] == want
     assert [list(eng2.tokens[s0]), list(eng2.tokens[s1])] == want_tokens
+
+
+def test_continuous_batching_independent_rates(model_setup):
+    """Slots fed at different rates: a starved slot's state is frozen (not
+    polluted by padding) and its transcript matches a solo engine fed the
+    same audio."""
+    import jax.numpy as jnp
+
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.streaming.serving import ServingEngine
+
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=1, n_mels=cfg.n_mels)
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+
+    def audio(seed, n):
+        r = np.random.default_rng(seed)
+        return (r.standard_normal(n) * 8000).astype(np.int16)
+
+    eng = ServingEngine(params, cfg, vocab, cc, n_slots=3,
+                        compute_dtype=jnp.float32)
+    fast, slow = eng.add_stream(), eng.add_stream()
+    # fast gets 3x the audio of slow, interleaved with engine steps
+    for i in range(3):
+        eng.feed_audio({fast: audio(10 + i, 6000), slow: audio(20 + i, 2000)})
+        eng.step()
+    fast_text = eng.transcripts[fast]
+    slow_text = eng.transcripts[slow]
+
+    # solo engines fed identical audio must match exactly
+    for seeds, n, want in ((range(10, 13), 6000, fast_text),
+                           (range(20, 23), 2000, slow_text)):
+        solo = ServingEngine(params, cfg, vocab, cc, n_slots=1,
+                             compute_dtype=jnp.float32)
+        s = solo.add_stream()
+        for seed in seeds:
+            solo.feed_audio({s: audio(seed, n)})
+            solo.step()
+        assert solo.transcripts[s] == want
