@@ -42,9 +42,13 @@ def _q8_matmul_kernel(x_ref, q_ref, s_ref, out_ref, acc_ref, *, n_k: int):
     # expand per-block scales to per-row: [nb, TN] -> [nb, QK, TN] -> [TK, TN]
     nb, tn = s.shape
     s_rows = jnp.broadcast_to(s[:, None, :], (nb, QK, tn)).reshape(nb * QK, tn)
-    w = q.astype(jnp.float32) * s_rows
-    acc_ref[:] += jnp.dot(x.astype(jnp.float32), w,
-                          preferred_element_type=jnp.float32)
+    # Dequantize into the ACTIVATION dtype: bf16 serving hits the fast bf16
+    # MXU path (f32 operands would quarter the MXU rate; the one bf16
+    # rounding of scale*q is what a bf16 dense checkpoint would carry
+    # anyway); f32 activations keep the bit-exact dequant used by the
+    # parity tests. Accumulation is always f32.
+    w = (q.astype(jnp.float32) * s_rows).astype(x_ref.dtype)
+    acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
 
     @pl.when(k == n_k - 1)
     def _():
