@@ -1,0 +1,17 @@
+# Top-level convenience targets.
+
+.PHONY: all native test bench clean
+
+all: native
+
+native:
+	$(MAKE) -C native
+
+test: native
+	python -m pytest tests/ -q
+
+bench: native
+	python bench.py
+
+clean:
+	$(MAKE) -C native clean

@@ -118,7 +118,7 @@ def main() -> int:
         candidates = [4, 8]
     else:
         cfg = ModelConfig()
-        candidates = [256, 512, 768, 1024]
+        candidates = [256, 384, 512]
     cc = CacheConfig.balanced()  # R=13, 1.12 s chunks
     cc = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
 

@@ -133,7 +133,16 @@ class CacheConfig:
 
     @property
     def latency_ms(self) -> int:
+        """Chunk buffer duration in ms (how much audio one chunk spans)."""
         return self.chunk_mel_frames * self.hop_length * 1000 // self.sample_rate
+
+    @property
+    def algorithmic_latency_ms(self) -> int:
+        """The reference's headline latency figure: 80/160/560/1120 ms for
+        R=0/1/6/13 = valid_out_len encoder frames x 80 ms
+        (docs/STREAMING_ANALYSIS.md:19-24)."""
+        return (self.valid_out_len * self.subsampling_factor
+                * self.hop_length * 1000 // self.sample_rate)
 
     @property
     def valid_out_len(self) -> int:

@@ -92,3 +92,13 @@ def test_detokenizer():
     timed = tokens_to_text(toks, vocab, timestamp_words=True)
     assert timed.startswith(" {0.00}hello")
     assert "{0.40}world" in timed
+
+
+def test_algorithmic_latency_matches_reference_table():
+    """80/160/560/1120 ms for R=0/1/6/13 (reference
+    docs/STREAMING_ANALYSIS.md:19-24)."""
+    from nemotron_tpu.config import CacheConfig
+
+    want = {0: 80, 1: 160, 6: 560, 13: 1120}
+    for R, ms in want.items():
+        assert CacheConfig(att_right_context=R).algorithmic_latency_ms == ms
