@@ -123,8 +123,12 @@ def main() -> int:
     cc = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
 
     arrays = P.random_weight_arrays(cfg, seed=0)
-    # blank-biased joint: realistic ~1 label iteration per frame
-    arrays["joint.joint_net.2.bias"][cfg.vocab_size - 1] = 4.0
+    # Blank-biased joint so greedy decode emits at a realistic speech-like
+    # rate (a handful of tokens per 1.12 s chunk across the whole batch).
+    # Unbiased random logits would emit up to 10 symbols on every frame of
+    # every stream -- a workload no real audio produces (the decode loop is
+    # O(max tokens per chunk over the batch)).
+    arrays["joint.joint_net.2.bias"][cfg.vocab_size - 1] = 12.0
     params = P.cast_params(P.params_from_arrays(arrays, cfg), dtype)
     pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc, dtype=dtype)
 

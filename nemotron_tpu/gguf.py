@@ -88,6 +88,21 @@ def q8_0_to_int8(raw: bytes, n_elements: int) -> tuple[np.ndarray, np.ndarray]:
             blocks["scale"].astype(np.float32).copy())
 
 
+def q4_0_to_int8(raw: bytes, n_elements: int) -> tuple[np.ndarray, np.ndarray]:
+    """Unpack Q4_0 blocks into (int8 values [n] in [-8, 7], f32 per-block
+    scales [n/32]) -- 4-bit weights run through the same int8 QTensor path
+    on TPU (there is no native 4-bit matmul; HBM still saves 2x via the
+    file, and numerics match Q4_0 dequant exactly)."""
+    blocks = np.frombuffer(
+        raw, dtype=np.dtype([("scale", np.float16), ("q", np.uint8, QK // 2)]))
+    packed = blocks["q"]
+    low = (packed & 0x0F).astype(np.int8) - 8
+    high = (packed >> 4).astype(np.int8) - 8
+    q = np.concatenate([low, high], axis=1)
+    return (q.reshape(-1)[:n_elements].copy(),
+            blocks["scale"].astype(np.float32).copy())
+
+
 def quantize_q4_0(data: np.ndarray) -> bytes:
     data = np.ascontiguousarray(data, dtype=np.float32).reshape(-1)
     n = data.size

@@ -162,19 +162,29 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
         mask = mask + jnp.where(future, jnp.float32(-1e9),
                                 0.0)[None, None, :, :]
 
-    def body(h, per_layer):
-        lp, ph, kc, vc, cvc = per_layer
+    # The caches ride the scan CARRY (updated in place per layer via
+    # dynamic-update-slice) instead of being scan ys: stacked ys allocate a
+    # fresh [L, ...] buffer that XLA then copies back into the donated input
+    # (profiled at ~5.4 ms/step of pure copy at B=256); a carried buffer
+    # aliases the donated input directly.
+    def body(carry, per_layer):
+        h, k_all, v_all, cv_all = carry
+        lp, ph, l = per_layer
+        kc = jax.lax.dynamic_index_in_dim(k_all, l, 0, keepdims=False)
+        vc = jax.lax.dynamic_index_in_dim(v_all, l, 0, keepdims=False)
+        cvc = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
         y, nk, nv, ncv = conformer_layer(
             lp, h, ph, mask=mask, kv_cache=(kc, vc), conv_cache=cvc,
             n_heads=cfg.n_heads, d_head=cfg.d_head)
-        outs = (nk, nv, ncv, y) if capture else (nk, nv, ncv)
-        return y, outs
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, nk, l, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, nv, l, 0)
+        cv_all = jax.lax.dynamic_update_index_in_dim(cv_all, ncv, l, 0)
+        return (y, k_all, v_all, cv_all), (y if capture else None)
 
-    x, scanned = jax.lax.scan(
-        body, x,
-        (params.layers, pos_heads, state.k_cache, state.v_cache,
-         state.conv_cache))
-    nk, nv, ncv = scanned[:3]
+    L = cfg.n_layers
+    (x, nk, nv, ncv), layer_ys = jax.lax.scan(
+        body, (x, state.k_cache, state.v_cache, state.conv_cache),
+        (params.layers, pos_heads, jnp.arange(L, dtype=jnp.int32)))
 
     new_valid = jnp.minimum(state.valid_len + chunk_len, C)
     if step_mask is not None:
@@ -195,7 +205,7 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     enc_out = x[:, : cc.valid_out_len, :]
     if capture:
         inter = {"pre_encode_out": pre_encode_out,
-                 "layer_out": scanned[3],     # [L, B, T, D]
+                 "layer_out": layer_ys,       # [L, B, T, D]
                  "encoder_out": enc_out}
         return enc_out, new_state, inter
     return enc_out, new_state

@@ -285,10 +285,16 @@ def load_model(path: str, keep_quantized: bool = True,
 
     arrays: dict[str, object] = {}
     for name, tt in g.tensors.items():
-        if (keep_quantized and tt.ggml_type == gguf_mod.GGML_Q8_0
-                and len(tt.shape) == 2 and tt.shape[1] % 32 == 0
-                and should_quantize(name, np.empty(tt.shape))):
-            vals, scales = gguf_mod.q8_0_to_int8(tt.raw, tt.n_elements)
+        quantized_2d = (
+            keep_quantized
+            and tt.ggml_type in (gguf_mod.GGML_Q8_0, gguf_mod.GGML_Q4_0)
+            and len(tt.shape) == 2 and tt.shape[1] % 32 == 0
+            and should_quantize(name, np.empty(tt.shape)))
+        if quantized_2d:
+            unpack = (gguf_mod.q8_0_to_int8
+                      if tt.ggml_type == gguf_mod.GGML_Q8_0
+                      else gguf_mod.q4_0_to_int8)
+            vals, scales = unpack(tt.raw, tt.n_elements)
             arrays[name] = QTensor(
                 q=vals.reshape(tt.shape),
                 scale=scales.reshape(tt.shape[0], tt.shape[1] // 32))

@@ -131,3 +131,23 @@ def test_cast_params_preserves_qtensor(model_setup):
     assert cast.layers.ffn1_w1.q.dtype == jnp.int8
     assert cast.layers.ffn1_w1.scale.dtype == jnp.float32
     assert cast.decoder.embedding.dtype == jnp.bfloat16
+
+
+def test_gguf_q4_roundtrip_to_qtensor(model_setup, tmp_path):
+    """Q4_0 tensors load as int8 QTensors with exact Q4_0 dequant numerics."""
+    arrays, params, cfg = model_setup
+    qnames = {n: gguf.GGML_Q4_0 for n in arrays
+              if quant.should_quantize(
+                  n, arrays[n] if arrays[n].ndim != 3 else arrays[n].squeeze())}
+    path = str(tmp_path / "q4.gguf")
+    write_tiny_gguf(path, arrays, cfg, quantize=qnames)
+
+    qp, _, _ = params_mod.load_model(path, keep_quantized=True)
+    assert isinstance(qp.layers.ffn1_w1, quant.QTensor)
+    assert np.asarray(qp.layers.ffn1_w1.q).min() >= -8
+    assert np.asarray(qp.layers.ffn1_w1.q).max() <= 7
+
+    dp, _, _ = params_mod.load_model(path, keep_quantized=False)
+    np.testing.assert_allclose(
+        np.asarray(quant.dequantize(qp.layers.ffn1_w1)),
+        np.asarray(dp.layers.ffn1_w1), rtol=1e-6, atol=1e-7)
