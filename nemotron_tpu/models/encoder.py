@@ -27,22 +27,33 @@ from ..config import CacheConfig, ModelConfig
 from ..params import ConformerLayerParams, ModelParams
 from ..ops.basic import ffn, layer_norm
 from ..ops.conv import conformer_conv_module, conv_subsampling
-from ..ops.rel_attention import pos_emb_descending, project_pos, rel_pos_mha
+from ..ops.rel_attention import (pos_emb_descending, project_pos,
+                                 rel_pos_mha, rel_pos_mha_ring)
 
 
 def conformer_layer(lp: ConformerLayerParams, x, pos_heads, mask=None,
-                    kv_cache=None, conv_cache=None, *, n_heads: int,
-                    d_head: int):
+                    kv_cache=None, conv_cache=None, ring=None, *,
+                    n_heads: int, d_head: int):
     """One conformer layer (residual structure:
     reference src/nemo-ggml.cpp:768-813). Returns
-    (y, new_k_cache, new_v_cache, new_conv_cache)."""
+    (y, new_k_cache, new_v_cache, new_conv_cache).
+
+    Streaming uses `ring` = (k_ring, v_ring, write_offsets, pos_idx) for the
+    ring-buffered attention cache; `kv_cache` is the legacy shift-window
+    path (kept for differential testing)."""
     r = x
     cur = layer_norm(r, lp.norm_ff1_w, lp.norm_ff1_b)
     r = r + 0.5 * ffn(cur, lp.ffn1_w1, lp.ffn1_w2)
 
     cur = layer_norm(r, lp.norm_attn_w, lp.norm_attn_b)
-    attn, new_k, new_v = rel_pos_mha(lp, cur, pos_heads, n_heads, d_head,
-                                     kv_cache=kv_cache, mask=mask)
+    if ring is not None:
+        k_ring, v_ring, pos_idx = ring
+        attn, new_k, new_v = rel_pos_mha_ring(
+            lp, cur, pos_heads, n_heads, d_head, k_ring, v_ring,
+            pos_idx, mask)
+    else:
+        attn, new_k, new_v = rel_pos_mha(lp, cur, pos_heads, n_heads, d_head,
+                                         kv_cache=kv_cache, mask=mask)
     r = r + attn
 
     cur = layer_norm(r, lp.norm_conv_w, lp.norm_conv_b)
@@ -91,26 +102,41 @@ def _pytree_dataclass(cls):
 @_pytree_dataclass
 class EncoderState:
     """Per-stream encoder caches, batched over a leading stream axis inside
-    each leaf's second dim: arrays are [L, B, ...] so the layer scan can
-    carry them.
+    each leaf's second dim ([L, B, ...]).
 
-    Mirrors the reference's consolidated k/v/conv cache tensors + host-side
-    cache_valid_len (src/nemo-stream.h:149-153, :239)."""
+    The K/V caches are RING buffers of kv_len = C + chunk slots holding the
+    last n_seg = kv_len/chunk chunks per layer; `phase` [B] is the next
+    segment each stream will overwrite. Only one segment per stream is
+    written per step -- the reference's shift-window cache
+    (src/nemo-stream.cpp:457-484) rewrites all 70 frames of K and V in every
+    layer every chunk, which profiling showed dominating the step. Slot
+    ordering is reconciled with relative positions via per-(query, slot)
+    position indices computed from `phase` (see rel_pos_mha_ring).
 
-    k_cache: Any      # [L, B, C, D]
-    v_cache: Any      # [L, B, C, D]
+    `valid_len` mirrors the reference's host-side cache_valid_len
+    (src/nemo-stream.h:239)."""
+
+    k_cache: Any      # [L, B, KV, D] ring
+    v_cache: Any      # [L, B, KV, D] ring
     conv_cache: Any   # [L, B, K-1, D]
-    valid_len: Any    # [B] int32
+    valid_len: Any    # [B] int32 (valid cached frames, capped at C)
+    phase: Any        # [B] int32 (next ring segment to write)
 
 
 def init_encoder_state(cfg: ModelConfig, cc: CacheConfig, batch: int,
                        dtype=jnp.float32) -> EncoderState:
     L, D = cfg.n_layers, cfg.d_model
+    kv = cc.kv_len
+    assert kv % cc.chunk_enc_len == 0, (
+        f"kv_len {kv} must be a multiple of chunk_enc_len "
+        f"{cc.chunk_enc_len} for the ring cache (true for all standard "
+        f"latency modes)")
     return EncoderState(
-        k_cache=jnp.zeros((L, batch, cc.att_left_context, D), dtype),
-        v_cache=jnp.zeros((L, batch, cc.att_left_context, D), dtype),
+        k_cache=jnp.zeros((L, batch, kv, D), dtype),
+        v_cache=jnp.zeros((L, batch, kv, D), dtype),
         conv_cache=jnp.zeros((L, batch, cc.conv_cache_size, D), dtype),
         valid_len=jnp.zeros((batch,), jnp.int32),
+        phase=jnp.zeros((batch,), jnp.int32),
     )
 
 
@@ -145,67 +171,133 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     x = conv_subsampling(params.subsampling, mel_chunk)
     x = x[:, cc.drop_extra_pre_encoded :, :]
     pre_encode_out = x
-    B, chunk_len, _ = x.shape
+    B, Q, _ = x.shape
 
-    # additive validity mask [B, 1, 1, kv]: cache slots [0, C - valid) invalid
     C = cc.att_left_context
-    kv = C + chunk_len
-    j = jnp.arange(kv, dtype=jnp.int32)
-    invalid = j[None, :] < (C - state.valid_len)[:, None]
-    mask = jnp.where(invalid, jnp.float32(-1e9), 0.0)[:, None, None, :]
-    if cc.strict_right_context:
-        # intra-chunk lookahead limit: query i (absolute kv index C+i) may
-        # see keys j <= C + i + R -- the [left, R] attention contract the
-        # reference's streaming graph does not enforce (its TODO)
-        i = jnp.arange(chunk_len, dtype=jnp.int32)
-        future = j[None, :] > (C + i[:, None] + cc.att_right_context)
-        mask = mask + jnp.where(future, jnp.float32(-1e9),
-                                0.0)[None, None, :, :]
+    kv = C + Q
+    n_seg = kv // Q
 
-    # The caches ride the scan CARRY (updated in place per layer via
-    # dynamic-update-slice) instead of being scan ys: stacked ys allocate a
-    # fresh [L, ...] buffer that XLA then copies back into the donated input
-    # (profiled at ~5.4 ms/step of pure copy at B=256); a carried buffer
-    # aliases the donated input directly.
+    # Ring geometry (slot order): segment s = slots [s*Q, (s+1)*Q); segment
+    # s of stream b holds the chunk written a = ((phase-1-s) mod n_seg) + 1
+    # chunks ago (a = n_seg -> the stale segment about to be overwritten,
+    # always outside the window). The CURRENT chunk occupies Q virtual slots
+    # appended after the ring (slot index kv..kv+Q-1, distance d = i - j).
+    j = jnp.arange(kv, dtype=jnp.int32)
+    s_j, o_j = j // Q, j % Q
+    age = jnp.mod(state.phase[:, None] - 1 - s_j[None, :], n_seg) + 1  # [B,kv]
+    i = jnp.arange(Q, dtype=jnp.int32)
+    # distance from query i to ring slot j: d = i - o_j + Q * age
+    d_ring = i[None, :, None] - o_j[None, None, :] + Q * age[:, None, :]
+    d_new = (i[:, None] - i[None, :])[None]                  # [1, Q, Q]
+    d = jnp.concatenate([d_ring,
+                         jnp.broadcast_to(d_new, (B, Q, Q))], axis=-1)
+    # relative-position row: descending table, row p holds value (kv-1)-p
+    pos_idx = jnp.clip((kv - 1) - d, 0, 2 * kv - 2)          # [B, Q, kv+Q]
+
+    # validity: ring slot valid iff its whole segment is within the cached
+    # window (age*Q <= valid_len; the stale segment fails since n_seg*Q > C);
+    # the appended current chunk is always valid
+    ring_valid = (age * Q) <= state.valid_len[:, None]       # [B, kv]
+    valid = jnp.concatenate(
+        [ring_valid, jnp.ones((B, Q), bool)], axis=-1)       # [B, kv+Q]
+    mask = jnp.where(valid, 0.0, jnp.float32(-1e9))[:, None, None, :]
+    if cc.strict_right_context:
+        # intra-chunk lookahead limit (the reference's TODO at
+        # src/nemo-stream.cpp:446): key more than R ahead of query i
+        future = d < -cc.att_right_context                   # [B, Q, kv+Q]
+        mask = mask + jnp.where(future, jnp.float32(-1e9), 0.0)[:, None]
+
+    # Layers scan: rings are READ-ONLY inside (xs); each layer emits its new
+    # chunk K/V [B, Q, D] as stacked ys, and ONE batched segment write per
+    # step updates all layers afterwards -- Q rows per stream per layer
+    # instead of the reference's full-window rewrite.
     def body(carry, per_layer):
-        h, k_all, v_all, cv_all = carry
-        lp, ph, l = per_layer
-        kc = jax.lax.dynamic_index_in_dim(k_all, l, 0, keepdims=False)
-        vc = jax.lax.dynamic_index_in_dim(v_all, l, 0, keepdims=False)
+        h, cv_all, l = carry
+        lp, ph, kr, vr = per_layer
         cvc = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
         y, nk, nv, ncv = conformer_layer(
-            lp, h, ph, mask=mask, kv_cache=(kc, vc), conv_cache=cvc,
+            lp, h, ph, mask=mask, ring=(kr, vr, pos_idx), conv_cache=cvc,
             n_heads=cfg.n_heads, d_head=cfg.d_head)
-        k_all = jax.lax.dynamic_update_index_in_dim(k_all, nk, l, 0)
-        v_all = jax.lax.dynamic_update_index_in_dim(v_all, nv, l, 0)
         cv_all = jax.lax.dynamic_update_index_in_dim(cv_all, ncv, l, 0)
-        return (y, k_all, v_all, cv_all), (y if capture else None)
+        ys = (nk, nv, y) if capture else (nk, nv)
+        return (y, cv_all, l + 1), ys
 
-    L = cfg.n_layers
-    (x, nk, nv, ncv), layer_ys = jax.lax.scan(
-        body, (x, state.k_cache, state.v_cache, state.conv_cache),
-        (params.layers, pos_heads, jnp.arange(L, dtype=jnp.int32)))
+    (x, ncv, _), ys = jax.lax.scan(
+        body, (x, state.conv_cache, jnp.int32(0)),
+        (params.layers, pos_heads, state.k_cache, state.v_cache))
+    k_new, v_new = ys[0], ys[1]                              # [L, B, Q, D]
 
-    new_valid = jnp.minimum(state.valid_len + chunk_len, C)
     if step_mask is not None:
-        # continuous batching: streams not advancing this step keep their
-        # caches frozen (their mel slot is padding, not audio)
+        # continuous batching: a non-advancing stream keeps its old segment
+        # content (cheap: the where is on the [L, B, Q, D] new data only)
+        old_k = _gather_segment(state.k_cache, state.phase, Q)
+        old_v = _gather_segment(state.v_cache, state.phase, Q)
         m = step_mask[None, :, None, None]
-        nk = jnp.where(m, nk, state.k_cache)
-        nv = jnp.where(m, nv, state.v_cache)
+        k_new = jnp.where(m, k_new, old_k)
+        v_new = jnp.where(m, v_new, old_v)
         ncv = jnp.where(m, ncv, state.conv_cache)
+
+    nk = _write_segment(state.k_cache, k_new.astype(state.k_cache.dtype),
+                        state.phase, Q)
+    nv = _write_segment(state.v_cache, v_new.astype(state.v_cache.dtype),
+                        state.phase, Q)
+
+    new_valid = jnp.minimum(state.valid_len + Q, C)
+    new_phase = jnp.mod(state.phase + 1, n_seg)
+    if step_mask is not None:
         new_valid = jnp.where(step_mask, new_valid, state.valid_len)
+        new_phase = jnp.where(step_mask, new_phase, state.phase)
 
     new_state = EncoderState(
         k_cache=nk,
         v_cache=nv,
         conv_cache=ncv,
         valid_len=new_valid,
+        phase=new_phase,
     )
     enc_out = x[:, : cc.valid_out_len, :]
     if capture:
         inter = {"pre_encode_out": pre_encode_out,
-                 "layer_out": layer_ys,       # [L, B, T, D]
+                 "layer_out": ys[2],          # [L, B, T, D]
                  "encoder_out": enc_out}
         return enc_out, new_state, inter
     return enc_out, new_state
+
+
+def _write_segment(ring, new, phase, Q: int):
+    """ring [L, B, KV, D] <- new [L, B, Q, D] at per-stream segment
+    phase[b] (row offset phase[b]*Q). Writes Q rows per stream per layer."""
+    def per_stream(r_b, n_b, off):          # [L, KV, D], [L, Q, D]
+        return jax.lax.dynamic_update_slice(r_b, n_b, (0, off, 0))
+
+    return jax.vmap(per_stream, in_axes=(1, 1, 0), out_axes=1)(
+        ring, new, phase * Q)
+
+
+def _gather_segment(ring, phase, Q: int):
+    """Read the per-stream segment at phase[b]: [L, B, Q, D]."""
+    L, _B, _KV, D = ring.shape
+
+    def per_stream(r_b, off):
+        return jax.lax.dynamic_slice(r_b, (0, off, 0), (L, Q, D))
+
+    return jax.vmap(per_stream, in_axes=(1, 0), out_axes=1)(ring, phase * Q)
+
+
+def ring_to_chronological(ring, phase, chunk_len: int):
+    """Host-side debug/interop: reorder a ring cache [L, B, KV, D] into the
+    reference's chronological window layout [L, B, KV-chunk, D] (oldest
+    first, the stale segment dropped)."""
+    import numpy as np
+
+    ring = np.asarray(ring)
+    phase = np.asarray(phase)
+    L, B, KV, D = ring.shape
+    Q = chunk_len
+    n = KV // Q
+    out = np.zeros((L, B, KV - Q, D), ring.dtype)
+    for b in range(B):
+        segs = [(int(phase[b]) - a) % n for a in range(n - 1, 0, -1)]
+        out[:, b] = np.concatenate(
+            [ring[:, b, s * Q:(s + 1) * Q] for s in segs], axis=1)
+    return out

@@ -66,9 +66,25 @@ def rel_shift(pos_raw, klen: int):
     return shifted[..., :klen]
 
 
+def _softmax_ctx(content, pos_attn, v, mask, d_head, dt):
+    """scores -> softmax -> context, with f32 math inside compute-dtype
+    storage (halves attention HBM traffic in bf16 serving; identical to an
+    all-f32 pipeline when dt is f32)."""
+    scale = np.float32(1.0 / np.sqrt(d_head))
+    scores = (content + pos_attn) * scale.astype(dt)
+    if mask is not None:
+        scores = scores + mask.astype(dt)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp((scores - m).astype(jnp.float32)).astype(dt)
+    s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+    w = (e.astype(jnp.float32) / s).astype(dt)
+    return jnp.einsum("bhij,bjhd->bihd", w, v,
+                      preferred_element_type=jnp.float32).astype(dt)
+
+
 def rel_pos_mha(lp, x, pos_heads, n_heads: int, d_head: int,
                 kv_cache=None, mask=None):
-    """Relative-position MHA, batch or cached-streaming.
+    """Relative-position MHA: batch mode, or legacy shift-cache streaming.
 
     lp: single-layer ConformerLayerParams.
     x: [B, Q, D] (post-layernorm input).
@@ -77,7 +93,8 @@ def rel_pos_mha(lp, x, pos_heads, n_heads: int, d_head: int,
         is 0 in batch mode.
     kv_cache: optional (k_cache, v_cache) each [B, C, D]; keys/values become
         concat(cache, new) and the updated caches (last C frames) are
-        returned (reference src/nemo-stream.cpp:457-484).
+        returned (reference src/nemo-stream.cpp:457-484). The hot streaming
+        path uses `rel_pos_mha_ring` instead (no window shift).
     mask: optional additive mask broadcastable to [B, 1, Q, kv]
         (0 = valid, -1e9 = masked; reference src/nemo-stream.cpp:521-528).
 
@@ -109,29 +126,87 @@ def rel_pos_mha(lp, x, pos_heads, n_heads: int, d_head: int,
     q_u = q + lp.pos_bias_u.astype(dt)
     q_v = q + lp.pos_bias_v.astype(dt)
 
-    # Scores are stored in the compute dtype (halves attention HBM traffic
-    # in bf16 serving); the MXU still accumulates in f32 and the softmax
-    # does its exp/sum math in f32. In f32 compute mode this is numerically
-    # identical to an all-f32 pipeline.
     content = jnp.einsum("bihd,bjhd->bhij", q_u, k,
                          preferred_element_type=jnp.float32).astype(dt)
     pos_raw = jnp.einsum("bihd,phd->bhip", q_v, pos_heads.astype(dt),
                          preferred_element_type=jnp.float32).astype(dt)
     pos_attn = rel_shift(pos_raw, kv)
 
+    ctx = _softmax_ctx(content, pos_attn, v, mask, d_head, dt)
+    out = qmm(ctx.reshape(B, Q, D), lp.attn_out_w)
+    return out, new_k_cache, new_v_cache
+
+
+def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
+                     k_ring, v_ring, pos_idx, mask):
+    """Relative-position MHA over a RING-buffered K/V cache.
+
+    The streaming hot path. Instead of the reference's shift-window cache
+    (concat + keep-last-70, src/nemo-stream.cpp:457-484) -- which rewrites
+    the entire K/V cache every chunk -- the ring holds the last n_seg chunks
+    in kv_len slots and only ONE segment per stream is rewritten per step
+    (done by the caller, outside the layer scan). Inside the layer:
+
+      - k_ring/v_ring [B, KV, D] are READ-ONLY; the slot about to be
+        overwritten holds the (n_seg)-chunks-old segment, which is outside
+        the attention window and masked invalid by construction.
+      - the CURRENT chunk's keys/values are attended as Q extra slots
+        appended after the ring on the score axis (no concat of the big
+        operands -- two einsums each for scores and context).
+      - keys are in ring-slot order, not time order; `pos_idx` [B, Q, KV+Q]
+        selects the relative-position row per (query, slot) and `mask`
+        [B, 1, 1|Q, KV+Q] carries validity (+ optional lookahead) in the
+        same slot order. Softmax and the context sum are permutation-
+        invariant, so this is numerically equivalent to the shift layout.
+
+    Returns (out [B, Q, D], k_new [B, Q, D], v_new [B, Q, D]) -- the caller
+    writes k_new/v_new into the ring segment for this layer.
+    """
+    from .quant import qmm
+
+    B, Q, D = x.shape
+    dt = x.dtype
+    q = qmm(x, lp.attn_q_w).reshape(B, Q, n_heads, d_head)
+    k_new = qmm(x, lp.attn_k_w)
+    v_new = qmm(x, lp.attn_v_w)
+
+    kv = k_ring.shape[1]
+    k_r = k_ring.astype(dt).reshape(B, kv, n_heads, d_head)
+    v_r = v_ring.astype(dt).reshape(B, kv, n_heads, d_head)
+    k_n = k_new.reshape(B, Q, n_heads, d_head)
+    v_n = v_new.reshape(B, Q, n_heads, d_head)
+
+    q_u = q + lp.pos_bias_u.astype(dt)
+    q_v = q + lp.pos_bias_v.astype(dt)
+
+    content = jnp.concatenate([
+        jnp.einsum("bihd,bjhd->bhij", q_u, k_r,
+                   preferred_element_type=jnp.float32).astype(dt),
+        jnp.einsum("bihd,bjhd->bhij", q_u, k_n,
+                   preferred_element_type=jnp.float32).astype(dt),
+    ], axis=-1)                                             # [B,H,Q,kv+Q]
+    pos_raw = jnp.einsum("bihd,phd->bhip", q_v, pos_heads.astype(dt),
+                         preferred_element_type=jnp.float32).astype(dt)
+    pos_attn = jnp.take_along_axis(
+        pos_raw,
+        jnp.broadcast_to(pos_idx[:, None],
+                         pos_raw.shape[:2] + pos_idx.shape[1:]),
+        axis=-1)                                            # [B,H,Q,kv+Q]
+
     scale = np.float32(1.0 / np.sqrt(d_head))
     scores = (content + pos_attn) * scale.astype(dt)
-    if mask is not None:
-        scores = scores + mask.astype(dt)
+    scores = scores + mask.astype(dt)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp((scores - m).astype(jnp.float32)).astype(dt)
     s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
     w = (e.astype(jnp.float32) / s).astype(dt)
 
-    ctx = jnp.einsum("bhij,bjhd->bihd", w, v,
-                     preferred_element_type=jnp.float32).astype(dt)
+    ctx = (jnp.einsum("bhij,bjhd->bihd", w[..., :kv], v_r,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("bhij,bjhd->bihd", w[..., kv:], v_n,
+                        preferred_element_type=jnp.float32)).astype(dt)
     out = qmm(ctx.reshape(B, Q, D), lp.attn_out_w)
-    return out, new_k_cache, new_v_cache
+    return out, k_new, v_new
 
 
 def project_pos(lp_pos_w, pos_emb, n_heads: int, d_head: int):

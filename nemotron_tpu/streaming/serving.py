@@ -39,6 +39,7 @@ def _reset_slot(enc_state, dec_state, slot, blank_token):
         v_cache=enc_state.v_cache.at[:, slot].set(0),
         conv_cache=enc_state.conv_cache.at[:, slot].set(0),
         valid_len=enc_state.valid_len.at[slot].set(0),
+        phase=enc_state.phase.at[slot].set(0),
     )
     dec_state = dec_mod.DecoderState(
         h=dec_state.h.at[slot].set(0),
@@ -202,6 +203,7 @@ class ServingEngine:
             "enc/v_cache": np.asarray(self.enc_state.v_cache),
             "enc/conv_cache": np.asarray(self.enc_state.conv_cache),
             "enc/valid_len": np.asarray(self.enc_state.valid_len),
+            "enc/phase": np.asarray(self.enc_state.phase),
             "dec/h": np.asarray(self.dec_state.h),
             "dec/c": np.asarray(self.dec_state.c),
             "dec/prev_token": np.asarray(self.dec_state.prev_token),
@@ -230,7 +232,8 @@ class ServingEngine:
             k_cache=jnp.asarray(z["enc/k_cache"], self.dtype),
             v_cache=jnp.asarray(z["enc/v_cache"], self.dtype),
             conv_cache=jnp.asarray(z["enc/conv_cache"], self.dtype),
-            valid_len=jnp.asarray(z["enc/valid_len"], jnp.int32))
+            valid_len=jnp.asarray(z["enc/valid_len"], jnp.int32),
+            phase=jnp.asarray(z["enc/phase"], jnp.int32))
         self.dec_state = DecoderState(
             h=jnp.asarray(z["dec/h"], self.dtype),
             c=jnp.asarray(z["dec/c"], self.dtype),

@@ -230,6 +230,7 @@ class StreamSession:
             "enc/v_cache": np.asarray(self.enc_state.v_cache),
             "enc/conv_cache": np.asarray(self.enc_state.conv_cache),
             "enc/valid_len": np.asarray(self.enc_state.valid_len),
+            "enc/phase": np.asarray(self.enc_state.phase),
             "dec/h": np.asarray(self.dec_state.h),
             "dec/c": np.asarray(self.dec_state.c),
             "dec/prev_token": np.asarray(self.dec_state.prev_token),
@@ -246,6 +247,7 @@ class StreamSession:
             v_cache=jnp.asarray(st["enc/v_cache"], self.dtype),
             conv_cache=jnp.asarray(st["enc/conv_cache"], self.dtype),
             valid_len=jnp.asarray(st["enc/valid_len"], jnp.int32),
+            phase=jnp.asarray(st["enc/phase"], jnp.int32),
         )
         self.dec_state = dec_mod.DecoderState(
             h=jnp.asarray(st["dec/h"], self.dtype),

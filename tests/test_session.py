@@ -34,7 +34,7 @@ def make_session(model_setup, vocab, cc, n_streams=1):
 @pytest.mark.parametrize("right_context", [0, 13])
 def test_session_tokens_match_oracle(model_setup, vocab, rng, right_context):
     arrays, params, cfg = model_setup
-    cc = CacheConfig(att_right_context=right_context, att_left_context=12,
+    cc = CacheConfig(att_right_context=right_context, att_left_context=14,
                      n_mels=cfg.n_mels)
     sess = make_session(model_setup, vocab, cc)
     ostream = OracleStream(OracleModel(arrays, cfg), cc)
@@ -57,7 +57,7 @@ def test_session_tokens_match_oracle(model_setup, vocab, rng, right_context):
 
 def test_session_audio_path_runs(model_setup, vocab):
     _, _, cfg = model_setup
-    cc = CacheConfig(att_right_context=0, att_left_context=12, n_mels=cfg.n_mels)
+    cc = CacheConfig(att_right_context=0, att_left_context=14, n_mels=cfg.n_mels)
     sess = make_session(model_setup, vocab, cc)
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal(cc.chunk_samples * 3) * 8000).astype(np.int16)
@@ -71,7 +71,7 @@ def test_session_audio_path_runs(model_setup, vocab):
 
 def test_session_reset(model_setup, vocab, rng):
     _, _, cfg = model_setup
-    cc = CacheConfig(att_right_context=1, att_left_context=12, n_mels=cfg.n_mels)
+    cc = CacheConfig(att_right_context=1, att_left_context=14, n_mels=cfg.n_mels)
     sess = make_session(model_setup, vocab, cc)
     mel = (rng.standard_normal((cc.chunk_mel_frames * 2, cfg.n_mels)) * 2
            ).astype(np.float32)

@@ -23,8 +23,9 @@ def oracle(model_setup):
 def test_streaming_chunks_match_oracle(model_setup, oracle, rng,
                                        right_context, n_chunks):
     _, params, cfg = model_setup
-    # use a small left context so the sliding window actually slides in-test
-    cc = CacheConfig(att_right_context=right_context, att_left_context=12,
+    # small left context so the window actually slides in-test; 14 divides
+    # every standard chunk length (1, 2, 7, 14) as the ring cache requires
+    cc = CacheConfig(att_right_context=right_context, att_left_context=14,
                      n_mels=cfg.n_mels)
 
     ostream = OracleStream(oracle, cc)
@@ -43,9 +44,10 @@ def test_streaming_chunks_match_oracle(model_setup, oracle, rng,
         assert got.shape == want.shape == (cc.valid_out_len, cfg.d_model)
         np.testing.assert_allclose(got, want, atol=5e-5,
                                    err_msg=f"chunk {ci} R={right_context}")
-        # caches must track the oracle too
-        np.testing.assert_allclose(np.asarray(state.k_cache)[:, 0],
-                                   ostream.k_cache, atol=5e-5)
+        # caches must track the oracle too (ring -> chronological reorder)
+        chron_k = enc_mod.ring_to_chronological(
+            state.k_cache, state.phase, cc.chunk_enc_len)
+        np.testing.assert_allclose(chron_k[:, 0], ostream.k_cache, atol=5e-5)
         np.testing.assert_allclose(np.asarray(state.conv_cache)[:, 0],
                                    ostream.conv_cache, atol=5e-5)
         assert int(state.valid_len[0]) == ostream.cache_valid_len
