@@ -84,3 +84,53 @@ def test_gen_mel(tmp_path):
 
     mel = read_dump(out)
     assert mel.shape[1] == 128 and mel.shape[0] > 90
+
+
+@pytest.fixture(scope="module")
+def tiny_gguf(tmp_path_factory):
+    from nemotron_tpu import params as P
+    from conftest import tiny_config, write_tiny_gguf
+
+    cfg = tiny_config()
+    arrays = P.random_weight_arrays(cfg, seed=0)
+    path = str(tmp_path_factory.mktemp("gguf") / "tiny.gguf")
+    write_tiny_gguf(path, arrays, cfg)
+    return path
+
+
+def test_compare_layers(tiny_gguf):
+    r = run_script("compare_layers.py", tiny_gguf, "--cpu", timeout=400)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "encoder (all layers)" in r.stdout
+    assert "DIFF" not in r.stdout
+
+
+def test_analyze_streaming(tiny_gguf):
+    r = run_script("analyze_streaming.py", tiny_gguf)
+    assert r.returncode == 0, r.stderr
+    assert "PURE_CAUSAL" in r.stdout and "per-stream state" in r.stdout
+
+
+def test_layer_flamechart(tiny_gguf, tmp_path):
+    out = str(tmp_path / "sizes.html")
+    r = run_script("layer_flamechart.py", tiny_gguf, out)
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out)
+    assert "tensors" in r.stdout
+
+
+def test_compare_outputs(tiny_gguf, tmp_path):
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(20000) * 8000).astype("<i2")
+    audio = str(tmp_path / "a.pcm")
+    pcm.tofile(audio)
+    r = run_script("compare_outputs.py", tiny_gguf, audio,
+                   "--right-context", "1", "--cpu", timeout=400)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "batch-vs-streaming" in r.stdout
+
+
+def test_nemo_reference_graceful_without_nemo(tiny_gguf):
+    r = run_script("nemo_reference.py", tiny_gguf, "x.pcm")
+    assert r.returncode == 3
+    assert "not installed" in r.stderr
