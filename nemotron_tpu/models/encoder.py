@@ -18,6 +18,7 @@ TPU design vs the reference ggml graphs:
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -178,34 +179,44 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     n_seg = kv // Q
 
     # Ring geometry (slot order): segment s = slots [s*Q, (s+1)*Q); segment
-    # s of stream b holds the chunk written a = ((phase-1-s) mod n_seg) + 1
-    # chunks ago (a = n_seg -> the stale segment about to be overwritten,
-    # always outside the window). The CURRENT chunk occupies Q virtual slots
+    # s holds the chunk written a = ((phase-1-s) mod n_seg) + 1 chunks ago
+    # (a = n_seg -> the stale segment about to be overwritten, always
+    # outside the window). The CURRENT chunk occupies Q virtual slots
     # appended after the ring (slot index kv..kv+Q-1, distance d = i - j).
+    #
+    # The phase is a SCALAR inside the step: all advancing streams write in
+    # lockstep at the same segment (a per-stream write offset would lower
+    # to a TPU scatter, measured 18x slower). Streams that skip steps are
+    # realigned by the serving engine on resume (a cheap ring roll), so
+    # per-stream semantics stay exact; non-advancing streams' outputs are
+    # discarded and their segment content is restored below.
+    if step_mask is not None:
+        phase_s = jnp.max(jnp.where(step_mask, state.phase, -1))
+    else:
+        phase_s = state.phase[0]
     j = jnp.arange(kv, dtype=jnp.int32)
     s_j, o_j = j // Q, j % Q
-    age = jnp.mod(state.phase[:, None] - 1 - s_j[None, :], n_seg) + 1  # [B,kv]
+    age = jnp.mod(phase_s - 1 - s_j, n_seg) + 1              # [kv]
     i = jnp.arange(Q, dtype=jnp.int32)
     # distance from query i to ring slot j: d = i - o_j + Q * age
-    d_ring = i[None, :, None] - o_j[None, None, :] + Q * age[:, None, :]
-    d_new = (i[:, None] - i[None, :])[None]                  # [1, Q, Q]
-    d = jnp.concatenate([d_ring,
-                         jnp.broadcast_to(d_new, (B, Q, Q))], axis=-1)
+    d_ring = i[:, None] - o_j[None, :] + Q * age[None, :]    # [Q, kv]
+    d_new = i[:, None] - i[None, :]                          # [Q, Q]
+    d = jnp.concatenate([d_ring, d_new], axis=-1)            # [Q, kv+Q]
     # relative-position row: descending table, row p holds value (kv-1)-p
-    pos_idx = jnp.clip((kv - 1) - d, 0, 2 * kv - 2)          # [B, Q, kv+Q]
+    pos_idx = jnp.clip((kv - 1) - d, 0, 2 * kv - 2)[None]    # [1, Q, kv+Q]
 
     # validity: ring slot valid iff its whole segment is within the cached
     # window (age*Q <= valid_len; the stale segment fails since n_seg*Q > C);
     # the appended current chunk is always valid
-    ring_valid = (age * Q) <= state.valid_len[:, None]       # [B, kv]
+    ring_valid = (age[None, :] * Q) <= state.valid_len[:, None]   # [B, kv]
     valid = jnp.concatenate(
         [ring_valid, jnp.ones((B, Q), bool)], axis=-1)       # [B, kv+Q]
     mask = jnp.where(valid, 0.0, jnp.float32(-1e9))[:, None, None, :]
     if cc.strict_right_context:
         # intra-chunk lookahead limit (the reference's TODO at
         # src/nemo-stream.cpp:446): key more than R ahead of query i
-        future = d < -cc.att_right_context                   # [B, Q, kv+Q]
-        mask = mask + jnp.where(future, jnp.float32(-1e9), 0.0)[:, None]
+        future = d < -cc.att_right_context                   # [Q, kv+Q]
+        mask = mask + jnp.where(future, jnp.float32(-1e9), 0.0)[None, None]
 
     # Layers scan: rings are READ-ONLY inside (xs); each layer emits its new
     # chunk K/V [B, Q, D] as stacked ys, and ONE batched segment write per
@@ -227,20 +238,21 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
         (params.layers, pos_heads, state.k_cache, state.v_cache))
     k_new, v_new = ys[0], ys[1]                              # [L, B, Q, D]
 
+    off = phase_s * Q
     if step_mask is not None:
         # continuous batching: a non-advancing stream keeps its old segment
-        # content (cheap: the where is on the [L, B, Q, D] new data only)
-        old_k = _gather_segment(state.k_cache, state.phase, Q)
-        old_v = _gather_segment(state.v_cache, state.phase, Q)
+        # content (cheap: the where is on the [L, B, Q, D] slab only)
+        old_k = jax.lax.dynamic_slice_in_dim(state.k_cache, off, Q, axis=2)
+        old_v = jax.lax.dynamic_slice_in_dim(state.v_cache, off, Q, axis=2)
         m = step_mask[None, :, None, None]
-        k_new = jnp.where(m, k_new, old_k)
-        v_new = jnp.where(m, v_new, old_v)
+        k_new = jnp.where(m, k_new.astype(state.k_cache.dtype), old_k)
+        v_new = jnp.where(m, v_new.astype(state.v_cache.dtype), old_v)
         ncv = jnp.where(m, ncv, state.conv_cache)
 
-    nk = _write_segment(state.k_cache, k_new.astype(state.k_cache.dtype),
-                        state.phase, Q)
-    nv = _write_segment(state.v_cache, v_new.astype(state.v_cache.dtype),
-                        state.phase, Q)
+    nk = jax.lax.dynamic_update_slice_in_dim(
+        state.k_cache, k_new.astype(state.k_cache.dtype), off, axis=2)
+    nv = jax.lax.dynamic_update_slice_in_dim(
+        state.v_cache, v_new.astype(state.v_cache.dtype), off, axis=2)
 
     new_valid = jnp.minimum(state.valid_len + Q, C)
     new_phase = jnp.mod(state.phase + 1, n_seg)
@@ -264,24 +276,24 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     return enc_out, new_state
 
 
-def _write_segment(ring, new, phase, Q: int):
-    """ring [L, B, KV, D] <- new [L, B, Q, D] at per-stream segment
-    phase[b] (row offset phase[b]*Q). Writes Q rows per stream per layer."""
-    def per_stream(r_b, n_b, off):          # [L, KV, D], [L, Q, D]
-        return jax.lax.dynamic_update_slice(r_b, n_b, (0, off, 0))
-
-    return jax.vmap(per_stream, in_axes=(1, 1, 0), out_axes=1)(
-        ring, new, phase * Q)
-
-
-def _gather_segment(ring, phase, Q: int):
-    """Read the per-stream segment at phase[b]: [L, B, Q, D]."""
-    L, _B, _KV, D = ring.shape
-
-    def per_stream(r_b, off):
-        return jax.lax.dynamic_slice(r_b, (0, off, 0), (L, Q, D))
-
-    return jax.vmap(per_stream, in_axes=(1, 0), out_axes=1)(ring, phase * Q)
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+def realign_ring(enc_state: "EncoderState", slot, delta, chunk_len: int):
+    """Roll one stream's K/V ring forward by `delta` segments and bump its
+    phase, so a stream that skipped engine steps re-enters the global
+    lockstep write phase with its content->age mapping preserved exactly.
+    Called by the serving engine when a lagging slot resumes."""
+    shift = delta * chunk_len
+    k = jnp.roll(enc_state.k_cache[:, slot], shift, axis=-2)
+    v = jnp.roll(enc_state.v_cache[:, slot], shift, axis=-2)
+    n_seg = enc_state.k_cache.shape[2] // chunk_len
+    return EncoderState(
+        k_cache=enc_state.k_cache.at[:, slot].set(k),
+        v_cache=enc_state.v_cache.at[:, slot].set(v),
+        conv_cache=enc_state.conv_cache,
+        valid_len=enc_state.valid_len,
+        phase=enc_state.phase.at[slot].set(
+            jnp.mod(enc_state.phase[slot] + delta, n_seg)),
+    )
 
 
 def ring_to_chronological(ring, phase, chunk_len: int):

@@ -98,6 +98,12 @@ class ServingEngine:
         self.transcripts = [""] * n_slots
         self.frame_offsets = np.zeros(n_slots, np.int64)
         self.step_times: list[float] = []
+        # ring lockstep bookkeeping: all advancing slots write at the same
+        # global ring phase; a slot that skipped ticks is realigned (ring
+        # roll) on resume so its semantics stay exact (encoder.realign_ring)
+        self.n_seg = self.cc.kv_len // self.cc.chunk_enc_len
+        self.phase_counter = 0
+        self.slot_phase = np.zeros(n_slots, np.int64)
 
     def _fresh_mel_buffer(self) -> np.ndarray:
         # 9-frame zero-seeded overlap (reference src/nemo-stream.cpp:58-60)
@@ -130,6 +136,8 @@ class ServingEngine:
         self.tokens[slot] = []
         self.transcripts[slot] = ""
         self.frame_offsets[slot] = 0
+        self.slot_phase[slot] = 0  # device phase reset to 0; realigned on
+        # the slot's first step to the engine's global phase
 
     # -- the engine tick -------------------------------------------------------
 
@@ -164,6 +172,13 @@ class ServingEngine:
                 np.float32)
             for s in np.flatnonzero(ready):
                 chunk_np[s] = self.mel_buffers[s][: cc.chunk_mel_frames]
+                if self.slot_phase[s] != self.phase_counter:
+                    delta = int((self.phase_counter - self.slot_phase[s])
+                                % self.n_seg)
+                    self.enc_state = enc_mod.realign_ring(
+                        self.enc_state, jnp.int32(s), jnp.int32(delta),
+                        cc.chunk_enc_len)
+                    self.slot_phase[s] = self.phase_counter
             chunk = jnp.asarray(chunk_np, self.dtype)
             mask = jnp.asarray(ready)
             t0 = time.perf_counter()
@@ -189,6 +204,8 @@ class ServingEngine:
                     self.transcripts[slot] += text
                     out[int(slot)] = out.get(int(slot), "") + text
                 self.frame_offsets[slot] += tokens.shape[1]
+            self.phase_counter = (self.phase_counter + 1) % self.n_seg
+            self.slot_phase[ready] = self.phase_counter
             ready = self._ready()
         return out
 
@@ -210,6 +227,8 @@ class ServingEngine:
             "active": self.active,
             "frame_offsets": self.frame_offsets,
             "transcripts": np.asarray(self.transcripts, dtype=object),
+            "phase_counter": np.int64(self.phase_counter),
+            "slot_phase": self.slot_phase,
         }
         for s in range(self.n_slots):
             pp = self.preprocs[s].state_dict()
@@ -244,6 +263,8 @@ class ServingEngine:
             self.enc_state = shard_state(self.enc_state, self.mesh)
             self.dec_state = shard_state(self.dec_state, self.mesh)
         self.active = z["active"].astype(bool)
+        self.phase_counter = int(z["phase_counter"])
+        self.slot_phase = z["slot_phase"].astype(np.int64)
         self.frame_offsets = z["frame_offsets"].astype(np.int64)
         self.transcripts = [str(t) for t in z["transcripts"]]
         self.tokens = [
