@@ -238,3 +238,47 @@ def test_continuous_batching_independent_rates(model_setup):
             solo.feed_audio({s: audio(seed, n)})
             solo.step()
         assert solo.transcripts[s] == want
+
+
+def test_stream_resume_after_long_gap(model_setup):
+    """A slot that skips more engine ticks than the ring has segments must
+    still match a solo engine exactly after resuming (realign_ring wrap)."""
+    import jax.numpy as jnp
+
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.streaming.serving import ServingEngine
+
+    _, params, cfg = model_setup
+    # R=1, left=14 -> chunk_enc 2, kv 16, n_seg 8
+    cc = CacheConfig(att_right_context=1, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+
+    def audio(seed, n=4000):
+        r = np.random.default_rng(seed)
+        return (r.standard_normal(n) * 8000).astype(np.int16)
+
+    eng = ServingEngine(params, cfg, vocab, cc, n_slots=2,
+                        compute_dtype=jnp.float32)
+    busy, lazy = eng.add_stream(), eng.add_stream()
+    # lazy gets 2 early chunks, then sits out 12+ ticks, then resumes
+    eng.feed_audio({busy: audio(0), lazy: audio(100)})
+    eng.step()
+    eng.feed_audio({busy: audio(1), lazy: audio(101)})
+    eng.step()
+    for i in range(12):
+        eng.feed_audio({busy: audio(2 + i)})
+        eng.step()
+    eng.feed_audio({busy: audio(50), lazy: audio(102)})
+    eng.step()
+    eng.feed_audio({lazy: audio(103)})
+    eng.step()
+
+    solo = ServingEngine(params, cfg, vocab, cc, n_slots=1,
+                         compute_dtype=jnp.float32)
+    s = solo.add_stream()
+    for seed in (100, 101, 102, 103):
+        solo.feed_audio({s: audio(seed)})
+        solo.step()
+    assert eng.transcripts[lazy] == solo.transcripts[s]
+    assert eng.tokens[lazy] == solo.tokens[s]
