@@ -48,10 +48,10 @@ def conformer_layer(lp: ConformerLayerParams, x, pos_heads, mask=None,
 
     cur = layer_norm(r, lp.norm_attn_w, lp.norm_attn_b)
     if ring is not None:
-        k_ring, v_ring, pos_idx = ring
+        k_ring, v_ring, pos_perm = ring
         attn, new_k, new_v = rel_pos_mha_ring(
             lp, cur, pos_heads, n_heads, d_head, k_ring, v_ring,
-            pos_idx, mask)
+            pos_perm, mask)
     else:
         attn, new_k, new_v = rel_pos_mha(lp, cur, pos_heads, n_heads, d_head,
                                          kv_cache=kv_cache, mask=mask)
@@ -197,13 +197,24 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     j = jnp.arange(kv, dtype=jnp.int32)
     s_j, o_j = j // Q, j % Q
     age = jnp.mod(phase_s - 1 - s_j, n_seg) + 1              # [kv]
+
+    # chronological->slot one-hot permutation for the position bias
+    # (rel_pos_mha_ring computes the bias in time order with the skew trick
+    # and permutes it with this tiny matmul -- gathers are VPU-slow).
+    # Ring slot j holds chronological index c*Q + o_j with c = n_seg-1-age
+    # (the stale age==n_seg segment maps nowhere -> zero column, masked);
+    # the Q appended current-chunk slots map to the last chron segment.
+    chron_ring = (n_seg - 1 - age) * Q + o_j                 # [kv]
+    chron_new = (n_seg - 1) * Q + jnp.arange(Q, dtype=jnp.int32)
+    chron = jnp.concatenate([chron_ring, chron_new])         # [kv+Q]
+    t = jnp.arange(kv, dtype=jnp.int32)
+    pos_perm = (t[:, None] == chron[None, :]).astype(jnp.float32)
+
     i = jnp.arange(Q, dtype=jnp.int32)
     # distance from query i to ring slot j: d = i - o_j + Q * age
     d_ring = i[:, None] - o_j[None, :] + Q * age[None, :]    # [Q, kv]
     d_new = i[:, None] - i[None, :]                          # [Q, Q]
     d = jnp.concatenate([d_ring, d_new], axis=-1)            # [Q, kv+Q]
-    # relative-position row: descending table, row p holds value (kv-1)-p
-    pos_idx = jnp.clip((kv - 1) - d, 0, 2 * kv - 2)[None]    # [1, Q, kv+Q]
 
     # validity: ring slot valid iff its whole segment is within the cached
     # window (age*Q <= valid_len; the stale segment fails since n_seg*Q > C);
@@ -227,7 +238,7 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
         lp, ph, kr, vr = per_layer
         cvc = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
         y, nk, nv, ncv = conformer_layer(
-            lp, h, ph, mask=mask, ring=(kr, vr, pos_idx), conv_cache=cvc,
+            lp, h, ph, mask=mask, ring=(kr, vr, pos_perm), conv_cache=cvc,
             n_heads=cfg.n_heads, d_head=cfg.d_head)
         cv_all = jax.lax.dynamic_update_index_in_dim(cv_all, ncv, l, 0)
         ys = (nk, nv, y) if capture else (nk, nv)

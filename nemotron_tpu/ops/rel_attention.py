@@ -138,7 +138,7 @@ def rel_pos_mha(lp, x, pos_heads, n_heads: int, d_head: int,
 
 
 def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
-                     k_ring, v_ring, pos_idx, mask):
+                     k_ring, v_ring, pos_perm, mask):
     """Relative-position MHA over a RING-buffered K/V cache.
 
     The streaming hot path. Instead of the reference's shift-window cache
@@ -153,11 +153,15 @@ def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
       - the CURRENT chunk's keys/values are attended as Q extra slots
         appended after the ring on the score axis (no concat of the big
         operands -- two einsums each for scores and context).
-      - keys are in ring-slot order, not time order; `pos_idx` [B, Q, KV+Q]
-        selects the relative-position row per (query, slot) and `mask`
-        [B, 1, 1|Q, KV+Q] carries validity (+ optional lookahead) in the
-        same slot order. Softmax and the context sum are permutation-
-        invariant, so this is numerically equivalent to the shift layout.
+      - keys are in ring-slot order, not time order; the position bias is
+        computed in chronological order with the standard skew trick and
+        permuted into slot order by `pos_perm` [KV, KV+Q], a one-hot
+        chronological->slot matrix applied as a (tiny) matmul -- a gather
+        here would run per-element on the VPU (measured ~20x whole-step
+        regression), while the one-hot matmul rides the MXU. `mask`
+        [B|1, 1, 1|Q, KV+Q] carries validity (+ optional lookahead) in slot
+        order. Softmax and the context sum are permutation-invariant, so
+        this is numerically equivalent to the shift layout.
 
     Returns (out [B, Q, D], k_new [B, Q, D], v_new [B, Q, D]) -- the caller
     writes k_new/v_new into the ring segment for this layer.
@@ -187,11 +191,12 @@ def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
     ], axis=-1)                                             # [B,H,Q,kv+Q]
     pos_raw = jnp.einsum("bihd,phd->bhip", q_v, pos_heads.astype(dt),
                          preferred_element_type=jnp.float32).astype(dt)
-    pos_attn = jnp.take_along_axis(
-        pos_raw,
-        jnp.broadcast_to(pos_idx[:, None],
-                         pos_raw.shape[:2] + pos_idx.shape[1:]),
-        axis=-1)                                            # [B,H,Q,kv+Q]
+    # chronological bias over the full window incl. the current chunk:
+    # out[i, t] has relative distance i - t + C for t in [0, kv)
+    pos_chron = rel_shift(pos_raw, kv)
+    pos_attn = jnp.einsum("bhit,tj->bhij", pos_chron,
+                          pos_perm.astype(dt),
+                          preferred_element_type=jnp.float32).astype(dt)
 
     scale = np.float32(1.0 / np.sqrt(d_head))
     scores = (content + pos_attn) * scale.astype(dt)
