@@ -118,10 +118,10 @@ def main() -> int:
         candidates = [4, 8]
     else:
         cfg = ModelConfig()
-        # measured ladder (carry-scan code, realistic emission rate):
-        # 256 -> ~55 ms, 384 -> ~81 ms, 512 -> ~126 ms; the bar is 120 ms.
-        # Start at 384 to save a ~5 min axon compile; 256 is the rescue size.
-        candidates = [384, 512]
+        # measured ladder (ring cache + gather-free pos bias, realistic
+        # emission rate): 384 -> ~81 ms, 512 -> ~105 ms, vs the 120 ms bar.
+        # Start at 512; 384 is the rescue size.
+        candidates = [512, 640]
     cc = CacheConfig.balanced()  # R=13, 1.12 s chunks
     cc = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
 
@@ -158,13 +158,13 @@ def main() -> int:
     if best == 0 and not quick:
         # rescue: smaller batch
         try:
-            stats = measure(chunk_step, params, cfg, cc, pos_heads, 256,
+            stats = measure(chunk_step, params, cfg, cc, pos_heads, 384,
                             dtype, chain_len=20, reps=4)
-            results[256] = stats
+            results[384] = stats
             if stats["p50"] <= LATENCY_BUDGET_S:
-                best, best_stats = 256, stats
+                best, best_stats = 384, stats
         except Exception as e:
-            print(f"rescue batch 256: {type(e).__name__}", file=sys.stderr)
+            print(f"rescue batch 384: {type(e).__name__}", file=sys.stderr)
 
     if best == 0 and results:
         # nothing met the bar; report the smallest batch's real-time capacity
