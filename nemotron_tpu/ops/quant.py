@@ -85,6 +85,54 @@ def dequantize(qt: QTensor, dtype=jnp.float32):
     return w.reshape(*lead, n_in, n_out)
 
 
+@_pytree_dataclass
+class QTensorW8A8:
+    """Weight for the dynamic W8A8 path: int8 values [.., in, out] with ONE
+    f32 scale per output column [.., out] (per-K-block scales cannot be
+    folded out of an int8 accumulation). Activations are quantized
+    per row (per token) on the fly; the int8 x int8 dot runs on the MXU's
+    double-rate int8 path (v5e: 394 TOPS vs 197 bf16 TFLOPS)."""
+
+    q: Any
+    col_scale: Any
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+
+def quantize_tensor_w8a8(w: np.ndarray) -> QTensorW8A8:
+    """Per-output-column symmetric int8 quantization of a [in, out] (or
+    [L, in, out]) weight."""
+    w = np.asarray(w, dtype=np.float32)
+    amax = np.max(np.abs(w), axis=-2)                       # [.., out]
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w / scale[..., None, :]), -127, 127).astype(np.int8)
+    return QTensorW8A8(q=q, col_scale=scale)
+
+
+def qmm_w8a8(x, w: "QTensorW8A8"):
+    """Dynamic-activation int8 matmul: per-row (token) activation scales,
+    per-column weight scales, int32 MXU accumulation.
+
+    out = (x_q @ w_q) * x_scale[:, None] * col_scale[None, :]."""
+    dt = x.dtype
+    ax = jnp.max(jnp.abs(x).astype(jnp.float32), axis=-1, keepdims=True)
+    s = jnp.maximum(ax, 1e-12) / 127.0                      # [.., 1] f32
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127
+                  ).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w.q,
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * s
+            * w.col_scale.astype(jnp.float32)).astype(dt)
+
+
 def qmm(x, w, prefer_pallas: bool = True):
     """Matmul with a possibly-quantized weight: x [.., in] @ w [in, out].
 
@@ -92,6 +140,8 @@ def qmm(x, w, prefer_pallas: bool = True):
     path is used on TPU for 2D QTensors when shapes are tile-aligned;
     otherwise dequant-then-matmul (XLA fuses the dequant into the HBM->VMEM
     weight load under jit)."""
+    if isinstance(w, QTensorW8A8):
+        return qmm_w8a8(x, w)
     if not isinstance(w, QTensor):
         return x @ w.astype(x.dtype)
     if prefer_pallas and _pallas_eligible(x, w):

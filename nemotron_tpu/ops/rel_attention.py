@@ -219,9 +219,12 @@ def project_pos(lp_pos_w, pos_emb, n_heads: int, d_head: int):
     precomputed once per session instead of per chunk (the reference re-runs
     the projection inside every chunk's graph, src/nemo-stream.cpp:487-488 --
     hoisting it saves 24 [P,1024]x[1024,1024] matmuls per step)."""
-    from .quant import QTensor, dequantize
+    from .quant import QTensor, QTensorW8A8, dequantize
 
     if isinstance(lp_pos_w, QTensor):
         lp_pos_w = dequantize(lp_pos_w, pos_emb.dtype)
+    elif isinstance(lp_pos_w, QTensorW8A8):
+        lp_pos_w = (lp_pos_w.q.astype(pos_emb.dtype)
+                    * lp_pos_w.col_scale.astype(pos_emb.dtype))
     P = pos_emb.shape[0]
     return (pos_emb @ lp_pos_w.astype(pos_emb.dtype)).reshape(P, n_heads, d_head)

@@ -46,7 +46,7 @@ def _pspec_for_param(path: str, ndim: int) -> P:
     inherit the parent weight's rule: the int8 values shard like the dense
     weight, and the per-block scales shard the same way (the block axis is
     in//32, aligned with the contraction axis)."""
-    if path.endswith(("/q", "/scale")):
+    if path.endswith(("/q", "/scale", "/col_scale")):
         path = path.rsplit("/", 1)[0]
     if "ffn" in path and path.endswith("w1"):
         return P(None, None, "model")

@@ -25,7 +25,8 @@ import numpy as np
 
 from . import gguf as gguf_mod
 from .config import ModelConfig
-from .ops.quant import QTensor, quantize_tensor, should_quantize
+from .ops.quant import (QTensor, QTensorW8A8, quantize_tensor,
+                        quantize_tensor_w8a8, should_quantize)
 
 
 def _pytree_dataclass(cls):
@@ -249,17 +250,27 @@ _QUANT_LAYER_FIELDS = (
 )
 
 
-def quantize_model_params(params: ModelParams) -> ModelParams:
-    """Weight-only Q8_0 quantization of the encoder conformer matmul weights
-    (the reference's default quant pattern, scripts/convert_to_gguf.py:212-238).
-    Subsampling, depthwise convs, norms, decoder and joint stay dense."""
+def quantize_model_params(params: ModelParams,
+                          mode: str = "q8_0") -> ModelParams:
+    """Quantize the encoder conformer matmul weights (the reference's
+    default quant pattern, scripts/convert_to_gguf.py:212-238). Subsampling,
+    depthwise convs, norms, decoder and joint stay dense.
+
+    mode:
+      'q8_0'  -- weight-only, GGUF Q8_0-compatible per-32-block scales
+                 (dequantized into the matmul; exact Q8_0 numerics)
+      'w8a8'  -- dynamic int8 x int8 serving path: per-column weight scales
+                 + per-token activation scales, runs on the MXU's
+                 double-rate int8 path (accuracy: standard W8A8 behavior,
+                 validate on real weights before production)"""
+    quantize = {"q8_0": quantize_tensor, "w8a8": quantize_tensor_w8a8}[mode]
     layers = params.layers
     updates = {}
     for f in _QUANT_LAYER_FIELDS:
         w = getattr(layers, f)
-        if isinstance(w, QTensor):
+        if isinstance(w, (QTensor, QTensorW8A8)):
             continue
-        updates[f] = quantize_tensor(np.asarray(w))
+        updates[f] = quantize(np.asarray(w))
     layers = dataclasses.replace(layers, **updates)
     return dataclasses.replace(params, layers=layers)
 
@@ -440,10 +451,14 @@ def cast_params(params: ModelParams, dtype) -> ModelParams:
         if isinstance(x, QTensor):
             return QTensor(q=jnp.asarray(x.q),
                            scale=jnp.asarray(x.scale, jnp.float32))
+        if isinstance(x, QTensorW8A8):
+            return QTensorW8A8(q=jnp.asarray(x.q),
+                               col_scale=jnp.asarray(x.col_scale, jnp.float32))
         x = jnp.asarray(x)
         if jnp.issubdtype(x.dtype, jnp.floating):
             return x.astype(dtype)
         return x
 
     return jax.tree_util.tree_map(
-        cast, params, is_leaf=lambda x: isinstance(x, QTensor))
+        cast, params,
+        is_leaf=lambda x: isinstance(x, (QTensor, QTensorW8A8)))

@@ -151,3 +151,42 @@ def test_gguf_q4_roundtrip_to_qtensor(model_setup, tmp_path):
     np.testing.assert_allclose(
         np.asarray(quant.dequantize(qp.layers.ffn1_w1)),
         np.asarray(dp.layers.ffn1_w1), rtol=1e-6, atol=1e-7)
+
+
+def test_w8a8_matmul_accuracy(rng):
+    w = rng.standard_normal((128, 96), dtype=np.float32) * 0.1
+    x = jnp.asarray(rng.standard_normal((7, 128), dtype=np.float32))
+    qt = quant.quantize_tensor_w8a8(w)
+    assert qt.q.dtype == np.int8 and qt.col_scale.shape == (96,)
+    ref = np.asarray(x @ w)
+    out = np.asarray(quant.qmm_w8a8(x, qt))
+    # int8 weights + int8 dynamic activations: ~1% relative error budget
+    denom = np.abs(ref).max()
+    assert np.abs(out - ref).max() / denom < 0.02
+
+
+def test_w8a8_pipeline(model_setup, rng):
+    """Full chunk step with W8A8 encoder matmuls stays close to f32."""
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.models import decoder as dec_mod
+    from nemotron_tpu.models import encoder as enc_mod
+    from nemotron_tpu.streaming.session import chunk_step
+
+    _, params, cfg = model_setup
+    qparams = params_mod.quantize_model_params(params, mode="w8a8")
+    assert isinstance(qparams.layers.ffn1_w1, quant.QTensorW8A8)
+
+    cc = CacheConfig(att_right_context=1, n_mels=cfg.n_mels)
+    mel = jnp.asarray(rng.standard_normal(
+        (2, cc.chunk_mel_frames, cfg.n_mels), dtype=np.float32))
+
+    outs = {}
+    for name, p in [("f32", params), ("w8a8", qparams)]:
+        es = enc_mod.init_encoder_state(cfg, cc, 2)
+        ds = dec_mod.init_decoder_state(cfg, 2)
+        ph = enc_mod.precompute_pos_heads(p, cfg, cc)
+        _, es, _ = chunk_step(p, cfg, cc, mel, es, ds, ph)
+        outs[name] = np.asarray(es.k_cache)
+    diff = np.abs(outs["f32"] - outs["w8a8"]).max()
+    scale = np.abs(outs["f32"]).max() + 1e-9
+    assert diff / scale < 0.08, (diff, scale)
