@@ -288,3 +288,19 @@ class ServingEngine:
                 "p90": float(np.percentile(t, 90)),
                 "p99": float(np.percentile(t, 99)),
                 "mean": float(t.mean())}
+
+    def stats(self) -> dict:
+        """Engine observability snapshot (the reference's stats block,
+        src/transcribe_stream.cpp:184-191, generalized to many streams)."""
+        audio_s = float(self.frame_offsets.sum()) * 8 * 160 / 16000.0
+        compute_s = float(np.sum(self.step_times))
+        return {
+            "active_slots": int(self.active.sum()),
+            "n_slots": self.n_slots,
+            "engine_steps": len(self.step_times),
+            "audio_seconds_decoded": audio_s,
+            "compute_seconds": compute_s,
+            "aggregate_rtf": compute_s / audio_s if audio_s else 0.0,
+            "latency": self.latency_percentiles(),
+            "tokens_emitted": int(sum(len(t) for t in self.tokens)),
+        }

@@ -282,3 +282,22 @@ def test_stream_resume_after_long_gap(model_setup):
         solo.step()
     assert eng.transcripts[lazy] == solo.transcripts[s]
     assert eng.tokens[lazy] == solo.tokens[s]
+
+
+def test_engine_stats(model_setup):
+    import jax.numpy as jnp
+
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.streaming.serving import ServingEngine
+
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=1, n_mels=cfg.n_mels)
+    eng = ServingEngine(params, cfg, [f"t{i}" for i in range(cfg.vocab_size)],
+                        cc, n_slots=2, compute_dtype=jnp.float32)
+    s = eng.add_stream()
+    rng = np.random.default_rng(0)
+    eng.feed_audio({s: (rng.standard_normal(6000) * 8000).astype(np.int16)})
+    eng.step()
+    st = eng.stats()
+    assert st["active_slots"] == 1 and st["engine_steps"] >= 1
+    assert st["audio_seconds_decoded"] > 0 and st["aggregate_rtf"] > 0
