@@ -6,7 +6,7 @@ src/transcribe_stream.cpp:27-36):
 
     transcribe_stream.py <model.gguf> <audio.pcm|-|--stdin> [chunk_ms]
                          [right_context] [--cpu|--tpu] [--timestamps]
-                         [--profile=DIR] [--trace=DIR]
+                         [--profile=DIR] [--trace=DIR] [--quantize=q8_0|w8a8]
 
   - input: raw s16le 16 kHz mono PCM file, or '-' / '--stdin' for stdin
   - chunk_ms is advisory (>=10 warning); the actual read size comes from the
@@ -53,17 +53,25 @@ def main(argv: list[str]) -> int:
                   file=sys.stderr)
     profile_dir = None
     trace_dir = None
+    quant_mode = None
     for f in flags:
         if f.startswith("--profile="):
             profile_dir = f.split("=", 1)[1]
         elif f.startswith("--trace="):
             trace_dir = f.split("=", 1)[1]
+        elif f.startswith("--quantize="):
+            quant_mode = f.split("=", 1)[1]  # q8_0 | w8a8
 
     from nemotron_tpu.config import CacheConfig
     from nemotron_tpu.params import load_model
     from nemotron_tpu.streaming.session import StreamSession
 
     params, cfg, vocab = load_model(model_path)
+    if quant_mode:
+        from nemotron_tpu.params import quantize_model_params
+
+        params = quantize_model_params(params, mode=quant_mode)
+        print(f"runtime quantization: {quant_mode}", file=sys.stderr)
     cc = CacheConfig(att_right_context=right_context, n_mels=cfg.n_mels)
     print(f"config: chunk={cc.chunk_mel_frames} mel frames "
           f"({cc.latency_ms} ms), shift={cc.shift_mel_frames}, "
