@@ -132,44 +132,57 @@ def main() -> int:
     # every stream -- a workload no real audio produces (the decode loop is
     # O(max tokens per chunk over the batch)).
     arrays["joint.joint_net.2.bias"][cfg.vocab_size - 1] = 12.0
-    params = P.cast_params(P.params_from_arrays(arrays, cfg), dtype)
-    pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc, dtype=dtype)
+    base = P.params_from_arrays(arrays, cfg)
+    params_bf16 = P.cast_params(base, dtype)
+    pos_heads = enc_mod.precompute_pos_heads(params_bf16, cfg, cc,
+                                             dtype=dtype)
+
+    # Plan: dense-bf16 baseline batch, then the W8A8 int8-MXU serving mode
+    # at larger batches (measured: dense 512 -> ~100 ms, w8a8 512 -> ~86 ms,
+    # w8a8 640 -> ~108 ms vs the 120 ms bar; int8 dot = 387 TOPS on v5e).
+    if quick:
+        plan = [("bf16", params_bf16, b) for b in candidates]
+    else:
+        params_w8a8 = P.cast_params(
+            P.quantize_model_params(base, mode="w8a8"), dtype)
+        plan = [("bf16", params_bf16, 512),
+                ("w8a8-int8", params_w8a8, 640),
+                ("w8a8-int8", params_w8a8, 768)]
 
     results = {}
     best = 0
     best_stats = None
-    for batch in candidates:
+    best_mode = None
+    for mode_name, p, batch in plan:
         try:
-            stats = measure(chunk_step, params, cfg, cc, pos_heads, batch,
+            stats = measure(chunk_step, p, cfg, cc, pos_heads, batch,
                             dtype, chain_len=5 if quick else 20,
                             reps=2 if quick else 4)
         except Exception as e:  # OOM etc.
-            print(f"batch {batch}: {type(e).__name__}", file=sys.stderr)
-            break
-        results[batch] = stats
-        print(f"batch {batch}: p50 {stats['p50']*1e3:.1f} ms "
+            print(f"{mode_name} batch {batch}: {type(e).__name__}",
+                  file=sys.stderr)
+            continue
+        results[(mode_name, batch)] = stats
+        print(f"{mode_name} batch {batch}: p50 {stats['p50']*1e3:.1f} ms "
               f"p90 {stats['p90']*1e3:.1f} ms", file=sys.stderr)
-        if stats["p50"] <= LATENCY_BUDGET_S:
-            if batch > best:
-                best, best_stats = batch, stats
-        else:
-            break  # latencies grow with batch; no point going larger
+        if stats["p50"] <= LATENCY_BUDGET_S and batch > best:
+            best, best_stats, best_mode = batch, stats, mode_name
 
     if best == 0 and not quick:
-        # rescue: smaller batch
+        # rescue: smaller dense batch
         try:
-            stats = measure(chunk_step, params, cfg, cc, pos_heads, 384,
+            stats = measure(chunk_step, params_bf16, cfg, cc, pos_heads, 384,
                             dtype, chain_len=20, reps=4)
-            results[384] = stats
+            results[("bf16", 384)] = stats
             if stats["p50"] <= LATENCY_BUDGET_S:
-                best, best_stats = 384, stats
+                best, best_stats, best_mode = 384, stats, "bf16"
         except Exception as e:
             print(f"rescue batch 384: {type(e).__name__}", file=sys.stderr)
 
     if best == 0 and results:
         # nothing met the bar; report the smallest batch's real-time capacity
-        batch = min(results)
-        best, best_stats = batch, results[batch]
+        (best_mode, best), best_stats = min(results.items(),
+                                            key=lambda kv: kv[0][1])
 
     value = best
     out = {
@@ -181,7 +194,8 @@ def main() -> int:
         "sync_rtt_ms": round(best_stats["rtt"] * 1e3, 2) if best_stats else None,
         "latency_budget_ms": LATENCY_BUDGET_S * 1e3,
         "chunk_audio_ms": cc.shift_mel_frames * 10,
-        "mode": "R=13 bf16 fused chunk step (encoder + on-device greedy decode)",
+        "mode": f"R=13 {best_mode} fused chunk step "
+                "(encoder + on-device greedy decode)",
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))
