@@ -102,3 +102,72 @@ def test_algorithmic_latency_matches_reference_table():
     want = {0: 80, 1: 160, 6: 560, 13: 1120}
     for R, ms in want.items():
         assert CacheConfig(att_right_context=R).algorithmic_latency_ms == ms
+
+
+def test_batch_vs_streaming_full_utterance(model_setup, rng):
+    """Tier-3 self-consistency (reference tests/test_streaming.cpp:732-793):
+    full-utterance and chunked-streaming transcription both run and produce
+    closely related output. Exact equality is NOT expected (streaming sees
+    bounded left context); the reference asserts both produce output and
+    documents the divergence as expected RNN-T behavior."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.frontend.preprocessor import (hann_window,
+                                                    mel_filterbank_slaney)
+    from nemotron_tpu.streaming.session import (StreamSession,
+                                                transcribe_batch)
+
+    _, params, cfg = model_setup
+    # bias one token so transcripts are non-empty with random weights
+    jb = np.asarray(params.joint.out_b).copy()
+    jb[7] += 3.0
+    params = dataclasses.replace(
+        params, joint=dataclasses.replace(params.joint,
+                                          out_b=jnp.asarray(jb)))
+    fb = mel_filterbank_slaney(n_mels=cfg.n_mels)
+    win = hann_window(400)
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+
+    t = np.arange(32000) / 16000.0
+    audio = ((0.4 * np.sin(2 * np.pi * 440 * t)
+              + 0.05 * rng.standard_normal(32000)) * 20000).astype(np.int16)
+
+    batch_text = transcribe_batch(params, cfg, vocab, audio,
+                                  filterbank=fb, window=win)
+    cc = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
+    sess = StreamSession(params, cfg, vocab, cc, filterbank=fb, window=win)
+    sess.process(audio)
+    stream_text = sess.finalize()
+
+    assert batch_text and stream_text
+    # token sets should overlap heavily (same dominant token)
+    assert set(stream_text.replace(" ", "")) & set(batch_text.replace(" ", ""))
+
+
+def test_long_stream_constant_state(model_setup, rng):
+    """Long-running stream: state shapes stay constant and the mel residue
+    stays bounded (the reference's 22-min constant-memory property,
+    docs/STATUS.md:25-34, guaranteed structurally here)."""
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.frontend.preprocessor import (hann_window,
+                                                    mel_filterbank_slaney)
+    from nemotron_tpu.streaming.session import StreamSession
+
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=1, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    sess = StreamSession(params, cfg, [], cc,
+                         filterbank=mel_filterbank_slaney(n_mels=cfg.n_mels),
+                         window=hann_window(400))
+    shapes0 = None
+    for i in range(30):
+        sess.process((rng.standard_normal(4000) * 8000).astype(np.int16))
+        shapes = (sess.enc_state.k_cache.shape, sess.mel_buffer.shape[1] <
+                  2 * cc.chunk_mel_frames, sess.preproc.n_frames_for(0) == 0)
+        if shapes0 is None:
+            shapes0 = shapes
+        assert shapes[0] == shapes0[0] and shapes[1]
+    assert sess.total_chunks >= 25
