@@ -1,0 +1,90 @@
+"""Training step for the transducer model (NEW capability -- the reference
+engine is inference-only, SURVEY.md §5).
+
+Pieces: full-lattice joint logits (batch encoder + prediction network over
+label prefixes), RNN-T loss (losses/rnnt.py), and an optax-based jitted
+train step that shards over the same (data, model) mesh as serving
+(parallel/mesh.py) -- batch and activations over 'data', FFN/head-sharded
+params over 'model', with GSPMD inserting the gradient all-reduces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig
+from .losses.rnnt import rnnt_loss
+from .models.decoder import joint_project_enc
+from .models.encoder import encode_batch
+from .ops.lstm import lstm_step
+from .params import ModelParams
+
+
+def prediction_network(params: ModelParams, cfg: ModelConfig, labels):
+    """Run the LSTM prediction network over label prefixes.
+
+    labels: [B, U] int32. Returns dec_out [B, U+1, H] where row u is the
+    network's output after consuming labels[:u] (row 0 = start state fed
+    the blank token, matching greedy decode's init)."""
+    B, U = labels.shape
+    dp = params.decoder
+    start = jnp.full((B, 1), cfg.blank_token, jnp.int32)
+    tokens = jnp.concatenate([start, labels.astype(jnp.int32)], axis=1)
+    emb = jnp.asarray(dp.embedding)[tokens]                 # [B, U+1, H]
+
+    h = jnp.zeros((B, cfg.decoder_layers, cfg.decoder_dim), emb.dtype)
+    c = jnp.zeros_like(h)
+
+    def step(carry, x_u):
+        h, c = carry
+        out, h, c = lstm_step(dp, x_u, h, c)
+        return (h, c), out
+
+    _, outs = jax.lax.scan(step, (h, c), jnp.swapaxes(emb, 0, 1))
+    return jnp.swapaxes(outs, 0, 1)                         # [B, U+1, H]
+
+
+def transducer_logits(params: ModelParams, cfg: ModelConfig, mel, labels):
+    """Full-lattice joint logits [B, T, U+1, V] for training."""
+    enc = encode_batch(params, cfg, mel)                    # [B, T, D]
+    dec = prediction_network(params, cfg, labels)           # [B, U+1, H]
+    jp = params.joint
+    enc_p = joint_project_enc(jp, enc)                      # [B, T, J]
+    dec_p = dec @ jp.dec_w.astype(dec.dtype) + jp.dec_b.astype(dec.dtype)
+    h = jax.nn.relu(enc_p[:, :, None, :] + dec_p[:, None, :, :])
+    return jax.lax.dot_general(
+        h, jp.out_w.astype(h.dtype),
+        dimension_numbers=(((h.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + jp.out_b.astype(jnp.float32)
+
+
+def loss_fn(params: ModelParams, cfg: ModelConfig, batch):
+    """Mean RNN-T loss over a batch dict with keys
+    mel [B, Tm, n_mels], labels [B, U], mel_lengths [B] (in encoder
+    frames), label_lengths [B]."""
+    logits = transducer_logits(params, cfg, batch["mel"], batch["labels"])
+    losses = rnnt_loss(logits, batch["labels"], batch["mel_lengths"],
+                       batch["label_lengths"], blank=cfg.blank_token)
+    return jnp.mean(losses)
+
+
+def make_train_step(cfg: ModelConfig, optimizer):
+    """Returns jitted (params, opt_state, batch) -> (params', opt_state',
+    loss). Differentiates through the full encoder/prediction/joint; works
+    under a mesh via sharded inputs (GSPMD handles the collectives)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(p, cfg, batch))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
