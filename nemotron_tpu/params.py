@@ -342,6 +342,124 @@ def load_model(path: str, keep_quantized: bool = True,
     return params_from_arrays(arrays, cfg), cfg, vocab
 
 
+def params_to_arrays(params: ModelParams, cfg: ModelConfig,
+                     ) -> dict[str, np.ndarray]:
+    """Inverse of params_from_arrays: pytree -> reference-named f32 arrays
+    (PyTorch layouts, conv weights in the converter's 2D storage), ready for
+    gguf.write_gguf -- the export half of a train -> deploy loop. Quantized
+    leaves are dequantized first."""
+    from .ops.quant import QTensorW8A8, dequantize
+
+    def dense(w):
+        if isinstance(w, QTensor):
+            w = dequantize(w)
+        elif isinstance(w, QTensorW8A8):
+            w = jnp.asarray(w.q, jnp.float32) * jnp.asarray(
+                w.col_scale, jnp.float32)
+        return np.asarray(w, np.float32)
+
+    def lin(w):  # [in, out] -> [out, in]
+        return np.ascontiguousarray(dense(w).T)
+
+    def conv(w):  # HWIO -> OIHW
+        return np.ascontiguousarray(dense(w).transpose(3, 2, 0, 1))
+
+    t: dict[str, np.ndarray] = {}
+    s = params.subsampling
+    for i, (wf, bf) in enumerate([("conv0_w", "conv0_b"), (None, None),
+                                  ("conv2_w", "conv2_b"),
+                                  ("conv3_w", "conv3_b"), (None, None),
+                                  ("conv5_w", "conv5_b"),
+                                  ("conv6_w", "conv6_b")]):
+        if wf is None:
+            continue
+        t[f"encoder.pre_encode.conv.{i}.weight"] = conv(getattr(s, wf))
+        t[f"encoder.pre_encode.conv.{i}.bias"] = dense(getattr(s, bf))
+    t["encoder.pre_encode.out.weight"] = lin(s.out_w)
+    t["encoder.pre_encode.out.bias"] = dense(s.out_b)
+
+    L = cfg.n_layers
+    # slicing a stacked layer pytree also slices QTensor q/scale leaves
+    layer_list = [jax.tree_util.tree_map(lambda a, i=i: a[i], params.layers)
+                  for i in range(L)]
+    for i, lp in enumerate(layer_list):
+        p = f"encoder.layers.{i}"
+        t[f"{p}.norm_feed_forward1.weight"] = dense(lp.norm_ff1_w)
+        t[f"{p}.norm_feed_forward1.bias"] = dense(lp.norm_ff1_b)
+        t[f"{p}.feed_forward1.linear1.weight"] = lin(lp.ffn1_w1)
+        t[f"{p}.feed_forward1.linear2.weight"] = lin(lp.ffn1_w2)
+        t[f"{p}.norm_self_att.weight"] = dense(lp.norm_attn_w)
+        t[f"{p}.norm_self_att.bias"] = dense(lp.norm_attn_b)
+        t[f"{p}.self_attn.linear_q.weight"] = lin(lp.attn_q_w)
+        t[f"{p}.self_attn.linear_k.weight"] = lin(lp.attn_k_w)
+        t[f"{p}.self_attn.linear_v.weight"] = lin(lp.attn_v_w)
+        t[f"{p}.self_attn.linear_pos.weight"] = lin(lp.attn_pos_w)
+        t[f"{p}.self_attn.linear_out.weight"] = lin(lp.attn_out_w)
+        t[f"{p}.self_attn.pos_bias_u"] = dense(lp.pos_bias_u)
+        t[f"{p}.self_attn.pos_bias_v"] = dense(lp.pos_bias_v)
+        t[f"{p}.norm_conv.weight"] = dense(lp.norm_conv_w)
+        t[f"{p}.norm_conv.bias"] = dense(lp.norm_conv_b)
+        t[f"{p}.conv.pointwise_conv1.weight"] = lin(lp.conv_pw1_w)
+        t[f"{p}.conv.depthwise_conv.weight"] = dense(lp.conv_dw_w)
+        t[f"{p}.conv.batch_norm.weight"] = dense(lp.conv_ln_w)
+        t[f"{p}.conv.batch_norm.bias"] = dense(lp.conv_ln_b)
+        t[f"{p}.conv.pointwise_conv2.weight"] = lin(lp.conv_pw2_w)
+        t[f"{p}.norm_feed_forward2.weight"] = dense(lp.norm_ff2_w)
+        t[f"{p}.norm_feed_forward2.bias"] = dense(lp.norm_ff2_b)
+        t[f"{p}.feed_forward2.linear1.weight"] = lin(lp.ffn2_w1)
+        t[f"{p}.feed_forward2.linear2.weight"] = lin(lp.ffn2_w2)
+        t[f"{p}.norm_out.weight"] = dense(lp.norm_final_w)
+        t[f"{p}.norm_out.bias"] = dense(lp.norm_final_b)
+
+    dp = "decoder.prediction"
+    d = params.decoder
+    t[f"{dp}.embed.weight"] = dense(d.embedding)
+    for i in (0, 1):
+        t[f"{dp}.dec_rnn.lstm.weight_ih_l{i}"] = lin(d.w_ih[i])
+        t[f"{dp}.dec_rnn.lstm.weight_hh_l{i}"] = lin(d.w_hh[i])
+        t[f"{dp}.dec_rnn.lstm.bias_ih_l{i}"] = dense(d.b_ih[i])
+        t[f"{dp}.dec_rnn.lstm.bias_hh_l{i}"] = dense(d.b_hh[i])
+
+    j = params.joint
+    t["joint.enc.weight"] = lin(j.enc_w)
+    t["joint.enc.bias"] = dense(j.enc_b)
+    t["joint.pred.weight"] = lin(j.dec_w)
+    t["joint.pred.bias"] = dense(j.dec_b)
+    t["joint.joint_net.2.weight"] = lin(j.out_w)
+    t["joint.joint_net.2.bias"] = dense(j.out_b)
+
+    pre = params.preprocessor
+    t["preprocessor.featurizer.fb"] = dense(pre.filterbank)
+    t["preprocessor.featurizer.window"] = dense(pre.window)
+    return t
+
+
+def save_model(path: str, params: ModelParams, cfg: ModelConfig,
+               vocab: list[str] | None = None,
+               quantize_mode: str | None = None) -> None:
+    """Write params back to a GGUF both this framework and the reference
+    loader can read (the export half of train -> deploy)."""
+    arrays = params_to_arrays(params, cfg)
+    meta = {
+        "general.architecture": "nemo",
+        "nemo.n_mels": cfg.n_mels, "nemo.d_model": cfg.d_model,
+        "nemo.n_heads": cfg.n_heads, "nemo.d_head": cfg.d_head,
+        "nemo.d_ff": cfg.d_ff, "nemo.n_layers": cfg.n_layers,
+        "nemo.kernel_size": cfg.kernel_size,
+        "nemo.vocab_size": cfg.vocab_size,
+    }
+    if vocab:
+        meta["tokenizer.vocab"] = gguf_mod.encode_vocab(
+            [v[:7] for v in vocab])
+    quantize = {}
+    if quantize_mode:
+        gtype = {"q8_0": gguf_mod.GGML_Q8_0,
+                 "q4_0": gguf_mod.GGML_Q4_0}[quantize_mode]
+        quantize = {n: gtype for n, a in arrays.items()
+                    if should_quantize(n, a)}
+    gguf_mod.write_gguf(path, meta, arrays, quantize=quantize)
+
+
 # ---------------------------------------------------------------------------
 # Random init (for tests / benchmarks when no real GGUF is available)
 # ---------------------------------------------------------------------------

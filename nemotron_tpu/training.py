@@ -77,13 +77,13 @@ def make_train_step(cfg: ModelConfig, optimizer):
     loss). Differentiates through the full encoder/prediction/joint; works
     under a mesh via sharded inputs (GSPMD handles the collectives)."""
 
+    import optax
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(
             lambda p: loss_fn(p, cfg, batch))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        import optax
-
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 

@@ -122,3 +122,25 @@ def test_full_model_gguf_load(tmp_path, model_setup):
     np.testing.assert_array_equal(
         np.asarray(loaded.subsampling.conv0_w),
         arrays["encoder.pre_encode.conv.0.weight"].transpose(2, 3, 1, 0))
+
+
+def test_params_roundtrip_through_save_model(model_setup, tmp_path):
+    """params -> save_model -> load_model reproduces every leaf exactly
+    (the export half of a train->deploy loop)."""
+    import jax
+
+    from nemotron_tpu import params as params_mod
+
+    _, params, cfg = model_setup
+    path = str(tmp_path / "rt.gguf")
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+    params_mod.save_model(path, params, cfg, vocab=vocab)
+
+    loaded, lcfg, lvocab = params_mod.load_model(path)
+    assert lcfg == cfg and lvocab[:3] == ["t0", "t1", "t2"]
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(loaded)):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0,
+                                   err_msg=str(pa))
