@@ -117,8 +117,8 @@ class EncoderState:
     `valid_len` mirrors the reference's host-side cache_valid_len
     (src/nemo-stream.h:239)."""
 
-    k_cache: Any      # [L, B, KV, D] ring
-    v_cache: Any      # [L, B, KV, D] ring
+    k_cache: Any      # [L, B, H, KV, Dh] ring (head-major)
+    v_cache: Any      # [L, B, H, KV, Dh] ring (head-major)
     conv_cache: Any   # [L, B, K-1, D]
     valid_len: Any    # [B] int32 (valid cached frames, capped at C)
     phase: Any        # [B] int32 (next ring segment to write)
@@ -132,9 +132,10 @@ def init_encoder_state(cfg: ModelConfig, cc: CacheConfig, batch: int,
         f"kv_len {kv} must be a multiple of chunk_enc_len "
         f"{cc.chunk_enc_len} for the ring cache (true for all standard "
         f"latency modes)")
+    H, DH = cfg.n_heads, cfg.d_head
     return EncoderState(
-        k_cache=jnp.zeros((L, batch, kv, D), dtype),
-        v_cache=jnp.zeros((L, batch, kv, D), dtype),
+        k_cache=jnp.zeros((L, batch, H, kv, DH), dtype),
+        v_cache=jnp.zeros((L, batch, H, kv, DH), dtype),
         conv_cache=jnp.zeros((L, batch, cc.conv_cache_size, D), dtype),
         valid_len=jnp.zeros((batch,), jnp.int32),
         phase=jnp.zeros((batch,), jnp.int32),
@@ -247,23 +248,23 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     (x, ncv, _), ys = jax.lax.scan(
         body, (x, state.conv_cache, jnp.int32(0)),
         (params.layers, pos_heads, state.k_cache, state.v_cache))
-    k_new, v_new = ys[0], ys[1]                              # [L, B, Q, D]
+    k_new, v_new = ys[0], ys[1]                          # [L, B, H, Q, Dh]
 
     off = phase_s * Q
     if step_mask is not None:
         # continuous batching: a non-advancing stream keeps its old segment
-        # content (cheap: the where is on the [L, B, Q, D] slab only)
-        old_k = jax.lax.dynamic_slice_in_dim(state.k_cache, off, Q, axis=2)
-        old_v = jax.lax.dynamic_slice_in_dim(state.v_cache, off, Q, axis=2)
-        m = step_mask[None, :, None, None]
+        # content (cheap: the where is on the [L, B, H, Q, Dh] slab only)
+        old_k = jax.lax.dynamic_slice_in_dim(state.k_cache, off, Q, axis=3)
+        old_v = jax.lax.dynamic_slice_in_dim(state.v_cache, off, Q, axis=3)
+        m = step_mask[None, :, None, None, None]
         k_new = jnp.where(m, k_new.astype(state.k_cache.dtype), old_k)
         v_new = jnp.where(m, v_new.astype(state.v_cache.dtype), old_v)
-        ncv = jnp.where(m, ncv, state.conv_cache)
+        ncv = jnp.where(m[..., 0], ncv, state.conv_cache)
 
     nk = jax.lax.dynamic_update_slice_in_dim(
-        state.k_cache, k_new.astype(state.k_cache.dtype), off, axis=2)
+        state.k_cache, k_new.astype(state.k_cache.dtype), off, axis=3)
     nv = jax.lax.dynamic_update_slice_in_dim(
-        state.v_cache, v_new.astype(state.v_cache.dtype), off, axis=2)
+        state.v_cache, v_new.astype(state.v_cache.dtype), off, axis=3)
 
     new_valid = jnp.minimum(state.valid_len + Q, C)
     new_phase = jnp.mod(state.phase + 1, n_seg)
@@ -296,7 +297,7 @@ def realign_ring(enc_state: "EncoderState", slot, delta, chunk_len: int):
     shift = delta * chunk_len
     k = jnp.roll(enc_state.k_cache[:, slot], shift, axis=-2)
     v = jnp.roll(enc_state.v_cache[:, slot], shift, axis=-2)
-    n_seg = enc_state.k_cache.shape[2] // chunk_len
+    n_seg = enc_state.k_cache.shape[-2] // chunk_len
     return EncoderState(
         k_cache=enc_state.k_cache.at[:, slot].set(k),
         v_cache=enc_state.v_cache.at[:, slot].set(v),
@@ -308,19 +309,20 @@ def realign_ring(enc_state: "EncoderState", slot, delta, chunk_len: int):
 
 
 def ring_to_chronological(ring, phase, chunk_len: int):
-    """Host-side debug/interop: reorder a ring cache [L, B, KV, D] into the
-    reference's chronological window layout [L, B, KV-chunk, D] (oldest
-    first, the stale segment dropped)."""
+    """Host-side debug/interop: reorder a head-major ring cache
+    [L, B, H, KV, Dh] into the reference's chronological window layout
+    [L, B, KV-chunk, H*Dh] (oldest first, the stale segment dropped)."""
     import numpy as np
 
     ring = np.asarray(ring)
     phase = np.asarray(phase)
-    L, B, KV, D = ring.shape
+    L, B, H, KV, DH = ring.shape
     Q = chunk_len
     n = KV // Q
-    out = np.zeros((L, B, KV - Q, D), ring.dtype)
+    out = np.zeros((L, B, KV - Q, H * DH), ring.dtype)
     for b in range(B):
         segs = [(int(phase[b]) - a) % n for a in range(n - 1, 0, -1)]
-        out[:, b] = np.concatenate(
-            [ring[:, b, s * Q:(s + 1) * Q] for s in segs], axis=1)
+        chron = np.concatenate(
+            [ring[:, b, :, s * Q:(s + 1) * Q] for s in segs], axis=2)
+        out[:, b] = chron.transpose(0, 2, 1, 3).reshape(L, KV - Q, H * DH)
     return out

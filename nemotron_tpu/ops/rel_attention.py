@@ -147,7 +147,7 @@ def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
     in kv_len slots and only ONE segment per stream is rewritten per step
     (done by the caller, outside the layer scan). Inside the layer:
 
-      - k_ring/v_ring [B, KV, D] are READ-ONLY; the slot about to be
+      - k_ring/v_ring [B, H, KV, Dh] (HEAD-MAJOR: the big dot operands\n        carry batch dims (b, h) leading and the contraction minor, avoiding\n        relayout copies) are READ-ONLY; the slot about to be
         overwritten holds the (n_seg)-chunks-old segment, which is outside
         the attention window and masked invalid by construction.
       - the CURRENT chunk's keys/values are attended as Q extra slots
@@ -163,33 +163,35 @@ def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
         order. Softmax and the context sum are permutation-invariant, so
         this is numerically equivalent to the shift layout.
 
-    Returns (out [B, Q, D], k_new [B, Q, D], v_new [B, Q, D]) -- the caller
-    writes k_new/v_new into the ring segment for this layer.
+    Returns (out [B, Q, D], k_new [B, H, Q, Dh], v_new [B, H, Q, Dh]) --
+    the caller writes them into the (head-major) ring segment.
     """
     from .quant import qmm
 
     B, Q, D = x.shape
     dt = x.dtype
-    q = qmm(x, lp.attn_q_w).reshape(B, Q, n_heads, d_head)
-    k_new = qmm(x, lp.attn_k_w)
-    v_new = qmm(x, lp.attn_v_w)
 
-    kv = k_ring.shape[1]
-    k_r = k_ring.astype(dt).reshape(B, kv, n_heads, d_head)
-    v_r = v_ring.astype(dt).reshape(B, kv, n_heads, d_head)
-    k_n = k_new.reshape(B, Q, n_heads, d_head)
-    v_n = v_new.reshape(B, Q, n_heads, d_head)
+    def heads(t):  # [B, Q, D] -> [B, H, Q, Dh] (head-major)
+        return jnp.swapaxes(t.reshape(B, Q, n_heads, d_head), 1, 2)
 
-    q_u = q + lp.pos_bias_u.astype(dt)
-    q_v = q + lp.pos_bias_v.astype(dt)
+    q = heads(qmm(x, lp.attn_q_w))
+    k_new = heads(qmm(x, lp.attn_k_w))
+    v_new = heads(qmm(x, lp.attn_v_w))
+
+    kv = k_ring.shape[2]
+    k_r = k_ring.astype(dt)
+    v_r = v_ring.astype(dt)
+
+    q_u = q + lp.pos_bias_u.astype(dt)[None, :, None, :]
+    q_v = q + lp.pos_bias_v.astype(dt)[None, :, None, :]
 
     content = jnp.concatenate([
-        jnp.einsum("bihd,bjhd->bhij", q_u, k_r,
+        jnp.einsum("bhid,bhjd->bhij", q_u, k_r,
                    preferred_element_type=jnp.float32).astype(dt),
-        jnp.einsum("bihd,bjhd->bhij", q_u, k_n,
+        jnp.einsum("bhid,bhjd->bhij", q_u, k_new,
                    preferred_element_type=jnp.float32).astype(dt),
     ], axis=-1)                                             # [B,H,Q,kv+Q]
-    pos_raw = jnp.einsum("bihd,phd->bhip", q_v, pos_heads.astype(dt),
+    pos_raw = jnp.einsum("bhid,phd->bhip", q_v, pos_heads.astype(dt),
                          preferred_element_type=jnp.float32).astype(dt)
     # chronological bias over the full window incl. the current chunk:
     # out[i, t] has relative distance i - t + C for t in [0, kv)
@@ -206,11 +208,12 @@ def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
     s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
     w = (e.astype(jnp.float32) / s).astype(dt)
 
-    ctx = (jnp.einsum("bhij,bjhd->bihd", w[..., :kv], v_r,
+    ctx = (jnp.einsum("bhij,bhjd->bhid", w[..., :kv], v_r,
                       preferred_element_type=jnp.float32)
-           + jnp.einsum("bhij,bjhd->bihd", w[..., kv:], v_n,
+           + jnp.einsum("bhij,bhjd->bhid", w[..., kv:], v_new,
                         preferred_element_type=jnp.float32)).astype(dt)
-    out = qmm(ctx.reshape(B, Q, D), lp.attn_out_w)
+    ctx = jnp.swapaxes(ctx, 1, 2).reshape(B, Q, D)
+    out = qmm(ctx, lp.attn_out_w)
     return out, k_new, v_new
 
 

@@ -80,11 +80,13 @@ def param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(one, params)
 
 
-def state_shardings(state, mesh: Mesh, stream_axis_by_rank={4: 1, 3: 0, 1: 0}):
+def state_shardings(state, mesh: Mesh,
+                    stream_axis_by_rank={5: 1, 4: 1, 3: 0, 1: 0}):
     """NamedSharding tree for (EncoderState, DecoderState, ...) pytrees.
 
-    Encoder caches are [L, B, ...] (stream axis 1); decoder state is
-    [B, ...] (axis 0); per-stream scalars are [B]."""
+    Encoder caches are [L, B, ...] (stream axis 1; K/V rings are rank-5
+    head-major [L, B, H, KV, Dh]); decoder state is [B, ...] (axis 0);
+    per-stream scalars are [B]."""
 
     def one(leaf):
         nd = np.ndim(leaf)
