@@ -5,9 +5,9 @@ TPU design vs the reference ggml graphs:
     params -> a single traced layer body instead of 24 copies (compile time
     and HBM-resident code size), with XLA free to pipeline weights from HBM.
   - All streaming state is an explicit pytree (`EncoderState`) with STATIC
-    shapes: the K/V "sliding window" is concat(cache, new)[-C:], which XLA
-    turns into static slices (the reference does concat+view per graph,
-    src/nemo-stream.cpp:465-484).
+    shapes: the K/V attention window is a head-major RING buffer; one
+    segment is rewritten per chunk (the reference's concat+keep-last-70
+    graph rewrites the full window every chunk, src/nemo-stream.cpp:465-484).
   - Cold-cache validity masking is data (an additive mask computed from
     `valid_len`), not shape: chunk 0..8 all compile to the same program
     (reference recomputes the mask host-side per chunk,
