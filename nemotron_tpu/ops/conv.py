@@ -30,6 +30,13 @@ def causal_conv2d(x, w, b, stride: int, groups: int = 1):
     kT, kF = w.shape[0], w.shape[1]
     if groups > 1 and w.shape[2] == 1 and groups == x.shape[-1] == w.shape[3]:
         return _depthwise_conv2d(x, w, b, stride)
+    if kT == kF == 1 and stride == 1 and groups == 1:
+        # pointwise conv IS a matmul; skip the conv lowering entirely
+        return x @ w[0, 0].astype(x.dtype) + b.astype(x.dtype)
+    if groups == 1 and x.shape[-1] * kT * kF <= 64:
+        # small-fan-in conv (the stem's Cin=1 3x3): im2col + one MXU matmul
+        # beats XLA's conv path, which pads the single input channel
+        return _im2col_conv2d(x, w, b, stride)
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -39,6 +46,31 @@ def causal_conv2d(x, w, b, stride: int, groups: int = 1):
         feature_group_count=groups,
     )
     return out + b.astype(x.dtype)
+
+
+def _im2col_conv2d(x, w, b, stride: int):
+    """Causal conv2d as im2col patches @ reshaped kernel.
+
+    x: [B, T, F, Cin]; w: [kT, kF, Cin, O]. Patches are built from kT*kF
+    strided slices (cheap, fusable); the single matmul has contraction
+    kT*kF*Cin."""
+    B, T, F, Cin = x.shape
+    kT, kF, _, O = w.shape
+    s = stride
+    xp = jnp.pad(x, ((0, 0), (kT - 1, s - 1), (kF - 1, s - 1), (0, 0)))
+    T_out = (T + s - 2) // s + 1
+    F_out = (F + s - 2) // s + 1
+    cols = []
+    for di in range(kT):
+        for dj in range(kF):
+            cols.append(jax.lax.slice(
+                xp, (0, di, dj, 0),
+                (B, di + s * (T_out - 1) + 1, dj + s * (F_out - 1) + 1, Cin),
+                (1, s, s, 1)))
+    patches = jnp.concatenate(cols, axis=-1)         # [B, T', F', kT*kF*Cin]
+    # kernel reorder to match patch layout: (di, dj, cin) fastest = cin
+    wmat = w.astype(x.dtype).reshape(kT * kF * Cin, O)
+    return patches @ wmat + b.astype(x.dtype)
 
 
 def _depthwise_conv2d(x, w, b, stride: int):
