@@ -196,9 +196,15 @@ def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
     # chronological bias over the full window incl. the current chunk:
     # out[i, t] has relative distance i - t + C for t in [0, kv)
     pos_chron = rel_shift(pos_raw, kv)
-    pos_attn = jnp.einsum("bhit,tj->bhij", pos_chron,
-                          pos_perm.astype(dt),
-                          preferred_element_type=jnp.float32).astype(dt)
+    # one flat [B*H*Q, kv] @ [kv, kv+Q] matmul -- the permutation is shared
+    # across (b, h); a "bhit,tj" einsum lowers to B*H tiny batched matmuls
+    # (launch-bound: measured ~9.5 ms at B=768 vs ~1 ms flat)
+    B_, H_, Q_, _ = pos_chron.shape
+    pos_attn = jax.lax.dot_general(
+        pos_chron.reshape(B_ * H_ * Q_, kv), pos_perm.astype(dt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt).reshape(B_, H_, Q_, kv + Q)
 
     scale = np.float32(1.0 / np.sqrt(d_head))
     scores = (content + pos_attn) * scale.astype(dt)
