@@ -39,7 +39,7 @@ def conformer_layer(lp: ConformerLayerParams, x, pos_heads, mask=None,
     reference src/nemo-ggml.cpp:768-813). Returns
     (y, new_k_cache, new_v_cache, new_conv_cache).
 
-    Streaming uses `ring` = (k_ring, v_ring, write_offsets, pos_idx) for the
+    Streaming uses `ring` = (k_ring, v_ring, pos_perm) for the head-major
     ring-buffered attention cache; `kv_cache` is the legacy shift-window
     path (kept for differential testing)."""
     r = x

@@ -11,7 +11,6 @@ params over 'model', with GSPMD inserting the gradient all-reduces.
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

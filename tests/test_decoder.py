@@ -116,7 +116,6 @@ def test_frame_skipping_greedy_matches_frame_scan(model_setup, bias, seed):
 
     import jax.numpy as jnp
 
-    from nemotron_tpu import params as params_mod
     from nemotron_tpu.models import decoder as dec_mod
 
     _, params, cfg = model_setup

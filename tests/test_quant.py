@@ -10,7 +10,6 @@ Gates, mirroring the reference's quant guarantees:
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 
@@ -19,7 +18,7 @@ from nemotron_tpu import params as params_mod
 from nemotron_tpu.ops import quant
 from nemotron_tpu.ops.quant_kernel import q8_matmul
 
-from conftest import tiny_config, write_tiny_gguf
+from conftest import write_tiny_gguf
 
 
 def test_quantize_matches_gguf_q8_0(rng):

@@ -163,8 +163,6 @@ def test_engine_snapshot_resume(model_setup, tmp_path):
     import jax.numpy as jnp
 
     from nemotron_tpu.config import CacheConfig
-    from nemotron_tpu.frontend.preprocessor import (hann_window,
-                                                    mel_filterbank_slaney)
     from nemotron_tpu.streaming.serving import ServingEngine
 
     _, params, cfg = model_setup
