@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Batch (whole-file) transcription CLI (reference src/transcribe.cpp):
 
-    transcribe.py <model.gguf> <audio.pcm> [--cpu] [--timestamps]
+    transcribe.py <model.gguf> <audio.pcm|.wav> [--cpu] [--timestamps]
 """
 
 import os
@@ -23,13 +23,12 @@ def main(argv: list[str]) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
-    import numpy as np
-
     from nemotron_tpu.params import load_model
     from nemotron_tpu.streaming.session import transcribe_batch
+    from nemotron_tpu.utils.audio import read_audio_file
 
     params, cfg, vocab = load_model(args[0])
-    audio = np.fromfile(args[1], dtype="<i2")
+    audio = read_audio_file(args[1])
     t0 = time.perf_counter()
     text = transcribe_batch(params, cfg, vocab, audio,
                             timestamp_words="--timestamps" in flags)

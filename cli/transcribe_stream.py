@@ -4,7 +4,7 @@
 Preserves the reference binary's contract (reference
 src/transcribe_stream.cpp:27-36):
 
-    transcribe_stream.py <model.gguf> <audio.pcm|-|--stdin> [chunk_ms]
+    transcribe_stream.py <model.gguf> <audio.pcm|.wav|-|--stdin> [chunk_ms]
                          [right_context] [--cpu|--tpu] [--timestamps]
                          [--profile=DIR] [--trace=DIR] [--quantize=q8_0|w8a8]
 
@@ -87,8 +87,21 @@ def main(argv: list[str]) -> int:
 
     import numpy as np
 
-    src = sys.stdin.buffer if audio_path in ("-", "--stdin") else open(
-        audio_path, "rb")
+    import io
+
+    if audio_path in ("-", "--stdin"):
+        src = sys.stdin.buffer
+    else:
+        src = open(audio_path, "rb")
+        head = src.read(12)
+        if head[:4] == b"RIFF":  # WAV: decode fully, replay as raw PCM
+            from nemotron_tpu.utils.audio import read_audio_bytes
+
+            data = head + src.read()
+            src.close()
+            src = io.BytesIO(read_audio_bytes(data).tobytes())
+        else:
+            src.seek(0)
     chunk_bytes = cc.chunk_samples * 2
 
     t_start = time.perf_counter()

@@ -67,3 +67,34 @@ def test_batch_cli(model_file, tmp_path):
 def test_cli_usage_error():
     r = run_cli("transcribe_stream.py", [])
     assert r.returncode == 1
+
+
+def test_wav_decoding(tmp_path):
+    """WAV (PCM16 mono/stereo) decodes to the same samples as raw PCM."""
+    import struct
+
+    from nemotron_tpu.utils.audio import read_audio_bytes, read_audio_file
+
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(1600) * 8000).astype("<i2")
+
+    def wav_bytes(samples, channels=1, rate=16000):
+        data = samples.tobytes()
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                        rate * 2 * channels, 2 * channels, 16)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    np.testing.assert_array_equal(read_audio_bytes(wav_bytes(pcm)), pcm)
+    # raw passthrough
+    np.testing.assert_array_equal(read_audio_bytes(pcm.tobytes()), pcm)
+    # stereo downmix
+    stereo = np.stack([pcm, pcm], axis=1).reshape(-1)
+    np.testing.assert_array_equal(read_audio_bytes(wav_bytes(stereo, 2)), pcm)
+    # wrong rate rejected
+    with pytest.raises(ValueError):
+        read_audio_bytes(wav_bytes(pcm, rate=44100))
+    # file helper
+    p = str(tmp_path / "a.wav")
+    open(p, "wb").write(wav_bytes(pcm))
+    np.testing.assert_array_equal(read_audio_file(p), pcm)
