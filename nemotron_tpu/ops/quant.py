@@ -141,6 +141,12 @@ def qmm(x, w, prefer_pallas: bool = True):
     otherwise dequant-then-matmul (XLA fuses the dequant into the HBM->VMEM
     weight load under jit)."""
     if isinstance(w, QTensorW8A8):
+        if prefer_pallas and _w8a8_pallas_eligible(x, w):
+            from .w8a8_kernel import w8a8_matmul
+
+            lead = x.shape[:-1]
+            out = w8a8_matmul(x.reshape(-1, x.shape[-1]), w.q, w.col_scale)
+            return out.reshape(*lead, w.q.shape[-1])
         return qmm_w8a8(x, w)
     if not isinstance(w, QTensor):
         return x @ w.astype(x.dtype)
@@ -151,6 +157,16 @@ def qmm(x, w, prefer_pallas: bool = True):
         out = q8_matmul(x.reshape(-1, x.shape[-1]), w.q, w.scale)
         return out.reshape(*lead, w.q.shape[-1]).astype(x.dtype)
     return x @ dequantize(w, x.dtype)
+
+
+def _w8a8_pallas_eligible(x, w: "QTensorW8A8") -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    if w.q.ndim != 2:
+        return False
+    n_in, n_out = w.q.shape
+    rows = int(np.prod(x.shape[:-1]))
+    return n_in % 256 == 0 and n_out % 256 == 0 and rows >= 32
 
 
 def _pallas_eligible(x, w: QTensor) -> bool:

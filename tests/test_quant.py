@@ -189,3 +189,24 @@ def test_w8a8_pipeline(model_setup, rng):
     diff = np.abs(outs["f32"] - outs["w8a8"]).max()
     scale = np.abs(outs["f32"]).max() + 1e-9
     assert diff / scale < 0.08, (diff, scale)
+
+
+@pytest.mark.parametrize("M,K,N", [(37, 512, 256), (300, 1024, 512)])
+def test_pallas_w8a8_matmul_interpret(rng, M, K, N):
+    """Fused W8A8 kernel (interpret mode): per-(row, k-tile) activation
+    scales must be at least as accurate as the XLA per-row path."""
+    from nemotron_tpu.ops.w8a8_kernel import w8a8_matmul
+
+    w = rng.standard_normal((K, N), dtype=np.float32) * 0.1
+    x = jnp.asarray(rng.standard_normal((M, K), dtype=np.float32))
+    qt = quant.quantize_tensor_w8a8(w)
+    ref = np.asarray(x @ jnp.asarray(
+        qt.q, jnp.float32) * jnp.asarray(qt.col_scale))
+    xla = np.asarray(quant.qmm_w8a8(x, qt))
+    got = np.asarray(w8a8_matmul(x, jnp.asarray(qt.q),
+                                 jnp.asarray(qt.col_scale), interpret=True))
+    assert got.shape == (M, N)
+    denom = np.abs(ref).max()
+    err_kernel = np.abs(got - ref).max() / denom
+    err_xla = np.abs(xla - ref).max() / denom
+    assert err_kernel < max(2 * err_xla, 0.02), (err_kernel, err_xla)
