@@ -160,6 +160,14 @@ def qmm(x, w, prefer_pallas: bool = True):
 
 
 def _w8a8_pallas_eligible(x, w: "QTensorW8A8") -> bool:
+    # Disabled by default: XLA's int8 dot + fused quantize passes measured
+    # FASTER than the hand-written fused kernel (123 vs 216 ms/step at
+    # batch 768) -- XLA's matmul pipelining wins at these shapes. The kernel
+    # stays available for experimentation via NEMOTRON_TPU_PALLAS_W8A8=1.
+    import os
+
+    if os.environ.get("NEMOTRON_TPU_PALLAS_W8A8") != "1":
+        return False
     if jax.default_backend() != "tpu":
         return False
     if w.q.ndim != 2:
