@@ -127,3 +127,25 @@ def test_strict_right_context_vacuous_for_standard_chunks(model_setup, rng):
             outs.append((np.asarray(out1), np.asarray(out2)))
         np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-6)
         np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-6)
+
+
+def test_ring_extreme_geometry_pure_causal(model_setup, oracle, rng):
+    """R=0 with the full 70-frame left context: chunk_enc_len=1 -> a ring of
+    71 one-frame segments (the most segment-heavy standard mode). Must still
+    match the streaming oracle."""
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=0, n_mels=cfg.n_mels)
+    assert cc.kv_len == 71 and cc.chunk_enc_len == 1
+
+    ostream = OracleStream(oracle, cc)
+    state = enc_mod.init_encoder_state(cfg, cc, batch=1)
+    pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc)
+    step = jax.jit(enc_mod.encode_chunk, static_argnums=(1, 2))
+    for ci in range(4):
+        mel = rng.standard_normal(
+            (cc.chunk_mel_frames, cfg.n_mels)).astype(np.float32)
+        want = ostream.encode_chunk(mel)
+        got, state = step(params, cfg, cc, jnp.asarray(mel)[None], state,
+                          pos_heads)
+        np.testing.assert_allclose(np.asarray(got)[0], want, atol=5e-5,
+                                   err_msg=f"chunk {ci}")
