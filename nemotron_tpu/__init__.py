@@ -15,6 +15,29 @@ from .config import (  # noqa: F401
     PreprocessorConfig,
     MAX_SYMBOLS_PER_STEP,
 )
-from .params import ModelParams, load_model, random_params  # noqa: F401
+from .params import (  # noqa: F401
+    ModelParams,
+    load_model,
+    quantize_model_params,
+    random_params,
+    save_model,
+)
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # heavy submodule conveniences, imported lazily
+    if name == "StreamSession":
+        from .streaming.session import StreamSession
+
+        return StreamSession
+    if name == "ServingEngine":
+        from .streaming.serving import ServingEngine
+
+        return ServingEngine
+    if name == "transcribe_batch":
+        from .streaming.session import transcribe_batch
+
+        return transcribe_batch
+    raise AttributeError(name)
