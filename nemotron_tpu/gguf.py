@@ -172,6 +172,8 @@ class GGUFTensor:
 class GGUFFile:
     metadata: dict[str, object]
     tensors: dict[str, GGUFTensor]
+    # keeps the native mmap alive while zero-copy tensor views exist
+    _native: object = None
 
 
 def _read_string(f: BinaryIO) -> bytes:
@@ -211,7 +213,20 @@ def _read_value(f: BinaryIO, vtype: int) -> object:
     raise ValueError(f"unsupported metadata type {vtype}")
 
 
-def read_gguf(path: str) -> GGUFFile:
+def read_gguf(path: str, use_native: bool | str = "auto") -> GGUFFile:
+    """Read a GGUF file. With the native loader built (native/gguf_loader.cpp)
+    the tensor payload is served as zero-copy views into one mmap instead of
+    per-tensor read() copies (the reference freads every tensor,
+    src/nemo-ggml.cpp:221-247)."""
+    native = None
+    if use_native in ("auto", True):
+        try:
+            from .gguf_native import NativeGGUF
+
+            native = NativeGGUF(path)
+        except Exception:
+            if use_native is True:
+                raise
     with open(path, "rb") as f:
         if f.read(4) != GGUF_MAGIC:
             raise ValueError(f"{path}: not a GGUF file")
@@ -251,11 +266,14 @@ def read_gguf(path: str) -> GGUFFile:
         for name, shape, gtype, offset in infos:
             n = int(np.prod(shape)) if shape else 1
             size = type_size(gtype, n)
-            f.seek(data_start + offset)
-            raw = f.read(size)
+            if native is not None:
+                raw = native.view(data_start + offset, size)
+            else:
+                f.seek(data_start + offset)
+                raw = f.read(size)
             tensors[name] = GGUFTensor(name, shape, gtype, raw)
 
-    return GGUFFile(metadata=metadata, tensors=tensors)
+    return GGUFFile(metadata=metadata, tensors=tensors, _native=native)
 
 
 # ---------------------------------------------------------------------------

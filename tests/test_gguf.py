@@ -144,3 +144,32 @@ def test_params_roundtrip_through_save_model(model_setup, tmp_path):
         assert pa == pb
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0,
                                    err_msg=str(pa))
+
+
+def test_native_mmap_loader_matches_python(model_setup, tmp_path):
+    """Zero-copy native loader returns byte-identical tensors to the pure
+    Python reader (f32 and quantized payloads)."""
+    from nemotron_tpu import gguf, gguf_native
+    from conftest import write_tiny_gguf
+    from nemotron_tpu.ops import quant
+
+    if not gguf_native.available():
+        pytest.skip("native gguf loader not built")
+
+    arrays, _, cfg = model_setup
+    qnames = {n: gguf.GGML_Q8_0 for n in arrays
+              if quant.should_quantize(
+                  n, arrays[n] if arrays[n].ndim != 3 else arrays[n].squeeze())}
+    path = str(tmp_path / "n.gguf")
+    write_tiny_gguf(path, arrays, cfg, quantize=qnames)
+
+    gp = gguf.read_gguf(path, use_native=False)
+    gn = gguf.read_gguf(path, use_native=True)
+    assert gn._native is not None and gp._native is None
+    assert set(gp.tensors) == set(gn.tensors)
+    assert gp.metadata["nemo.d_model"] == gn.metadata["nemo.d_model"]
+    for name in gp.tensors:
+        a, b = gp.tensors[name], gn.tensors[name]
+        assert a.shape == b.shape and a.ggml_type == b.ggml_type
+        assert bytes(a.raw) == bytes(np.asarray(b.raw).tobytes())
+        np.testing.assert_array_equal(a.to_numpy(), b.to_numpy())
