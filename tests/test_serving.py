@@ -299,3 +299,43 @@ def test_engine_stats(model_setup):
     st = eng.stats()
     assert st["active_slots"] == 1 and st["engine_steps"] >= 1
     assert st["audio_seconds_decoded"] > 0 and st["aggregate_rtf"] > 0
+
+
+def test_slot_evict_and_reuse(model_setup):
+    """remove_stream returns the transcript, clears the slot, and a new
+    stream admitted into the same slot starts cold (no state leakage)."""
+    import jax.numpy as jnp
+
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.streaming.serving import ServingEngine
+
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=1, n_mels=cfg.n_mels)
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+
+    def audio(seed, n=6000):
+        r = np.random.default_rng(seed)
+        return (r.standard_normal(n) * 8000).astype(np.int16)
+
+    eng = ServingEngine(params, cfg, vocab, cc, n_slots=1,
+                        compute_dtype=jnp.float32)
+    s0 = eng.add_stream()
+    eng.feed_audio({s0: audio(1)})
+    eng.step()
+    text0 = eng.remove_stream(s0)
+    assert eng.active.sum() == 0
+
+    s1 = eng.add_stream()
+    assert s1 == s0  # slot reused
+    eng.feed_audio({s1: audio(2)})
+    eng.step()
+    got = eng.transcripts[s1]
+
+    # a fresh engine fed the same audio must match exactly (no leakage)
+    eng2 = ServingEngine(params, cfg, vocab, cc, n_slots=1,
+                         compute_dtype=jnp.float32)
+    s2 = eng2.add_stream()
+    eng2.feed_audio({s2: audio(2)})
+    eng2.step()
+    assert got == eng2.transcripts[s2]
+    assert isinstance(text0, str)
