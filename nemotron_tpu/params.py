@@ -263,14 +263,24 @@ def quantize_model_params(params: ModelParams,
                  + per-token activation scales, runs on the MXU's
                  double-rate int8 path (accuracy: standard W8A8 behavior,
                  validate on real weights before production)"""
+    from .ops.quant import dequantize
+
     quantize = {"q8_0": quantize_tensor, "w8a8": quantize_tensor_w8a8}[mode]
     layers = params.layers
     updates = {}
     for f in _QUANT_LAYER_FIELDS:
         w = getattr(layers, f)
-        if isinstance(w, (QTensor, QTensorW8A8)):
-            continue
-        updates[f] = quantize(np.asarray(w))
+        if isinstance(w, QTensor):
+            if mode == "q8_0":
+                continue
+            w = np.asarray(dequantize(w))   # Q8_0 GGUF -> W8A8 serving mode
+        elif isinstance(w, QTensorW8A8):
+            if mode == "w8a8":
+                continue
+            w = np.asarray(w.q, np.float32) * np.asarray(w.col_scale)
+        else:
+            w = np.asarray(w)
+        updates[f] = quantize(w)
     layers = dataclasses.replace(layers, **updates)
     return dataclasses.replace(params, layers=layers)
 

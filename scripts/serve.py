@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Many-stream serving demo: drive the continuous-batching engine with N
+concurrent streams replaying one or more PCM/WAV files, and report
+aggregate throughput and latency percentiles.
+
+    serve.py <model.gguf> <audio.pcm|.wav> [--streams N] [--slots S]
+             [--right-context R] [--quantize w8a8] [--seconds T] [--cpu]
+
+Streams are staggered (each starts at a different offset into the audio,
+wrapping around) so the engine exercises admission at different phases.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str]) -> int:
+    args = [a for a in argv[1:] if not a.startswith("--")]
+    if len(args) < 2:
+        print(__doc__, file=sys.stderr)
+        return 1
+
+    def opt(name, default, cast):
+        return cast(argv[argv.index(name) + 1]) if name in argv else default
+
+    if "--cpu" in argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    n_streams = opt("--streams", 8, int)
+    n_slots = opt("--slots", max(8, n_streams), int)
+    R = opt("--right-context", 13, int)
+    seconds = opt("--seconds", 10.0, float)
+    quant_mode = opt("--quantize", None, str)
+
+    import jax.numpy as jnp
+
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.params import load_model, quantize_model_params
+    from nemotron_tpu.streaming.serving import ServingEngine
+    from nemotron_tpu.utils.audio import read_audio_file
+
+    params, cfg, vocab = load_model(args[0])
+    if quant_mode:
+        params = quantize_model_params(params, mode=quant_mode)
+    cc = CacheConfig(att_right_context=R, n_mels=cfg.n_mels)
+    audio = read_audio_file(args[1])
+
+    eng = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
+                        compute_dtype=jnp.bfloat16)
+    slots = [eng.add_stream() for _ in range(n_streams)]
+    offsets = [(i * len(audio)) // max(n_streams, 1) for i in range(n_streams)]
+
+    tick = cc.shift_samples  # one chunk of audio per engine tick per stream
+    n_ticks = int(seconds * 16000 / tick)
+    t0 = time.perf_counter()
+    for _ in range(n_ticks):
+        feed = {}
+        for i, s in enumerate(slots):
+            start = offsets[i] % len(audio)
+            block = np.resize(np.roll(audio, -start)[:tick], tick)
+            offsets[i] += tick
+            feed[s] = block
+        eng.feed_audio(feed)
+        eng.step()
+    wall = time.perf_counter() - t0
+
+    st = eng.stats()
+    print(f"streams={n_streams} slots={n_slots} mode=R{R}"
+          f"{' ' + quant_mode if quant_mode else ''}", file=sys.stderr)
+    print(f"decoded {st['audio_seconds_decoded']:.1f}s of audio in "
+          f"{wall:.2f}s wall ({st['audio_seconds_decoded']/max(wall,1e-9):.1f}x "
+          f"aggregate real-time); engine aggregate RTF "
+          f"{st['aggregate_rtf']:.5f}", file=sys.stderr)
+    lat = st["latency"]
+    if lat:
+        print(f"per-tick latency p50 {lat['p50']*1e3:.1f} ms  "
+              f"p90 {lat['p90']*1e3:.1f} ms  p99 {lat['p99']*1e3:.1f} ms",
+              file=sys.stderr)
+    for s in slots[:3]:
+        print(f"[slot {s}] {eng.transcripts[s][:70]}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

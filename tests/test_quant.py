@@ -210,3 +210,24 @@ def test_pallas_w8a8_matmul_interpret(rng, M, K, N):
     err_kernel = np.abs(got - ref).max() / denom
     err_xla = np.abs(xla - ref).max() / denom
     assert err_kernel < max(2 * err_xla, 0.02), (err_kernel, err_xla)
+
+
+def test_q8_gguf_to_w8a8_conversion(model_setup, tmp_path):
+    """A Q8_0 GGUF can be re-quantized into the fast W8A8 serving mode;
+    numerics stay close to dense."""
+    arrays, _, cfg = model_setup
+    qnames = {n: gguf.GGML_Q8_0 for n in arrays
+              if quant.should_quantize(
+                  n, arrays[n] if arrays[n].ndim != 3 else arrays[n].squeeze())}
+    path = str(tmp_path / "c.gguf")
+    write_tiny_gguf(path, arrays, cfg, quantize=qnames)
+
+    qp, qcfg, _ = params_mod.load_model(path, keep_quantized=True)
+    wp = params_mod.quantize_model_params(qp, mode="w8a8")
+    assert isinstance(wp.layers.ffn1_w1, quant.QTensorW8A8)
+
+    dense = params_mod.load_model(path, keep_quantized=False)[0]
+    w_dense = np.asarray(dense.layers.ffn1_w1)
+    w_back = (np.asarray(wp.layers.ffn1_w1.q, np.float32)
+              * np.asarray(wp.layers.ffn1_w1.col_scale))
+    assert np.abs(w_back - w_dense).max() / np.abs(w_dense).max() < 0.02
