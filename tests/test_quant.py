@@ -229,5 +229,5 @@ def test_q8_gguf_to_w8a8_conversion(model_setup, tmp_path):
     dense = params_mod.load_model(path, keep_quantized=False)[0]
     w_dense = np.asarray(dense.layers.ffn1_w1)
     w_back = (np.asarray(wp.layers.ffn1_w1.q, np.float32)
-              * np.asarray(wp.layers.ffn1_w1.col_scale))
+              * np.asarray(wp.layers.ffn1_w1.col_scale)[:, None, :])
     assert np.abs(w_back - w_dense).max() / np.abs(w_dense).max() < 0.02
