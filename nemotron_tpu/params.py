@@ -277,7 +277,8 @@ def quantize_model_params(params: ModelParams,
         elif isinstance(w, QTensorW8A8):
             if mode == "w8a8":
                 continue
-            w = np.asarray(w.q, np.float32) * np.asarray(w.col_scale)
+            w = (np.asarray(w.q, np.float32)
+                 * np.asarray(w.col_scale)[..., None, :])
         else:
             w = np.asarray(w)
         updates[f] = quantize(w)

@@ -231,3 +231,14 @@ def test_q8_gguf_to_w8a8_conversion(model_setup, tmp_path):
     w_back = (np.asarray(wp.layers.ffn1_w1.q, np.float32)
               * np.asarray(wp.layers.ffn1_w1.col_scale)[:, None, :])
     assert np.abs(w_back - w_dense).max() / np.abs(w_dense).max() < 0.02
+
+
+def test_w8a8_to_q8_0_conversion(model_setup):
+    """Round-trip the other way: W8A8 params re-quantized to Q8_0 blocks."""
+    _, params, cfg = model_setup
+    wp = params_mod.quantize_model_params(params, mode="w8a8")
+    qp = params_mod.quantize_model_params(wp, mode="q8_0")
+    assert isinstance(qp.layers.ffn1_w1, quant.QTensor)
+    dense = np.asarray(params.layers.ffn1_w1)
+    back = np.asarray(quant.dequantize(qp.layers.ffn1_w1))
+    assert np.abs(back - dense).max() / np.abs(dense).max() < 0.03
