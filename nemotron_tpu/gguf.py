@@ -15,6 +15,7 @@ original (PyTorch-order) shape.
 from __future__ import annotations
 
 import dataclasses
+import os
 import struct
 from typing import BinaryIO
 
@@ -178,7 +179,12 @@ class GGUFFile:
 
 def _read_string(f: BinaryIO) -> bytes:
     (n,) = struct.unpack("<Q", f.read(8))
-    return f.read(n)
+    if n > 1 << 31:
+        raise ValueError(f"implausible GGUF string length {n}")
+    data = f.read(n)
+    if len(data) != n:
+        raise ValueError("truncated GGUF string")
+    return data
 
 
 def _read_value(f: BinaryIO, vtype: int) -> object:
@@ -209,6 +215,8 @@ def _read_value(f: BinaryIO, vtype: int) -> object:
     if vtype == T_ARRAY:
         (etype,) = struct.unpack("<i", f.read(4))
         (count,) = struct.unpack("<Q", f.read(8))
+        if count > 10_000_000:
+            raise ValueError(f"implausible GGUF array length {count}")
         return [_read_value(f, etype) for _ in range(count)]
     raise ValueError(f"unsupported metadata type {vtype}")
 
@@ -235,6 +243,10 @@ def read_gguf(path: str, use_native: bool | str = "auto") -> GGUFFile:
             raise ValueError(f"{path}: unsupported GGUF version {version}")
         (n_tensors,) = struct.unpack("<q", f.read(8))
         (n_kv,) = struct.unpack("<q", f.read(8))
+        file_size = os.fstat(f.fileno()).st_size
+        if not (0 <= n_tensors < 1_000_000 and 0 <= n_kv < 1_000_000):
+            raise ValueError(f"{path}: implausible header counts "
+                             f"(tensors={n_tensors}, kv={n_kv})")
 
         metadata: dict[str, object] = {}
         for _ in range(n_kv):
@@ -266,6 +278,9 @@ def read_gguf(path: str, use_native: bool | str = "auto") -> GGUFFile:
         for name, shape, gtype, offset in infos:
             n = int(np.prod(shape)) if shape else 1
             size = type_size(gtype, n)
+            if data_start + offset + size > file_size:
+                raise ValueError(f"{path}: tensor {name!r} extends past "
+                                 "end of file (truncated?)")
             if native is not None:
                 raw = native.view(data_start + offset, size)
             else:

@@ -5,6 +5,8 @@ plus quantizer checks against the reference Q8_0/Q4_0 block layouts
 (reference scripts/convert_to_gguf.py:93-179)."""
 
 import numpy as np
+import pytest
+import struct
 
 from nemotron_tpu import gguf
 
@@ -173,3 +175,25 @@ def test_native_mmap_loader_matches_python(model_setup, tmp_path):
         assert a.shape == b.shape and a.ggml_type == b.ggml_type
         assert bytes(a.raw) == bytes(np.asarray(b.raw).tobytes())
         np.testing.assert_array_equal(a.to_numpy(), b.to_numpy())
+
+
+@pytest.mark.parametrize("corruption", ["magic", "counts", "truncated"])
+def test_malformed_gguf_rejected(model_setup, tmp_path, corruption):
+    """Malformed model files raise clean ValueErrors instead of hanging or
+    allocating absurd amounts (the loaders parse untrusted files)."""
+    from nemotron_tpu import gguf
+    from conftest import write_tiny_gguf
+
+    arrays, _, cfg = model_setup
+    path = str(tmp_path / "bad.gguf")
+    write_tiny_gguf(path, arrays, cfg)
+    data = bytearray(open(path, "rb").read())
+    if corruption == "magic":
+        data[:4] = b"JUNK"
+    elif corruption == "counts":
+        data[8:16] = (2 ** 40).to_bytes(8, "little")
+    elif corruption == "truncated":
+        data = data[: len(data) // 2]
+    open(path, "wb").write(bytes(data))
+    with pytest.raises((ValueError, struct.error)):
+        gguf.read_gguf(path, use_native=False)
