@@ -245,9 +245,16 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
         ys = (nk, nv, y) if capture else (nk, nv)
         return (y, cv_all, l + 1), ys
 
+    # NEMOTRON_TPU_SCAN_UNROLL > 1 trades compile time for static ring
+    # slices (the scan's per-layer dynamic-slice of the K/V rings costs
+    # ~3x the raw read bandwidth; unrolling lets XLA slice statically)
+    import os
+
+    unroll = int(os.environ.get("NEMOTRON_TPU_SCAN_UNROLL", "1"))
     (x, ncv, _), ys = jax.lax.scan(
         body, (x, state.conv_cache, jnp.int32(0)),
-        (params.layers, pos_heads, state.k_cache, state.v_cache))
+        (params.layers, pos_heads, state.k_cache, state.v_cache),
+        unroll=unroll)
     k_new, v_new = ys[0], ys[1]                          # [L, B, H, Q, Dh]
 
     off = phase_s * Q
