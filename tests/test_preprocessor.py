@@ -101,3 +101,15 @@ def test_preemphasis_carry(fb_win):
     sp = StreamingPreprocessor(fb, win)
     parts = [sp.process(audio[:3333])[0], sp.process(audio[3333:])[0]]
     np.testing.assert_allclose(np.concatenate(parts), one, atol=1e-5)
+
+
+def test_device_spectral_path(fb_win):
+    """The jitted rFFT+matmul mel path (used when the native frontend is not
+    built) matches the oracle too."""
+    fb, win = fb_win
+    audio = synth_audio(8000, seed=9)
+    want = OraclePreprocessor(fb, win).process(audio)
+    sp = StreamingPreprocessor(fb, win, backend="numpy", device=True)
+    assert sp._native is None
+    got = sp.process(audio)[0]
+    np.testing.assert_allclose(got, want, atol=2e-4)
