@@ -147,7 +147,9 @@ def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
     in kv_len slots and only ONE segment per stream is rewritten per step
     (done by the caller, outside the layer scan). Inside the layer:
 
-      - k_ring/v_ring [B, H, KV, Dh] (HEAD-MAJOR: the big dot operands\n        carry batch dims (b, h) leading and the contraction minor, avoiding\n        relayout copies) are READ-ONLY; the slot about to be
+      - k_ring/v_ring [B, H, KV, Dh] (HEAD-MAJOR: the big dot operands
+        carry batch dims (b, h) leading and the contraction minor, avoiding
+        relayout copies) are READ-ONLY; the slot about to be
         overwritten holds the (n_seg)-chunks-old segment, which is outside
         the attention window and masked invalid by construction.
       - the CURRENT chunk's keys/values are attended as Q extra slots
@@ -166,7 +168,7 @@ def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
     Returns (out [B, Q, D], k_new [B, H, Q, Dh], v_new [B, H, Q, Dh]) --
     the caller writes them into the (head-major) ring segment.
     """
-    from .quant import qmm
+    from .quant import qmm, qmm_shared
 
     B, Q, D = x.shape
     dt = x.dtype
@@ -174,9 +176,9 @@ def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
     def heads(t):  # [B, Q, D] -> [B, H, Q, Dh] (head-major)
         return jnp.swapaxes(t.reshape(B, Q, n_heads, d_head), 1, 2)
 
-    q = heads(qmm(x, lp.attn_q_w))
-    k_new = heads(qmm(x, lp.attn_k_w))
-    v_new = heads(qmm(x, lp.attn_v_w))
+    # q/k/v share the input: one activation quantization for all three dots
+    q3 = qmm_shared(x, [lp.attn_q_w, lp.attn_k_w, lp.attn_v_w])
+    q, k_new, v_new = heads(q3[0]), heads(q3[1]), heads(q3[2])
 
     kv = k_ring.shape[2]
     k_r = k_ring.astype(dt)
