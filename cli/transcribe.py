@@ -27,7 +27,14 @@ def main(argv: list[str]) -> int:
     from nemotron_tpu.streaming.session import transcribe_batch
     from nemotron_tpu.utils.audio import read_audio_file
 
-    params, cfg, vocab = load_model(args[0])
+    if not os.path.exists(args[0]):
+        print(f"error: model file not found: {args[0]}", file=sys.stderr)
+        return 1
+    try:
+        params, cfg, vocab = load_model(args[0])
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     audio = read_audio_file(args[1])
     t0 = time.perf_counter()
     text = transcribe_batch(params, cfg, vocab, audio,

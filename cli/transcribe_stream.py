@@ -66,7 +66,14 @@ def main(argv: list[str]) -> int:
     from nemotron_tpu.params import load_model
     from nemotron_tpu.streaming.session import StreamSession
 
-    params, cfg, vocab = load_model(model_path)
+    if not os.path.exists(model_path):
+        print(f"error: model file not found: {model_path}", file=sys.stderr)
+        return 1
+    try:
+        params, cfg, vocab = load_model(model_path)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     if quant_mode:
         from nemotron_tpu.params import quantize_model_params
 
