@@ -57,9 +57,12 @@ def w8a8_matmul(x, q, col_scale, *, interpret: bool = False, out_dtype=None):
     Kq, N = q.shape
     assert K == Kq and col_scale.shape == (N,)
 
-    TN = 256
-    TK = 512 if K % 512 == 0 else 256
-    TM = min(256, _round_up(M, 32))
+    # big tiles: the first version used 256^2 tiles -> >1000 grid instances
+    # per matmul, launch-bound. VMEM at (512, 1024, 1024): x 1MB + q 1MB +
+    # acc 2MB + out 2MB (double-buffered by the pipeline) ~ 8MB, fits.
+    TN = 1024 if N % 1024 == 0 else (512 if N % 512 == 0 else 256)
+    TK = 1024 if K % 1024 == 0 else (512 if K % 512 == 0 else 256)
+    TM = min(512, _round_up(M, 32))
     Mp = _round_up(M, TM)
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
