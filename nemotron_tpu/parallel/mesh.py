@@ -46,7 +46,11 @@ def _pspec_for_param(path: str, ndim: int) -> P:
     inherit the parent weight's rule: the int8 values shard like the dense
     weight, and the per-block scales shard the same way (the block axis is
     in//32, aligned with the contraction axis)."""
-    if path.endswith(("/q", "/scale", "/col_scale")):
+    if path.endswith("/col_scale"):
+        # [L, out] follows the parent weight's OUT-dim rule
+        parent = _pspec_for_param(path.rsplit("/", 1)[0], 3)
+        return P(parent[0], parent[-1])
+    if path.endswith(("/q", "/scale")):
         path = path.rsplit("/", 1)[0]
     if "ffn" in path and path.endswith("w1"):
         return P(None, None, "model")

@@ -403,3 +403,43 @@ def test_serving_fuzz_random_schedule(model_setup):
         assert solo.transcripts[s] == want, (len(blocks), want[:30])
         checked += 1
     assert checked >= 2  # schedule actually exercised streams
+
+
+def test_w8a8_params_shard_and_run(model_setup, rng):
+    """W8A8 weights (incl. rank-2 col_scale leaves) shard over the mesh and
+    the fused step runs, matching the unsharded result exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from nemotron_tpu import params as params_mod
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.models import decoder as dec_mod
+    from nemotron_tpu.models import encoder as enc_mod
+    from nemotron_tpu.parallel.mesh import (make_mesh, mel_sharding,
+                                            param_shardings, shard_state)
+    from nemotron_tpu.streaming.session import chunk_step
+
+    _, params, cfg = model_setup
+    wp = params_mod.quantize_model_params(params, mode="w8a8")
+    mesh = make_mesh(8, model_parallel=2)
+    wp_sh = jax.device_put(wp, param_shardings(wp, mesh))
+
+    cc = CacheConfig(att_right_context=1, n_mels=cfg.n_mels)
+    B = 8
+    mel_np = rng.standard_normal((B, cc.chunk_mel_frames, cfg.n_mels),
+                                 ).astype(np.float32)
+
+    outs = []
+    for p, sharded in ((wp, False), (wp_sh, True)):
+        ph = enc_mod.precompute_pos_heads(p, cfg, cc)
+        es = enc_mod.init_encoder_state(cfg, cc, B)
+        ds = dec_mod.init_decoder_state(cfg, B)
+        mel = jnp.asarray(mel_np)
+        if sharded:
+            ph = jax.device_put(ph, param_shardings(ph, mesh))
+            es, ds = shard_state(es, mesh), shard_state(ds, mesh)
+            mel = jax.device_put(mel, mel_sharding(mesh))
+        toks, es, _ = chunk_step(p, cfg, cc, mel, es, ds, ph)
+        outs.append((np.asarray(toks), np.asarray(es.k_cache)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=2e-5)
