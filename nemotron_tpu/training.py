@@ -47,9 +47,10 @@ def prediction_network(params: ModelParams, cfg: ModelConfig, labels):
     return jnp.swapaxes(outs, 0, 1)                         # [B, U+1, H]
 
 
-def transducer_logits(params: ModelParams, cfg: ModelConfig, mel, labels):
+def transducer_logits(params: ModelParams, cfg: ModelConfig, mel, labels,
+                      remat: bool = False):
     """Full-lattice joint logits [B, T, U+1, V] for training."""
-    enc = encode_batch(params, cfg, mel)                    # [B, T, D]
+    enc = encode_batch(params, cfg, mel, remat=remat)       # [B, T, D]
     dec = prediction_network(params, cfg, labels)           # [B, U+1, H]
     jp = params.joint
     enc_p = joint_project_enc(jp, enc)                      # [B, T, J]
@@ -61,27 +62,30 @@ def transducer_logits(params: ModelParams, cfg: ModelConfig, mel, labels):
         preferred_element_type=jnp.float32) + jp.out_b.astype(jnp.float32)
 
 
-def loss_fn(params: ModelParams, cfg: ModelConfig, batch):
+def loss_fn(params: ModelParams, cfg: ModelConfig, batch,
+            remat: bool = False):
     """Mean RNN-T loss over a batch dict with keys
     mel [B, Tm, n_mels], labels [B, U], mel_lengths [B] (in encoder
     frames), label_lengths [B]."""
-    logits = transducer_logits(params, cfg, batch["mel"], batch["labels"])
+    logits = transducer_logits(params, cfg, batch["mel"], batch["labels"],
+                               remat=remat)
     losses = rnnt_loss(logits, batch["labels"], batch["mel_lengths"],
                        batch["label_lengths"], blank=cfg.blank_token)
     return jnp.mean(losses)
 
 
-def make_train_step(cfg: ModelConfig, optimizer):
+def make_train_step(cfg: ModelConfig, optimizer, remat: bool = False):
     """Returns jitted (params, opt_state, batch) -> (params', opt_state',
     loss). Differentiates through the full encoder/prediction/joint; works
-    under a mesh via sharded inputs (GSPMD handles the collectives)."""
+    under a mesh via sharded inputs (GSPMD handles the collectives).
+    remat=True checkpoints conformer layers (O(1) activation memory)."""
 
     import optax
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(p, cfg, batch))(params)
+            lambda p: loss_fn(p, cfg, batch, remat=remat))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -3,7 +3,7 @@
 reference engine is inference-only).
 
     train.py <model.gguf | --random> [--steps N] [--batch B] [--lr LR]
-             [--model-parallel M] [--save out.gguf] [--cpu]
+             [--model-parallel M] [--remat] [--save out.gguf] [--cpu]
 
 Data plumbing is intentionally minimal: without a dataset this runs a
 synthetic memorization task (fixed random batch) to exercise the full
@@ -78,7 +78,7 @@ def main(argv: list[str]) -> int:
 
     opt = optax.adamw(lr)
     opt_state = opt.init(params)
-    step = make_train_step(cfg, opt)
+    step = make_train_step(cfg, opt, remat="--remat" in argv)
     bt = synthetic_batch(cfg, batch)
     bt = {k: (jax.device_put(v, mel_sharding(mesh)) if v.ndim == 3 else v)
           for k, v in bt.items()}

@@ -171,3 +171,29 @@ def test_long_stream_constant_state(model_setup, rng):
             shapes0 = shapes
         assert shapes[0] == shapes0[0] and shapes[1]
     assert sess.total_chunks >= 25
+
+
+def test_finalize_idempotent_and_reset(model_setup, rng):
+    """finalize() twice returns the same transcript; reset() clears
+    everything and the session transcribes identically from scratch."""
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.frontend.preprocessor import (hann_window,
+                                                    mel_filterbank_slaney)
+    from nemotron_tpu.streaming.session import StreamSession
+
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=1, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    sess = StreamSession(params, cfg, [f"t{i}" for i in range(cfg.vocab_size)],
+                         cc, filterbank=mel_filterbank_slaney(n_mels=cfg.n_mels),
+                         window=hann_window(400))
+    audio = (rng.standard_normal(9000) * 8000).astype(np.int16)
+    sess.process(audio)
+    t1 = sess.finalize()
+    t2 = sess.finalize()
+    assert t1 == t2
+
+    sess.reset()
+    assert sess.get_transcript(0) == "" and sess.total_chunks == 0
+    sess.process(audio)
+    assert sess.finalize() == t1

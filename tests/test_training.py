@@ -95,3 +95,29 @@ def test_train_step_reduces_loss(model_setup, rng):
         params, opt_state, loss = step(params, opt_state, batch)
     assert float(loss) < loss0, (float(loss), loss0)
     assert np.isfinite(float(loss))
+
+
+def test_remat_gradients_match(model_setup):
+    """jax.checkpoint on the conformer layers must not change the loss or
+    gradients (recompute-in-backward is numerically identical)."""
+    from nemotron_tpu.training import loss_fn
+
+    _, params, cfg = model_setup
+    r = np.random.default_rng(3)
+    batch = {
+        "mel": jnp.asarray(r.standard_normal((2, 33, cfg.n_mels)),
+                           jnp.float32),
+        "labels": jnp.asarray(r.integers(0, cfg.vocab_size - 1, (2, 2)),
+                              jnp.int32),
+        "mel_lengths": jnp.asarray([5, 5], jnp.int32),
+        "label_lengths": jnp.asarray([2, 2], jnp.int32),
+    }
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    l0, g0 = jax.value_and_grad(lambda p: loss_fn(p, cfg, batch))(params)
+    l1, g1 = jax.value_and_grad(
+        lambda p: loss_fn(p, cfg, batch, remat=True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for (pa, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                               jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6, err_msg=str(pa))
