@@ -5,6 +5,7 @@ aggregate throughput and latency percentiles.
 
     serve.py <model.gguf> <audio.pcm|.wav> [--streams N] [--slots S]
              [--right-context R] [--quantize w8a8] [--seconds T] [--cpu]
+             [--mesh N]            # shard slots over N (virtual) devices
 
 Streams are staggered (each starts at a different offset into the audio,
 wrapping around) so the engine exercises admission at different phases.
@@ -28,7 +29,11 @@ def main(argv: list[str]) -> int:
     def opt(name, default, cast):
         return cast(argv[argv.index(name) + 1]) if name in argv else default
 
-    if "--cpu" in argv:
+    mesh_n = opt("--mesh", 0, int)
+    if mesh_n > 1:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_force_host_platform_device_count={mesh_n}")
+    if "--cpu" in argv or mesh_n > 1:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -51,7 +56,12 @@ def main(argv: list[str]) -> int:
     cc = CacheConfig(att_right_context=R, n_mels=cfg.n_mels)
     audio = read_audio_file(args[1])
 
-    eng = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
+    mesh = None
+    if mesh_n > 1:
+        from nemotron_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(mesh_n)
+    eng = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots, mesh=mesh,
                         compute_dtype=jnp.bfloat16)
     slots = [eng.add_stream() for _ in range(n_streams)]
     offsets = [(i * len(audio)) // max(n_streams, 1) for i in range(n_streams)]
