@@ -203,6 +203,12 @@ def _w8a8_pallas_eligible(x, w: "QTensorW8A8") -> bool:
 
 
 def _pallas_eligible(x, w: QTensor) -> bool:
+    # Same negative result as the W8A8 kernel: XLA's dequant-fused matmul
+    # measured faster than the hand-written kernel. Opt-in for experiments.
+    import os
+
+    if os.environ.get("NEMOTRON_TPU_PALLAS_W8A8") != "1":
+        return False
     if jax.default_backend() != "tpu":
         return False
     if w.q.ndim != 2:
