@@ -74,6 +74,34 @@ def loss_fn(params: ModelParams, cfg: ModelConfig, batch,
     return jnp.mean(losses)
 
 
+def save_train_state(path: str, params, opt_state, step: int = 0) -> None:
+    """Checkpoint params + optimizer state + step counter to one .npz
+    (flat leaf list; resume requires the same optimizer/model structure --
+    asserted on load)."""
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten((params, opt_state))
+    flat = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    flat["__step"] = np.int64(step)
+    flat["__treedef"] = np.asarray(str(treedef))
+    np.savez(path, **flat)
+
+
+def load_train_state(path: str, params_like, opt_state_like):
+    """Restore (params, opt_state, step) saved by save_train_state into the
+    structure of the given templates."""
+    import numpy as np
+
+    z = np.load(path, allow_pickle=True)
+    leaves_like, treedef = jax.tree_util.tree_flatten(
+        (params_like, opt_state_like))
+    assert str(treedef) == str(z["__treedef"]), (
+        "checkpoint structure does not match the model/optimizer")
+    leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(len(leaves_like))]
+    params, opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return params, opt_state, int(z["__step"])
+
+
 def make_train_step(cfg: ModelConfig, optimizer, remat: bool = False):
     """Returns jitted (params, opt_state, batch) -> (params', opt_state',
     loss). Differentiates through the full encoder/prediction/joint; works

@@ -121,3 +121,53 @@ def test_remat_gradients_match(model_setup):
                                jax.tree_util.tree_leaves_with_path(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-6, err_msg=str(pa))
+
+
+def test_train_state_checkpoint_resume(model_setup, tmp_path):
+    """Interrupt training, checkpoint, resume in a fresh step fn: the
+    resumed run must produce the exact losses of an uninterrupted run."""
+    optax = pytest.importorskip("optax")
+
+    from nemotron_tpu.training import (load_train_state, make_train_step,
+                                       save_train_state)
+
+    _, params, cfg = model_setup
+    r = np.random.default_rng(1)
+    batch = {
+        "mel": jnp.asarray(r.standard_normal((2, 33, cfg.n_mels)),
+                           jnp.float32),
+        "labels": jnp.asarray(r.integers(0, cfg.vocab_size - 1, (2, 2)),
+                              jnp.int32),
+        "mel_lengths": jnp.asarray([5, 5], jnp.int32),
+        "label_lengths": jnp.asarray([2, 2], jnp.int32),
+    }
+    opt = optax.adamw(3e-4)
+
+    def fresh():  # train_step donates; each run needs its own buffers
+        pr = jax.tree_util.tree_map(lambda a: jnp.array(np.asarray(a)),
+                                    params)
+        return pr, opt.init(pr)
+
+    # uninterrupted: 4 steps
+    p, s = fresh()
+    step = make_train_step(cfg, opt)
+    losses = []
+    for _ in range(4):
+        p, s, loss = step(p, s, batch)
+        losses.append(float(loss))
+
+    # interrupted at 2, checkpointed, resumed
+    p2, s2 = fresh()
+    for _ in range(2):
+        p2, s2, _ = step(p2, s2, batch)
+    ck = str(tmp_path / "train.npz")
+    save_train_state(ck, p2, s2, step=2)
+    tmpl_p, tmpl_s = fresh()
+    p3, s3, n = load_train_state(ck, tmpl_p, tmpl_s)
+    assert n == 2
+    resumed = []
+    step2 = make_train_step(cfg, opt)
+    for _ in range(2):
+        p3, s3, loss = step2(p3, s3, batch)
+        resumed.append(float(loss))
+    np.testing.assert_allclose(resumed, losses[2:], rtol=1e-6)
