@@ -3,7 +3,8 @@
 reference engine is inference-only).
 
     train.py <model.gguf | --random> [--steps N] [--batch B] [--lr LR]
-             [--model-parallel M] [--remat] [--save out.gguf] [--cpu]
+             [--model-parallel M] [--remat] [--save out.gguf]
+             [--checkpoint ck.npz] [--resume ck.npz] [--cpu]
 
 Data plumbing is intentionally minimal: without a dataset this runs a
 synthetic memorization task (fixed random batch) to exercise the full
@@ -83,10 +84,23 @@ def main(argv: list[str]) -> int:
     bt = {k: (jax.device_put(v, mel_sharding(mesh)) if v.ndim == 3 else v)
           for k, v in bt.items()}
 
-    for i in range(steps):
+    from nemotron_tpu.training import load_train_state, save_train_state
+
+    start = 0
+    if "--resume" in argv:
+        ck = argv[argv.index("--resume") + 1]
+        params, opt_state, start = load_train_state(ck, params, opt_state)
+        print(f"resumed from {ck} at step {start}", file=sys.stderr)
+
+    for i in range(start, steps):
         params, opt_state, loss = step(params, opt_state, bt)
         if i % max(steps // 10, 1) == 0 or i == steps - 1:
             print(f"step {i:4d}  loss {float(loss):.4f}", file=sys.stderr)
+
+    if "--checkpoint" in argv:
+        ck = argv[argv.index("--checkpoint") + 1]
+        save_train_state(ck, params, opt_state, step=steps)
+        print(f"checkpointed to {ck}", file=sys.stderr)
 
     if "--save" in argv:
         out = argv[argv.index("--save") + 1]
