@@ -134,11 +134,13 @@ def greedy_decode_by_frame(params: ModelParams, cfg: ModelConfig, enc,
 
 
 def greedy_decode(params: ModelParams, cfg: ModelConfig, enc,
-                  state: DecoderState, step_mask=None):
+                  state: DecoderState, step_mask=None, enc_lengths=None):
     """Frame-skipping batched greedy RNN-T, fully on-device.
 
     step_mask [B] bool (optional): streams marked False are skipped entirely
     this call -- no tokens, frozen state (continuous-batching support).
+    enc_lengths [B] (optional): per-stream valid frame counts for padded
+    multi-utterance batches; frames beyond a stream's length emit nothing.
 
     Semantically identical to the reference's per-frame label loop
     (src/nemo-ggml.cpp:1138-1246: blank freezes the LSTM state and advances
@@ -163,6 +165,9 @@ def greedy_decode(params: ModelParams, cfg: ModelConfig, enc,
     ptr0 = jnp.zeros((B,), jnp.int32)                     # current frame
     if step_mask is not None:
         ptr0 = jnp.where(step_mask, ptr0, T)              # skip masked streams
+    t_limit = jnp.full((B,), T, jnp.int32)
+    if enc_lengths is not None:
+        t_limit = jnp.minimum(enc_lengths.astype(jnp.int32), T)
     sym0 = jnp.zeros((B,), jnp.int32)                     # symbols this frame
     bidx = jnp.arange(B)
 
@@ -178,16 +183,17 @@ def greedy_decode(params: ModelParams, cfg: ModelConfig, enc,
         logits = joint_logits(params.joint, enc_proj, dec_out[:, None, :])
         best = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [B, T]
 
-        # first frame >= ptr whose argmax is non-blank (with current state)
+        # first valid frame >= ptr whose argmax is non-blank (current state)
         t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
         cand = jnp.logical_and(best != blank, t_idx >= ptr[:, None])
+        cand = jnp.logical_and(cand, t_idx < t_limit[:, None])
         has = jnp.any(cand, axis=1)                            # [B]
         first = jnp.argmax(cand, axis=1).astype(jnp.int32)     # [B]
 
-        active = ptr < T
+        active = ptr < t_limit
         emit = jnp.logical_and(active, has)
         # streams with no remaining non-blank frame are done with this chunk
-        new_ptr = jnp.where(jnp.logical_and(active, ~has), T, ptr)
+        new_ptr = jnp.where(jnp.logical_and(active, ~has), t_limit, ptr)
         # emitting streams: jump to the emitting frame
         jumped = first != ptr
         new_ptr = jnp.where(emit, first, new_ptr)

@@ -68,7 +68,7 @@ def conformer_layer(lp: ConformerLayerParams, x, pos_heads, mask=None,
 
 
 def encode_batch(params: ModelParams, cfg: ModelConfig, mel,
-                 remat: bool = False):
+                 remat: bool = False, enc_lengths=None):
     """Full-utterance encoder: mel [B, T, n_mels] -> [B, T', d_model].
 
     The per-layer position projection happens inside the scan body (T varies
@@ -76,15 +76,26 @@ def encode_batch(params: ModelParams, cfg: ModelConfig, mel,
 
     remat=True checkpoints each conformer layer (recompute-in-backward):
     training activation memory drops from O(L) layer activations to O(1)
-    at ~1.3x forward FLOPs -- the standard TPU memory/compute trade."""
+    at ~1.3x forward FLOPs -- the standard TPU memory/compute trade.
+
+    enc_lengths [B] (in subsampled encoder frames): multi-utterance batches
+    mask attention beyond each sequence's length, so padded rows cannot
+    contaminate real frames (the reference is strictly batch=1 and has no
+    such mask)."""
     x = conv_subsampling(params.subsampling, mel)
     Tp = x.shape[1]
     pos = jnp.asarray(pos_emb_descending(Tp, cfg.d_model), dtype=x.dtype)
 
+    mask = None
+    if enc_lengths is not None:
+        j = jnp.arange(Tp, dtype=jnp.int32)
+        invalid = j[None, :] >= enc_lengths[:, None]          # [B, T']
+        mask = jnp.where(invalid, jnp.float32(-1e9), 0.0)[:, None, None, :]
+
     def body(h, lp):
         pos_heads = project_pos(lp.attn_pos_w, pos.astype(h.dtype),
                                 cfg.n_heads, cfg.d_head)
-        y, _, _, _ = conformer_layer(lp, h, pos_heads,
+        y, _, _, _ = conformer_layer(lp, h, pos_heads, mask=mask,
                                      n_heads=cfg.n_heads, d_head=cfg.d_head)
         return y, None
 

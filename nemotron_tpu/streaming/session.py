@@ -332,12 +332,34 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
         params.preprocessor.window)
     from ..config import PreprocessorConfig
 
-    pre = StreamingPreprocessor(fb, win,
-                                cfg=PreprocessorConfig(n_mels=cfg.n_mels))
-    mel = pre.process(audio_i16.reshape(1, -1))
-    enc = enc_mod.encode_batch(params, cfg, jnp.asarray(mel, compute_dtype))
-    dec_state = dec_mod.init_decoder_state(cfg, 1, compute_dtype)
+    utterances = (audio_i16 if isinstance(audio_i16, (list, tuple))
+                  else [audio_i16])
+    mels = []
+    for audio in utterances:
+        pre = StreamingPreprocessor(fb, win,
+                                    cfg=PreprocessorConfig(n_mels=cfg.n_mels))
+        mels.append(pre.process(np.asarray(audio).reshape(1, -1))[0])
+
+    def enc_frames(t):
+        for _ in range(3):
+            t = t // 2 + 1
+        return t
+
+    mel_lens = [m.shape[0] for m in mels]
+    Tm = max(mel_lens)
+    mel = np.zeros((len(mels), Tm, cfg.n_mels), np.float32)
+    for i, m in enumerate(mels):
+        mel[i, : m.shape[0]] = m
+    enc_lengths = jnp.asarray([enc_frames(t) for t in mel_lens], jnp.int32)
+
+    enc = enc_mod.encode_batch(params, cfg, jnp.asarray(mel, compute_dtype),
+                               enc_lengths=enc_lengths)
+    dec_state = dec_mod.init_decoder_state(cfg, len(mels), compute_dtype)
     tokens, _ = jax.jit(dec_mod.greedy_decode, static_argnums=1)(
-        params, cfg, enc, dec_state)
-    toks = dec_mod.tokens_to_list(np.asarray(tokens)[0], cfg.blank_token)
-    return tokens_to_text(toks, vocab, timestamp_words=timestamp_words)
+        params, cfg, enc, dec_state, enc_lengths=enc_lengths)
+    texts = [
+        tokens_to_text(dec_mod.tokens_to_list(np.asarray(tokens)[i],
+                                              cfg.blank_token),
+                       vocab, timestamp_words=timestamp_words)
+        for i in range(len(mels))]
+    return texts[0] if not isinstance(audio_i16, (list, tuple)) else texts

@@ -197,3 +197,36 @@ def test_finalize_idempotent_and_reset(model_setup, rng):
     assert sess.get_transcript(0) == "" and sess.total_chunks == 0
     sess.process(audio)
     assert sess.finalize() == t1
+
+
+def test_multi_utterance_batch_transcribe(model_setup, rng):
+    """Batched different-length utterances transcribe exactly like solo
+    calls (length-masked attention + per-stream decode limits; the reference
+    is strictly batch=1)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from nemotron_tpu.frontend.preprocessor import (hann_window,
+                                                    mel_filterbank_slaney)
+    from nemotron_tpu.streaming.session import transcribe_batch
+
+    _, params, cfg = model_setup
+    jb = np.asarray(params.joint.out_b).copy()
+    jb[7] += 3.0
+    params = dataclasses.replace(
+        params, joint=dataclasses.replace(params.joint,
+                                          out_b=jnp.asarray(jb)))
+    fb = mel_filterbank_slaney(n_mels=cfg.n_mels)
+    win = hann_window(400)
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+
+    utts = [(rng.standard_normal(n) * 9000).astype(np.int16)
+            for n in (9000, 17000, 5000)]
+    batched = transcribe_batch(params, cfg, vocab, utts,
+                               filterbank=fb, window=win)
+    assert isinstance(batched, list) and len(batched) == 3
+    for i, u in enumerate(utts):
+        solo = transcribe_batch(params, cfg, vocab, u,
+                                filterbank=fb, window=win)
+        assert batched[i] == solo, i
