@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Batch (whole-file) transcription CLI (reference src/transcribe.cpp):
 
-    transcribe.py <model.gguf> <audio.pcm|.wav> [--cpu] [--timestamps]
+    transcribe.py <model.gguf> <audio.pcm|.wav> [more audio files...]
+                  [--cpu] [--timestamps]
+
+Multiple audio files are transcribed in ONE batched encoder/decode pass
+(length-masked; the reference is batch=1).
 """
 
 import os
@@ -35,13 +39,18 @@ def main(argv: list[str]) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
-    audio = read_audio_file(args[1])
+    audios = [read_audio_file(a) for a in args[1:]]
     t0 = time.perf_counter()
-    text = transcribe_batch(params, cfg, vocab, audio,
-                            timestamp_words="--timestamps" in flags)
+    texts = transcribe_batch(params, cfg, vocab,
+                             audios if len(audios) > 1 else audios[0],
+                             timestamp_words="--timestamps" in flags)
     elapsed = time.perf_counter() - t0
-    print(text)
-    audio_s = audio.size / 16000.0
+    if len(audios) == 1:
+        print(texts)
+    else:
+        for path, text in zip(args[1:], texts):
+            print(f"{path}\t{text}")
+    audio_s = sum(a.size for a in audios) / 16000.0
     print(f"{audio_s:.2f}s audio in {elapsed:.2f}s "
           f"(RTF {elapsed / max(audio_s, 1e-9):.4f})", file=sys.stderr)
     return 0
