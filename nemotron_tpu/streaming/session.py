@@ -363,3 +363,40 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
                        vocab, timestamp_words=timestamp_words)
         for i in range(len(mels))]
     return texts[0] if not isinstance(audio_i16, (list, tuple)) else texts
+
+
+def transcribe_batch_with_state(params: ModelParams, cfg: ModelConfig,
+                                vocab: list[str], audio_i16: np.ndarray,
+                                dec_state=None, frame_offset: int = 0,
+                                filterbank: np.ndarray | None = None,
+                                window: np.ndarray | None = None,
+                                compute_dtype=jnp.float32):
+    """Batch transcription with decoder-state carry-over across calls (the
+    reference's nemo_transcribe_audio_with_state,
+    src/nemo-ggml.cpp:1603-1683): successive audio segments share the LSTM
+    state and prev_token, and token frame indices continue from
+    `frame_offset`.
+
+    Returns (text, tokens [(id, abs_frame)], dec_state', next_frame_offset).
+    NOTE: like the reference API, only DECODER state carries over -- the
+    encoder sees each segment independently (use StreamSession for true
+    cache-aware continuity)."""
+    fb = filterbank if filterbank is not None else np.asarray(
+        params.preprocessor.filterbank)
+    win = window if window is not None else np.asarray(
+        params.preprocessor.window)
+    from ..config import PreprocessorConfig
+
+    pre = StreamingPreprocessor(fb, win,
+                                cfg=PreprocessorConfig(n_mels=cfg.n_mels))
+    mel = pre.process(np.asarray(audio_i16).reshape(1, -1))
+    enc = enc_mod.encode_batch(params, cfg, jnp.asarray(mel, compute_dtype))
+    if dec_state is None:
+        dec_state = dec_mod.init_decoder_state(cfg, 1, compute_dtype)
+    tokens, dec_state = jax.jit(dec_mod.greedy_decode, static_argnums=1)(
+        params, cfg, enc, dec_state)
+    toks = [(tid, frame + frame_offset)
+            for tid, frame in dec_mod.tokens_to_list(np.asarray(tokens)[0],
+                                                     cfg.blank_token)]
+    text = tokens_to_text(toks, vocab)
+    return text, toks, dec_state, frame_offset + enc.shape[1]

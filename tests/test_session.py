@@ -230,3 +230,42 @@ def test_multi_utterance_batch_transcribe(model_setup, rng):
         solo = transcribe_batch(params, cfg, vocab, u,
                                 filterbank=fb, window=win)
         assert batched[i] == solo, i
+
+
+def test_transcribe_batch_with_state_carryover(model_setup, rng):
+    """Decoder state carries across segments: transcribing [a, b] with
+    state carry-over differs from independent calls only via the decoder
+    state (prev_token/LSTM), and frame offsets continue monotonically --
+    the reference's nemo_transcribe_audio_with_state contract."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from nemotron_tpu.frontend.preprocessor import (hann_window,
+                                                    mel_filterbank_slaney)
+    from nemotron_tpu.streaming.session import transcribe_batch_with_state
+
+    _, params, cfg = model_setup
+    jb = np.asarray(params.joint.out_b).copy()
+    jb[7] += 3.0
+    params = dataclasses.replace(
+        params, joint=dataclasses.replace(params.joint, out_b=jnp.asarray(jb)))
+    fb = mel_filterbank_slaney(n_mels=cfg.n_mels)
+    win = hann_window(400)
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+
+    a = (rng.standard_normal(9000) * 9000).astype(np.int16)
+    b = (rng.standard_normal(7000) * 9000).astype(np.int16)
+
+    t1, toks1, st, off = transcribe_batch_with_state(
+        params, cfg, vocab, a, filterbank=fb, window=win)
+    assert off > 0
+    t2, toks2, st2, off2 = transcribe_batch_with_state(
+        params, cfg, vocab, b, dec_state=st, frame_offset=off,
+        filterbank=fb, window=win)
+    assert off2 > off
+    if toks2:
+        assert min(f for _, f in toks2) >= off
+    # prev_token carried: state differs from a fresh one if tokens emitted
+    if toks1:
+        assert int(st.prev_token[0]) == toks1[-1][0]
