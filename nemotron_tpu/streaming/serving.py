@@ -127,6 +127,22 @@ class ServingEngine:
         self._clear_slot(slot)
         return text
 
+    def finalize_stream(self, slot: int) -> str:
+        """Flush the slot's pending audio (zero-padding the trailing partial
+        chunk, the session-finalize semantics, then evict and return the
+        final transcript."""
+        assert self.active[slot], f"slot {slot} inactive"
+        pending = (self.mel_buffers[slot].shape[0]
+                   - self.cc.pre_encode_cache_size)
+        if pending > 0:
+            pad = self.cc.chunk_mel_frames - self.mel_buffers[slot].shape[0]
+            if pad > 0:
+                self.mel_buffers[slot] = np.concatenate(
+                    [self.mel_buffers[slot],
+                     np.zeros((pad, self.cfg.n_mels), np.float32)])
+            self.step()
+        return self.remove_stream(slot)
+
     def _clear_slot(self, slot: int) -> None:
         self.enc_state, self.dec_state = _reset_slot(
             self.enc_state, self.dec_state, jnp.int32(slot),

@@ -443,3 +443,44 @@ def test_w8a8_params_shard_and_run(model_setup, rng):
         outs.append((np.asarray(toks), np.asarray(es.k_cache)))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     np.testing.assert_allclose(outs[0][1], outs[1][1], atol=2e-5)
+
+
+def test_finalize_stream_matches_session_finalize(model_setup):
+    """Engine finalize_stream (zero-pad the trailing partial chunk) produces
+    the same transcript as StreamSession.process + finalize on identical
+    audio."""
+    import jax.numpy as jnp
+
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.frontend.preprocessor import (hann_window,
+                                                    mel_filterbank_slaney)
+    from nemotron_tpu.streaming.serving import ServingEngine
+    from nemotron_tpu.streaming.session import StreamSession
+
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=1, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+    fb, win = mel_filterbank_slaney(n_mels=cfg.n_mels), hann_window(400)
+    rng = np.random.default_rng(11)
+    audio = (rng.standard_normal(7300) * 9000).astype(np.int16)
+
+    sess = StreamSession(params, cfg, vocab, cc, filterbank=fb, window=win)
+    sess.process(audio)
+    want = sess.finalize()
+
+    # engine uses the model's own (random) filterbank unless given one;
+    # construct it with matching preprocessor weights via params override
+    import dataclasses
+
+    from nemotron_tpu.params import PreprocessorParams
+
+    p2 = dataclasses.replace(
+        params, preprocessor=PreprocessorParams(filterbank=fb, window=win))
+    eng = ServingEngine(p2, cfg, vocab, cc, n_slots=2,
+                        compute_dtype=jnp.float32)
+    s = eng.add_stream()
+    eng.feed_audio({s: audio})
+    eng.step()
+    got = eng.finalize_stream(s)
+    assert got == want
