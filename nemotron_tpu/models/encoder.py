@@ -129,8 +129,9 @@ class EncoderState:
     written per step -- the reference's shift-window cache
     (src/nemo-stream.cpp:457-484) rewrites all 70 frames of K and V in every
     layer every chunk, which profiling showed dominating the step. Slot
-    ordering is reconciled with relative positions via per-(query, slot)
-    position indices computed from `phase` (see rel_pos_mha_ring).
+    ordering is reconciled with relative positions by computing the bias in
+    time order (skew trick) and permuting it to slot order with a one-hot
+    matmul built from `phase` (see rel_pos_mha_ring).
 
     `valid_len` mirrors the reference's host-side cache_valid_len
     (src/nemo-stream.h:239)."""

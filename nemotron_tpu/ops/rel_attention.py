@@ -1,21 +1,16 @@
 """Relative-position multi-head attention (Transformer-XL style).
 
-Replaces the reference's pad-reshape-drop rel-shift graph trick
-(reference src/nemo-ggml.cpp:548-585, src/nemo-stream.cpp:391-433) with a
-direct static gather: for query i and key j the shifted score index is
+The rel-shift (reference builds it from ggml pad/reshape/view ops,
+src/nemo-ggml.cpp:548-585, src/nemo-stream.cpp:391-433; clearest index-math
+spec at src/reference/conformer_modules.cpp:217-227) selects
 
     out[i, j] = raw[i, j + Q - 1 - i]
 
-(derivation: the reference documents this index math at
-src/reference/conformer_modules.cpp:217-227 for the batch case; for the
-cached case with P = 2*(cache+Q)-1 positions and klen = cache+Q keys the same
-formula selects relative position value (cache + i) - j, i.e. the distance
-from the absolute query position to the absolute key position, because the
-pos table is stored in NeMo's descending order.)
-
-Since chunk/cache lengths are static under jit, the gather index matrix is a
-compile-time constant, so XLA lowers it to a cheap static gather -- no
-dynamic shapes, no host work.
+i.e. relative distance (cache + i) - j, because the position table is in
+NeMo's descending order. Implemented here as the pad-reshape-drop skew
+(`rel_shift`) -- NOT a gather: gathers lower to per-element VPU code on TPU
+(measured ~14x whole-step regression). The ring-cache variant additionally
+permutes the time-ordered bias into ring-slot order with a one-hot matmul.
 """
 
 from __future__ import annotations

@@ -6,10 +6,13 @@ permanently on device (sharded over the mesh 'data' axis), with admission /
 eviction implemented as on-device zeroing of slab slices -- the reference's
 reset semantics (src/nemo-stream.cpp:81-101) per slot.
 
-Every engine tick runs ONE fused chunk_step over all S slots; inactive slots
-process zero mel and their tokens are discarded host-side. This keeps the
-step shape static (one compiled program for the lifetime of the engine) --
-the TPU analogue of continuous batching.
+Every engine tick runs ONE fused, step-masked chunk_step over all S slots:
+slots without a full chunk buffered are masked out (their device state is
+frozen, not polluted with padding), so streams may arrive and advance at
+fully independent rates. The step shape is static -- one compiled program
+for the engine's lifetime -- the TPU analogue of continuous batching. Ring
+phases are kept in lockstep; a lagging slot's ring is realigned (rolled) on
+resume, preserving exact solo-equivalent transcripts (fuzz-tested).
 """
 
 from __future__ import annotations
