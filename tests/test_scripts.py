@@ -134,3 +134,28 @@ def test_nemo_reference_graceful_without_nemo(tiny_gguf):
     r = run_script("nemo_reference.py", tiny_gguf, "x.pcm")
     assert r.returncode == 3
     assert "not installed" in r.stderr
+
+
+def test_serve_demo(tiny_gguf, tmp_path):
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(24000) * 8000).astype("<i2")
+    audio = str(tmp_path / "s.pcm")
+    pcm.tofile(audio)
+    r = run_script("serve.py", tiny_gguf, audio, "--streams", "2",
+                   "--slots", "2", "--right-context", "1",
+                   "--seconds", "2", "--cpu", timeout=400)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "aggregate real-time" in r.stderr
+    assert "[slot 0]" in r.stdout
+
+
+def test_serve_demo_mesh(tiny_gguf, tmp_path):
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(24000) * 8000).astype("<i2")
+    audio = str(tmp_path / "m.pcm")
+    pcm.tofile(audio)
+    r = run_script("serve.py", tiny_gguf, audio, "--streams", "2",
+                   "--slots", "4", "--right-context", "1",
+                   "--seconds", "2", "--mesh", "4", timeout=400)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "aggregate real-time" in r.stderr
