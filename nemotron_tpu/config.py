@@ -104,6 +104,11 @@ class CacheConfig:
     # src/nemo-stream.cpp:446) and relies on valid_out_len truncation only;
     # False reproduces that behavior exactly.
     strict_right_context: bool = False
+    # int8 K/V cache rings: halves ring HBM traffic and per-stream state
+    # (~8 -> ~4.5 MB bf16-equivalent). Per-(layer, stream, head, segment)
+    # scales are folded into the attention scores/weights so the big dots
+    # read int8 directly. Opt-in: adds ~0.5% K/V quantization error.
+    kv_cache_int8: bool = False
 
     @property
     def conv_cache_size(self) -> int:

@@ -48,10 +48,10 @@ def conformer_layer(lp: ConformerLayerParams, x, pos_heads, mask=None,
 
     cur = layer_norm(r, lp.norm_attn_w, lp.norm_attn_b)
     if ring is not None:
-        k_ring, v_ring, pos_perm = ring
+        k_ring, v_ring, pos_perm, k_cols, v_cols = ring
         attn, new_k, new_v = rel_pos_mha_ring(
             lp, cur, pos_heads, n_heads, d_head, k_ring, v_ring,
-            pos_perm, mask)
+            pos_perm, mask, k_scale_cols=k_cols, v_scale_cols=v_cols)
     else:
         attn, new_k, new_v = rel_pos_mha(lp, cur, pos_heads, n_heads, d_head,
                                          kv_cache=kv_cache, mask=mask)
@@ -136,8 +136,10 @@ class EncoderState:
     `valid_len` mirrors the reference's host-side cache_valid_len
     (src/nemo-stream.h:239)."""
 
-    k_cache: Any      # [L, B, H, KV, Dh] ring (head-major)
-    v_cache: Any      # [L, B, H, KV, Dh] ring (head-major)
+    k_cache: Any      # [L, B, H, KV, Dh] ring (head-major; int8 if
+    v_cache: Any      #   cc.kv_cache_int8, else the compute dtype)
+    k_scale: Any      # [L, B, H, n_seg] f32 per-segment dequant scales
+    v_scale: Any      #   (ones / unused when the ring is not int8)
     conv_cache: Any   # [L, B, K-1, D]
     valid_len: Any    # [B] int32 (valid cached frames, capped at C)
     phase: Any        # [B] int32 (next ring segment to write)
@@ -152,9 +154,13 @@ def init_encoder_state(cfg: ModelConfig, cc: CacheConfig, batch: int,
         f"{cc.chunk_enc_len} for the ring cache (true for all standard "
         f"latency modes)")
     H, DH = cfg.n_heads, cfg.d_head
+    n_seg = kv // cc.chunk_enc_len
+    ring_dtype = jnp.int8 if cc.kv_cache_int8 else dtype
     return EncoderState(
-        k_cache=jnp.zeros((L, batch, H, kv, DH), dtype),
-        v_cache=jnp.zeros((L, batch, H, kv, DH), dtype),
+        k_cache=jnp.zeros((L, batch, H, kv, DH), ring_dtype),
+        v_cache=jnp.zeros((L, batch, H, kv, DH), ring_dtype),
+        k_scale=jnp.ones((L, batch, H, n_seg), jnp.float32),
+        v_scale=jnp.ones((L, batch, H, n_seg), jnp.float32),
         conv_cache=jnp.zeros((L, batch, cc.conv_cache_size, D), dtype),
         valid_len=jnp.zeros((batch,), jnp.int32),
         phase=jnp.zeros((batch,), jnp.int32),
@@ -255,11 +261,17 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     # instead of the reference's full-window rewrite.
     def body(carry, per_layer):
         h, cv_all, l = carry
-        lp, ph, kr, vr = per_layer
+        lp, ph, kr, vr, ks, vs = per_layer
         cvc = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
+        if cc.kv_cache_int8:
+            # per-segment dequant scales expanded to per-slot columns
+            kcols = jnp.repeat(ks, Q, axis=-1)           # [B, H, kv]
+            vcols = jnp.repeat(vs, Q, axis=-1)
+        else:
+            kcols = vcols = None
         y, nk, nv, ncv = conformer_layer(
-            lp, h, ph, mask=mask, ring=(kr, vr, pos_perm), conv_cache=cvc,
-            n_heads=cfg.n_heads, d_head=cfg.d_head)
+            lp, h, ph, mask=mask, ring=(kr, vr, pos_perm, kcols, vcols),
+            conv_cache=cvc, n_heads=cfg.n_heads, d_head=cfg.d_head)
         cv_all = jax.lax.dynamic_update_index_in_dim(cv_all, ncv, l, 0)
         ys = (nk, nv, y) if capture else (nk, nv)
         return (y, cv_all, l + 1), ys
@@ -272,9 +284,25 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     unroll = int(os.environ.get("NEMOTRON_TPU_SCAN_UNROLL", "1"))
     (x, ncv, _), ys = jax.lax.scan(
         body, (x, state.conv_cache, jnp.int32(0)),
-        (params.layers, pos_heads, state.k_cache, state.v_cache),
+        (params.layers, pos_heads, state.k_cache, state.v_cache,
+         state.k_scale, state.v_scale),
         unroll=unroll)
     k_new, v_new = ys[0], ys[1]                          # [L, B, H, Q, Dh]
+
+    new_k_scale, new_v_scale = state.k_scale, state.v_scale
+    if cc.kv_cache_int8:
+        # quantize the new segment per (layer, stream, head); the ring is
+        # int8, the CURRENT chunk attends at full precision inside the scan
+        def quant_seg(seg):
+            amax = jnp.max(jnp.abs(seg).astype(jnp.float32), axis=(-2, -1))
+            sc = jnp.maximum(amax, 1e-12) / 127.0        # [L, B, H]
+            q = jnp.clip(jnp.round(seg.astype(jnp.float32)
+                                   / sc[..., None, None]), -127, 127
+                         ).astype(jnp.int8)
+            return q, sc
+
+        k_new, k_seg_scale = quant_seg(k_new)
+        v_new, v_seg_scale = quant_seg(v_new)
 
     off = phase_s * Q
     if step_mask is not None:
@@ -286,11 +314,23 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
         k_new = jnp.where(m, k_new.astype(state.k_cache.dtype), old_k)
         v_new = jnp.where(m, v_new.astype(state.v_cache.dtype), old_v)
         ncv = jnp.where(m[..., 0], ncv, state.conv_cache)
+        if cc.kv_cache_int8:
+            seg = phase_s  # scalar segment index
+            old_ks = jax.lax.dynamic_slice_in_dim(state.k_scale, seg, 1, 3)
+            old_vs = jax.lax.dynamic_slice_in_dim(state.v_scale, seg, 1, 3)
+            mk = step_mask[None, :, None]
+            k_seg_scale = jnp.where(mk, k_seg_scale, old_ks[..., 0])
+            v_seg_scale = jnp.where(mk, v_seg_scale, old_vs[..., 0])
 
     nk = jax.lax.dynamic_update_slice_in_dim(
         state.k_cache, k_new.astype(state.k_cache.dtype), off, axis=3)
     nv = jax.lax.dynamic_update_slice_in_dim(
         state.v_cache, v_new.astype(state.v_cache.dtype), off, axis=3)
+    if cc.kv_cache_int8:
+        new_k_scale = jax.lax.dynamic_update_slice_in_dim(
+            state.k_scale, k_seg_scale[..., None], phase_s, axis=3)
+        new_v_scale = jax.lax.dynamic_update_slice_in_dim(
+            state.v_scale, v_seg_scale[..., None], phase_s, axis=3)
 
     new_valid = jnp.minimum(state.valid_len + Q, C)
     new_phase = jnp.mod(state.phase + 1, n_seg)
@@ -301,6 +341,8 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     new_state = EncoderState(
         k_cache=nk,
         v_cache=nv,
+        k_scale=new_k_scale,
+        v_scale=new_v_scale,
         conv_cache=ncv,
         valid_len=new_valid,
         phase=new_phase,
@@ -324,9 +366,13 @@ def realign_ring(enc_state: "EncoderState", slot, delta, chunk_len: int):
     k = jnp.roll(enc_state.k_cache[:, slot], shift, axis=-2)
     v = jnp.roll(enc_state.v_cache[:, slot], shift, axis=-2)
     n_seg = enc_state.k_cache.shape[-2] // chunk_len
+    ks = jnp.roll(enc_state.k_scale[:, slot], delta, axis=-1)
+    vs = jnp.roll(enc_state.v_scale[:, slot], delta, axis=-1)
     return EncoderState(
         k_cache=enc_state.k_cache.at[:, slot].set(k),
         v_cache=enc_state.v_cache.at[:, slot].set(v),
+        k_scale=enc_state.k_scale.at[:, slot].set(ks),
+        v_scale=enc_state.v_scale.at[:, slot].set(vs),
         conv_cache=enc_state.conv_cache,
         valid_len=enc_state.valid_len,
         phase=enc_state.phase.at[slot].set(

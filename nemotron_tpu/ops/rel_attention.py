@@ -133,7 +133,8 @@ def rel_pos_mha(lp, x, pos_heads, n_heads: int, d_head: int,
 
 
 def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
-                     k_ring, v_ring, pos_perm, mask):
+                     k_ring, v_ring, pos_perm, mask,
+                     k_scale_cols=None, v_scale_cols=None):
     """Relative-position MHA over a RING-buffered K/V cache.
 
     The streaming hot path. Instead of the reference's shift-window cache
@@ -176,15 +177,22 @@ def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
     q, k_new, v_new = heads(q3[0]), heads(q3[1]), heads(q3[2])
 
     kv = k_ring.shape[2]
+    # int8 rings: the astype is a convert fused into the dot's operand load
+    # (reads stay int8); dequant scales are applied to the SCORES (keys,
+    # per column) and to the softmax WEIGHTS (values, per column) so no
+    # bf16 ring ever materializes in HBM
     k_r = k_ring.astype(dt)
     v_r = v_ring.astype(dt)
 
     q_u = q + lp.pos_bias_u.astype(dt)[None, :, None, :]
     q_v = q + lp.pos_bias_v.astype(dt)[None, :, None, :]
 
+    content_r = jnp.einsum("bhid,bhjd->bhij", q_u, k_r,
+                           preferred_element_type=jnp.float32)
+    if k_scale_cols is not None:
+        content_r = content_r * k_scale_cols[:, :, None, :]
     content = jnp.concatenate([
-        jnp.einsum("bhid,bhjd->bhij", q_u, k_r,
-                   preferred_element_type=jnp.float32).astype(dt),
+        content_r.astype(dt),
         jnp.einsum("bhid,bhjd->bhij", q_u, k_new,
                    preferred_element_type=jnp.float32).astype(dt),
     ], axis=-1)                                             # [B,H,Q,kv+Q]
@@ -211,7 +219,11 @@ def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
     s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
     w = (e.astype(jnp.float32) / s).astype(dt)
 
-    ctx = (jnp.einsum("bhij,bhjd->bhid", w[..., :kv], v_r,
+    w_r = w[..., :kv]
+    if v_scale_cols is not None:
+        w_r = (w_r.astype(jnp.float32)
+               * v_scale_cols[:, :, None, :]).astype(dt)
+    ctx = (jnp.einsum("bhij,bhjd->bhid", w_r, v_r,
                       preferred_element_type=jnp.float32)
            + jnp.einsum("bhij,bhjd->bhid", w[..., kv:], v_new,
                         preferred_element_type=jnp.float32)).astype(dt)

@@ -40,6 +40,8 @@ def _reset_slot(enc_state, dec_state, slot, blank_token):
     enc_state = enc_mod.EncoderState(
         k_cache=enc_state.k_cache.at[:, slot].set(0),
         v_cache=enc_state.v_cache.at[:, slot].set(0),
+        k_scale=enc_state.k_scale.at[:, slot].set(1.0),
+        v_scale=enc_state.v_scale.at[:, slot].set(1.0),
         conv_cache=enc_state.conv_cache.at[:, slot].set(0),
         valid_len=enc_state.valid_len.at[slot].set(0),
         phase=enc_state.phase.at[slot].set(0),
@@ -240,6 +242,8 @@ class ServingEngine:
             "enc/conv_cache": np.asarray(self.enc_state.conv_cache),
             "enc/valid_len": np.asarray(self.enc_state.valid_len),
             "enc/phase": np.asarray(self.enc_state.phase),
+            "enc/k_scale": np.asarray(self.enc_state.k_scale),
+            "enc/v_scale": np.asarray(self.enc_state.v_scale),
             "dec/h": np.asarray(self.dec_state.h),
             "dec/c": np.asarray(self.dec_state.c),
             "dec/prev_token": np.asarray(self.dec_state.prev_token),
@@ -266,9 +270,12 @@ class ServingEngine:
 
         z = np.load(path, allow_pickle=True)
         assert z["active"].shape == (self.n_slots,), "n_slots mismatch"
+        ring_dtype = (jnp.int8 if self.cc.kv_cache_int8 else self.dtype)
         self.enc_state = EncoderState(
-            k_cache=jnp.asarray(z["enc/k_cache"], self.dtype),
-            v_cache=jnp.asarray(z["enc/v_cache"], self.dtype),
+            k_cache=jnp.asarray(z["enc/k_cache"], ring_dtype),
+            v_cache=jnp.asarray(z["enc/v_cache"], ring_dtype),
+            k_scale=jnp.asarray(z["enc/k_scale"], jnp.float32),
+            v_scale=jnp.asarray(z["enc/v_scale"], jnp.float32),
             conv_cache=jnp.asarray(z["enc/conv_cache"], self.dtype),
             valid_len=jnp.asarray(z["enc/valid_len"], jnp.int32),
             phase=jnp.asarray(z["enc/phase"], jnp.int32))

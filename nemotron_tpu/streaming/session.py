@@ -231,6 +231,8 @@ class StreamSession:
             "enc/conv_cache": np.asarray(self.enc_state.conv_cache),
             "enc/valid_len": np.asarray(self.enc_state.valid_len),
             "enc/phase": np.asarray(self.enc_state.phase),
+            "enc/k_scale": np.asarray(self.enc_state.k_scale),
+            "enc/v_scale": np.asarray(self.enc_state.v_scale),
             "dec/h": np.asarray(self.dec_state.h),
             "dec/c": np.asarray(self.dec_state.c),
             "dec/prev_token": np.asarray(self.dec_state.prev_token),
@@ -242,9 +244,12 @@ class StreamSession:
         }
 
     def load_state_dict(self, st: dict) -> None:
+        ring_dtype = (jnp.int8 if self.cc.kv_cache_int8 else self.dtype)
         self.enc_state = enc_mod.EncoderState(
-            k_cache=jnp.asarray(st["enc/k_cache"], self.dtype),
-            v_cache=jnp.asarray(st["enc/v_cache"], self.dtype),
+            k_cache=jnp.asarray(st["enc/k_cache"], ring_dtype),
+            v_cache=jnp.asarray(st["enc/v_cache"], ring_dtype),
+            k_scale=jnp.asarray(st["enc/k_scale"], jnp.float32),
+            v_scale=jnp.asarray(st["enc/v_scale"], jnp.float32),
             conv_cache=jnp.asarray(st["enc/conv_cache"], self.dtype),
             valid_len=jnp.asarray(st["enc/valid_len"], jnp.int32),
             phase=jnp.asarray(st["enc/phase"], jnp.int32),

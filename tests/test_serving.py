@@ -484,3 +484,42 @@ def test_finalize_stream_matches_session_finalize(model_setup):
     eng.step()
     got = eng.finalize_stream(s)
     assert got == want
+
+
+def test_continuous_batching_int8_kv(model_setup):
+    """Mixed-rate engine with the int8 K/V ring: masked scale freeze and
+    realign scale roll must keep slow streams exactly equal to solo int8
+    runs."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.streaming.serving import ServingEngine
+
+    _, params, cfg = model_setup
+    cc = dataclasses.replace(
+        CacheConfig(att_right_context=1, att_left_context=14,
+                    n_mels=cfg.n_mels), kv_cache_int8=True)
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+
+    def audio(seed, n):
+        r = np.random.default_rng(seed)
+        return (r.standard_normal(n) * 8000).astype(np.int16)
+
+    eng = ServingEngine(params, cfg, vocab, cc, n_slots=2,
+                        compute_dtype=jnp.float32)
+    fast, slow = eng.add_stream(), eng.add_stream()
+    for i in range(3):
+        eng.feed_audio({fast: audio(30 + i, 6000), slow: audio(40 + i, 2000)})
+        eng.step()
+
+    for seeds, n, slot in ((range(30, 33), 6000, fast),
+                           (range(40, 43), 2000, slow)):
+        solo = ServingEngine(params, cfg, vocab, cc, n_slots=1,
+                             compute_dtype=jnp.float32)
+        s = solo.add_stream()
+        for seed in seeds:
+            solo.feed_audio({s: audio(seed, n)})
+            solo.step()
+        assert solo.transcripts[s] == eng.transcripts[slot]

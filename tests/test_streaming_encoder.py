@@ -149,3 +149,30 @@ def test_ring_extreme_geometry_pure_causal(model_setup, oracle, rng):
                           pos_heads)
         np.testing.assert_allclose(np.asarray(got)[0], want, atol=5e-5,
                                    err_msg=f"chunk {ci}")
+
+
+def test_int8_kv_ring_accuracy(model_setup, oracle, rng):
+    """cc.kv_cache_int8: outputs stay within ~2% of the exact ring across
+    multiple chunks (the ring is int8 with per-segment scales; the current
+    chunk attends at full precision)."""
+    import dataclasses
+
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=6, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    cc8 = dataclasses.replace(cc, kv_cache_int8=True)
+
+    pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc)
+    step = jax.jit(enc_mod.encode_chunk, static_argnums=(1, 2))
+    st = enc_mod.init_encoder_state(cfg, cc, 1)
+    st8 = enc_mod.init_encoder_state(cfg, cc8, 1)
+    assert st8.k_cache.dtype == jnp.int8
+
+    for ci in range(4):
+        mel = rng.standard_normal(
+            (1, cc.chunk_mel_frames, cfg.n_mels)).astype(np.float32)
+        out, st = step(params, cfg, cc, jnp.asarray(mel), st, pos_heads)
+        out8, st8 = step(params, cfg, cc8, jnp.asarray(mel), st8, pos_heads)
+        a, b = np.asarray(out), np.asarray(out8)
+        denom = np.abs(a).max() + 1e-9
+        assert np.abs(a - b).max() / denom < 0.02, ci
