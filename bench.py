@@ -122,8 +122,10 @@ def main() -> int:
         # emission rate): 384 -> ~81 ms, 512 -> ~105 ms, vs the 120 ms bar.
         # Start at 512; 384 is the rescue size.
         candidates = [512, 640]
-    cc = CacheConfig.balanced()  # R=13, 1.12 s chunks
-    cc = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
+    import dataclasses
+
+    cc = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)  # 1.12 s chunks
+    cc8 = dataclasses.replace(cc, kv_cache_int8=True)
 
     arrays = P.random_weight_arrays(cfg, seed=0)
     # Blank-biased joint so greedy decode emits at a realistic speech-like
@@ -137,27 +139,26 @@ def main() -> int:
     pos_heads = enc_mod.precompute_pos_heads(params_bf16, cfg, cc,
                                              dtype=dtype)
 
-    # Plan: dense-bf16 baseline batch, then the W8A8 int8-MXU serving mode
-    # at larger batches (measured: dense 512 -> ~100 ms, w8a8 512 -> ~86 ms,
-    # w8a8 640 -> ~108 ms vs the 120 ms bar; int8 dot = 387 TOPS on v5e).
+    # Plan: dense-bf16 baseline, then W8A8 int8-MXU weights + int8 K/V
+    # cache rings at larger batches. Measured ladder (head-major ring):
+    # bf16 512 -> ~98 ms; w8a8 704 -> ~114; w8a8+int8kv 768 -> ~115,
+    # 896 -> ~138 vs the 120 ms bar. int8 dot = ~390 TOPS on v5e.
     if quick:
-        plan = [("bf16", params_bf16, b) for b in candidates]
+        plan = [("bf16", params_bf16, b, cc) for b in candidates]
     else:
         params_w8a8 = P.cast_params(
             P.quantize_model_params(base, mode="w8a8"), dtype)
-        # measured (head-major ring): w8a8 640 -> ~98 ms, 704 -> ~114 ms,
-        # 768 -> ~124 ms vs the 120 ms bar
-        plan = [("bf16", params_bf16, 512),
-                ("w8a8-int8", params_w8a8, 704),
-                ("w8a8-int8", params_w8a8, 768)]
+        plan = [("bf16", params_bf16, 512, cc),
+                ("w8a8-int8kv", params_w8a8, 768, cc8),
+                ("w8a8-int8kv", params_w8a8, 896, cc8)]
 
     results = {}
     best = 0
     best_stats = None
     best_mode = None
-    for mode_name, p, batch in plan:
+    for mode_name, p, batch, cc_run in plan:
         try:
-            stats = measure(chunk_step, p, cfg, cc, pos_heads, batch,
+            stats = measure(chunk_step, p, cfg, cc_run, pos_heads, batch,
                             dtype, chain_len=5 if quick else 20,
                             reps=2 if quick else 4)
         except Exception as e:  # OOM etc.
