@@ -7,6 +7,7 @@ src/transcribe_stream.cpp:27-36):
     transcribe_stream.py <model.gguf> <audio.pcm|.wav|-|--stdin> [chunk_ms]
                          [right_context] [--cpu|--tpu] [--timestamps]
                          [--profile=DIR] [--trace=DIR] [--quantize=q8_0|w8a8]
+                         [--kv-int8]
 
   - input: raw s16le 16 kHz mono PCM file, or '-' / '--stdin' for stdin
   - chunk_ms is advisory (>=10 warning); the actual read size comes from the
@@ -80,6 +81,11 @@ def main(argv: list[str]) -> int:
         params = quantize_model_params(params, mode=quant_mode)
         print(f"runtime quantization: {quant_mode}", file=sys.stderr)
     cc = CacheConfig(att_right_context=right_context, n_mels=cfg.n_mels)
+    if "--kv-int8" in flags:
+        import dataclasses
+
+        cc = dataclasses.replace(cc, kv_cache_int8=True)
+        print("int8 K/V cache rings enabled", file=sys.stderr)
     print(f"config: chunk={cc.chunk_mel_frames} mel frames "
           f"({cc.latency_ms} ms), shift={cc.shift_mel_frames}, "
           f"valid_out={cc.valid_out_len}, left_context={cc.att_left_context}",
