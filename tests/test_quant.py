@@ -242,3 +242,35 @@ def test_w8a8_to_q8_0_conversion(model_setup):
     dense = np.asarray(params.layers.ffn1_w1)
     back = np.asarray(quant.dequantize(qp.layers.ffn1_w1))
     assert np.abs(back - dense).max() / np.abs(dense).max() < 0.03
+
+
+def test_w8a8_plus_int8kv_pipeline(model_setup, rng):
+    """The headline serving config (W8A8 weights + int8 K/V rings) stays
+    within tolerance of f32 over multiple streaming chunks."""
+    import dataclasses
+
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.models import decoder as dec_mod
+    from nemotron_tpu.models import encoder as enc_mod
+    from nemotron_tpu.streaming.session import chunk_step
+
+    _, params, cfg = model_setup
+    qparams = params_mod.quantize_model_params(params, mode="w8a8")
+    cc = CacheConfig(att_right_context=1, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    cc8 = dataclasses.replace(cc, kv_cache_int8=True)
+
+    outs = {}
+    for name, p, c in [("f32", params, cc), ("w8a8+int8kv", qparams, cc8)]:
+        es = enc_mod.init_encoder_state(cfg, c, 2)
+        ph = enc_mod.precompute_pos_heads(p, cfg, c)
+        acc = []
+        r2 = np.random.default_rng(5)
+        for _ in range(3):
+            mel = jnp.asarray(r2.standard_normal(
+                (2, c.chunk_mel_frames, cfg.n_mels)), jnp.float32)
+            enc_out, es = enc_mod.encode_chunk(p, cfg, c, mel, es, ph)
+            acc.append(np.asarray(enc_out))
+        outs[name] = np.concatenate(acc, axis=1)
+    a, b = outs["f32"], outs["w8a8+int8kv"]
+    assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 0.08

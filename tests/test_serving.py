@@ -341,7 +341,8 @@ def test_slot_evict_and_reuse(model_setup):
     assert isinstance(text0, str)
 
 
-def test_serving_fuzz_random_schedule(model_setup):
+@pytest.mark.parametrize("seed", [42, 1337])
+def test_serving_fuzz_random_schedule(model_setup, seed):
     """Randomized admission/eviction/feed schedule: every stream's final
     transcript must equal a solo engine fed the same audio sequence. This is
     the strongest continuous-batching invariant (covers masking, ring
@@ -355,7 +356,7 @@ def test_serving_fuzz_random_schedule(model_setup):
     cc = CacheConfig(att_right_context=1, att_left_context=14,
                      n_mels=cfg.n_mels)
     vocab = [f"t{i}" for i in range(cfg.vocab_size)]
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(seed)
 
     def make_engine(n):
         return ServingEngine(params, cfg, vocab, cc, n_slots=n,
