@@ -134,7 +134,8 @@ def greedy_decode_by_frame(params: ModelParams, cfg: ModelConfig, enc,
 
 
 def greedy_decode(params: ModelParams, cfg: ModelConfig, enc,
-                  state: DecoderState, step_mask=None, enc_lengths=None):
+                  state: DecoderState, step_mask=None, enc_lengths=None,
+                  with_iters: bool = False):
     """Frame-skipping batched greedy RNN-T, fully on-device.
 
     step_mask [B] bool (optional): streams marked False are skipped entirely
@@ -173,8 +174,10 @@ def greedy_decode(params: ModelParams, cfg: ModelConfig, enc,
 
     def cond(carry):
         it, _st, ptr, _sym, _tokens = carry
-        # safety bound: every iteration either emits or finishes a stream
-        return jnp.logical_and(jnp.any(ptr < T), it < T * MAX + T)
+        # a stream is done once ptr reaches ITS OWN valid length (t_limit),
+        # not the padded T -- otherwise ragged batches spin to the safety
+        # bound re-evaluating the joint every iteration
+        return jnp.logical_and(jnp.any(ptr < t_limit), it < T * MAX + T)
 
     def body(carry):
         it, st, ptr, sym, tokens = carry
@@ -216,9 +219,40 @@ def greedy_decode(params: ModelParams, cfg: ModelConfig, enc,
 
         return (it + 1, DecoderState(h, c, prev), new_ptr, new_sym, tokens)
 
-    _, state, _, _, tokens = jax.lax.while_loop(
+    iters, state, _, _, tokens = jax.lax.while_loop(
         cond, body, (jnp.int32(0), state, ptr0, sym0, tokens0))
+    if with_iters:
+        return tokens.reshape(B, T, MAX), state, iters
     return tokens.reshape(B, T, MAX), state
+
+
+def extract_emitted(tokens, blank: int, frame_offsets=None):
+    """Vectorized host-side token extraction for serving: [B, T, MAX] int32
+    -> {stream: [(token, abs_frame), ...]} in emission order.
+
+    Replaces a per-(stream, frame, symbol) Python loop (~B*T*MAX iterations
+    per engine tick) with one np.argwhere over the whole batch; only streams
+    that actually emitted appear in the result. `frame_offsets` [B] offsets
+    each stream's frame indices (cross-chunk timestamps, the reference's
+    frame_offset carry, src/nemo-ggml.cpp:1260-1429)."""
+    import numpy as np
+
+    arr = np.asarray(tokens)
+    nz = np.argwhere(arr != blank)
+    out: dict[int, list[tuple[int, int]]] = {}
+    if nz.size == 0:
+        return out
+    vals = arr[nz[:, 0], nz[:, 1], nz[:, 2]]
+    b = nz[:, 0]
+    # argwhere is lexicographic in (stream, frame, symbol) == emission order
+    starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+    ends = np.r_[starts[1:], len(b)]
+    for s0, e0 in zip(starts, ends):
+        stream = int(b[s0])
+        off = int(frame_offsets[stream]) if frame_offsets is not None else 0
+        out[stream] = [(int(v), off + int(t))
+                       for v, t in zip(vals[s0:e0], nz[s0:e0, 1])]
+    return out
 
 
 def tokens_to_list(tokens, blank: int):

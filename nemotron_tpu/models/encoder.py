@@ -216,10 +216,19 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     # realigned by the serving engine on resume (a cheap ring roll), so
     # per-stream semantics stay exact; non-advancing streams' outputs are
     # discarded and their segment content is restored below.
+    # INVARIANT: all advancing streams share ONE ring phase (lockstep
+    # segment writes; the serving engine realigns lagging slots before they
+    # re-enter, serving.py). A caller violating this would silently read
+    # wrong attention windows, so the output is NaN-poisoned when the
+    # invariant fails -- loud instead of wrong (a data-dependent raise is
+    # not expressible inside jit).
     if step_mask is not None:
         phase_s = jnp.max(jnp.where(step_mask, state.phase, -1))
+        phase_uniform = jnp.all(
+            jnp.where(step_mask, state.phase == phase_s, True))
     else:
         phase_s = state.phase[0]
+        phase_uniform = jnp.all(state.phase == phase_s)
     j = jnp.arange(kv, dtype=jnp.int32)
     s_j, o_j = j // Q, j % Q
     age = jnp.mod(phase_s - 1 - s_j, n_seg) + 1              # [kv]
@@ -348,6 +357,7 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
         phase=new_phase,
     )
     enc_out = x[:, : cc.valid_out_len, :]
+    enc_out = jnp.where(phase_uniform, enc_out, jnp.nan)
     if capture:
         inter = {"pre_encode_out": pre_encode_out,
                  "layer_out": ys[2],          # [L, B, T, D]

@@ -33,6 +33,32 @@ from ..utils.text import tokens_to_text
 from .session import chunk_step_masked
 
 
+class _MelBuffer:
+    """Per-slot mel FIFO as a list of parts: appends are O(1); the parts are
+    concatenated only when a chunk is actually consumed (once per engine
+    tick per ready slot), instead of re-copying the whole buffer on every
+    feed_audio call."""
+
+    __slots__ = ("parts", "count")
+
+    def __init__(self, seed: np.ndarray):
+        self.parts = [seed]
+        self.count = seed.shape[0]
+
+    def append(self, mel: np.ndarray) -> None:
+        self.parts.append(mel)
+        self.count += mel.shape[0]
+
+    def compact(self) -> np.ndarray:
+        if len(self.parts) > 1:
+            self.parts = [np.concatenate(self.parts)]
+        return self.parts[0]
+
+    def drop(self, k: int) -> None:
+        self.parts = [self.compact()[k:]]  # view, no copy
+        self.count -= k
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _reset_slot(enc_state, dec_state, slot, blank_token):
     """Zero one slot's caches and decoder state on device (admission and
@@ -50,6 +76,30 @@ def _reset_slot(enc_state, dec_state, slot, blank_token):
         h=dec_state.h.at[slot].set(0),
         c=dec_state.c.at[slot].set(0),
         prev_token=dec_state.prev_token.at[slot].set(blank_token),
+    )
+    return enc_state, dec_state
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _reset_slots(enc_state, dec_state, mask, blank_token):
+    """Zero ALL masked slots' caches and decoder state in one device call
+    (bulk admission: 1 dispatch instead of one per slot)."""
+    m5 = mask[None, :, None, None, None]
+    m4 = mask[None, :, None, None]
+    m1 = mask
+    enc_state = enc_mod.EncoderState(
+        k_cache=jnp.where(m5, 0, enc_state.k_cache),
+        v_cache=jnp.where(m5, 0, enc_state.v_cache),
+        k_scale=jnp.where(m4, 1.0, enc_state.k_scale),
+        v_scale=jnp.where(m4, 1.0, enc_state.v_scale),
+        conv_cache=jnp.where(m4, 0, enc_state.conv_cache),
+        valid_len=jnp.where(m1, 0, enc_state.valid_len),
+        phase=jnp.where(m1, 0, enc_state.phase),
+    )
+    dec_state = dec_mod.DecoderState(
+        h=jnp.where(mask[:, None, None], 0, dec_state.h),
+        c=jnp.where(mask[:, None, None], 0, dec_state.c),
+        prev_token=jnp.where(m1, blank_token, dec_state.prev_token),
     )
     return enc_state, dec_state
 
@@ -110,10 +160,10 @@ class ServingEngine:
         self.phase_counter = 0
         self.slot_phase = np.zeros(n_slots, np.int64)
 
-    def _fresh_mel_buffer(self) -> np.ndarray:
+    def _fresh_mel_buffer(self) -> _MelBuffer:
         # 9-frame zero-seeded overlap (reference src/nemo-stream.cpp:58-60)
-        return np.zeros((self.cc.pre_encode_cache_size, self.cfg.n_mels),
-                        np.float32)
+        return _MelBuffer(np.zeros(
+            (self.cc.pre_encode_cache_size, self.cfg.n_mels), np.float32))
 
     # -- admission / eviction -------------------------------------------------
 
@@ -126,6 +176,31 @@ class ServingEngine:
         self._clear_slot(slot)
         return slot
 
+    def add_streams(self, count: int) -> list[int]:
+        """Bulk admission: claim `count` free slots with ONE device reset
+        call (per-slot add_stream costs a device dispatch each, which
+        dominates startup at hundreds of slots)."""
+        free = np.flatnonzero(~self.active)
+        if free.size < count:
+            raise RuntimeError(
+                f"need {count} free slots, have {free.size}")
+        slots = free[:count]
+        mask = np.zeros(self.n_slots, bool)
+        mask[slots] = True
+        self.enc_state, self.dec_state = _reset_slots(
+            self.enc_state, self.dec_state, jnp.asarray(mask),
+            jnp.int32(self.cfg.blank_token))
+        for s in slots:
+            s = int(s)
+            self.active[s] = True
+            self.preprocs[s].reset()
+            self.mel_buffers[s] = self._fresh_mel_buffer()
+            self.tokens[s] = []
+            self.transcripts[s] = ""
+            self.frame_offsets[s] = 0
+            self.slot_phase[s] = 0
+        return [int(s) for s in slots]
+
     def remove_stream(self, slot: int) -> str:
         text = self.transcripts[slot]
         self.active[slot] = False
@@ -133,18 +208,19 @@ class ServingEngine:
         return text
 
     def finalize_stream(self, slot: int) -> str:
-        """Flush the slot's pending audio (zero-padding the trailing partial
-        chunk, the session-finalize semantics, then evict and return the
-        final transcript."""
+        """Flush the slot's pending audio: drain any fully buffered chunks
+        first, then zero-pad the trailing partial chunk (the
+        session-finalize semantics), then evict and return the final
+        transcript."""
         assert self.active[slot], f"slot {slot} inactive"
-        pending = (self.mel_buffers[slot].shape[0]
-                   - self.cc.pre_encode_cache_size)
+        if self.mel_buffers[slot].count >= self.cc.chunk_mel_frames:
+            self.step()  # drain full chunks before padding the tail
+        pending = self.mel_buffers[slot].count - self.cc.pre_encode_cache_size
         if pending > 0:
-            pad = self.cc.chunk_mel_frames - self.mel_buffers[slot].shape[0]
+            pad = self.cc.chunk_mel_frames - self.mel_buffers[slot].count
             if pad > 0:
-                self.mel_buffers[slot] = np.concatenate(
-                    [self.mel_buffers[slot],
-                     np.zeros((pad, self.cfg.n_mels), np.float32)])
+                self.mel_buffers[slot].append(
+                    np.zeros((pad, self.cfg.n_mels), np.float32))
             self.step()
         return self.remove_stream(slot)
 
@@ -171,13 +247,12 @@ class ServingEngine:
             mel = self.preprocs[slot].process(
                 np.asarray(audio, np.int16)[None])[0]
             if mel.shape[0]:
-                self.mel_buffers[slot] = np.concatenate(
-                    [self.mel_buffers[slot], mel])
+                self.mel_buffers[slot].append(mel)
 
     def _ready(self) -> np.ndarray:
         need = self.cc.chunk_mel_frames
         return np.array(
-            [self.active[s] and self.mel_buffers[s].shape[0] >= need
+            [self.active[s] and self.mel_buffers[s].count >= need
              for s in range(self.n_slots)], bool)
 
     def step(self) -> dict[int, str]:
@@ -192,7 +267,8 @@ class ServingEngine:
                 (self.n_slots, cc.chunk_mel_frames, self.cfg.n_mels),
                 np.float32)
             for s in np.flatnonzero(ready):
-                chunk_np[s] = self.mel_buffers[s][: cc.chunk_mel_frames]
+                chunk_np[s] = self.mel_buffers[s].compact()[
+                    : cc.chunk_mel_frames]
                 if self.slot_phase[s] != self.phase_counter:
                     delta = int((self.phase_counter - self.slot_phase[s])
                                 % self.n_seg)
@@ -209,22 +285,20 @@ class ServingEngine:
             tokens = np.asarray(tokens)
             self.step_times.append(time.perf_counter() - t0)
 
-            blank = self.cfg.blank_token
-            for slot in np.flatnonzero(ready):
-                self.mel_buffers[slot] = self.mel_buffers[slot][
-                    cc.shift_mel_frames:]
-                toks = [
-                    (int(tokens[slot, t, i]), int(self.frame_offsets[slot]) + t)
-                    for t in range(tokens.shape[1])
-                    for i in range(tokens.shape[2])
-                    if tokens[slot, t, i] != blank
-                ]
-                if toks:
-                    self.tokens[slot].extend(toks)
-                    text = tokens_to_text(toks, self.vocab)
-                    self.transcripts[slot] += text
-                    out[int(slot)] = out.get(int(slot), "") + text
-                self.frame_offsets[slot] += tokens.shape[1]
+            ready_slots = np.flatnonzero(ready)
+            for slot in ready_slots:
+                self.mel_buffers[slot].drop(cc.shift_mel_frames)
+            # masked slots emit only blanks, so extracting over the whole
+            # [S, T, MAX] array is safe (and one vectorized pass instead of
+            # an S*T*MAX Python loop)
+            emitted = dec_mod.extract_emitted(
+                tokens, self.cfg.blank_token, self.frame_offsets)
+            for slot, toks in emitted.items():
+                self.tokens[slot].extend(toks)
+                text = tokens_to_text(toks, self.vocab)
+                self.transcripts[slot] += text
+                out[slot] = out.get(slot, "") + text
+            self.frame_offsets[ready_slots] += tokens.shape[1]
             self.phase_counter = (self.phase_counter + 1) % self.n_seg
             self.slot_phase[ready] = self.phase_counter
             ready = self._ready()
@@ -257,7 +331,7 @@ class ServingEngine:
             pp = self.preprocs[s].state_dict()
             flat[f"preproc/last_sample/{s}"] = pp["last_sample"]
             flat[f"preproc/residue/{s}"] = pp["residue"]
-            flat[f"mel_buffer/{s}"] = self.mel_buffers[s]
+            flat[f"mel_buffer/{s}"] = self.mel_buffers[s].compact()
             flat[f"tokens/{s}"] = np.asarray(
                 self.tokens[s], np.int64).reshape(-1, 2)
         np.savez(path, **flat)
@@ -297,7 +371,7 @@ class ServingEngine:
             [tuple(int(x) for x in row) for row in z[f"tokens/{s}"]]
             for s in range(self.n_slots)]
         self.mel_buffers = [
-            np.asarray(z[f"mel_buffer/{s}"], np.float32).copy()
+            _MelBuffer(np.asarray(z[f"mel_buffer/{s}"], np.float32).copy())
             for s in range(self.n_slots)]
         for s in range(self.n_slots):
             self.preprocs[s].load_state_dict(
@@ -318,7 +392,11 @@ class ServingEngine:
     def stats(self) -> dict:
         """Engine observability snapshot (the reference's stats block,
         src/transcribe_stream.cpp:184-191, generalized to many streams)."""
-        audio_s = float(self.frame_offsets.sum()) * 8 * 160 / 16000.0
+        # per-encoder-frame audio duration from the configured geometry
+        # (subsampling * hop / rate), not hardcoded defaults
+        frame_s = (self.cc.subsampling_factor * self.cc.hop_length
+                   / self.cc.sample_rate)
+        audio_s = float(self.frame_offsets.sum()) * frame_s
         compute_s = float(np.sum(self.step_times))
         return {
             "active_slots": int(self.active.sum()),

@@ -186,20 +186,15 @@ class StreamSession:
             self.total_chunks += 1
             self.mel_buffer = self.mel_buffer[:, cc.shift_mel_frames :]
 
-            blank = self.cfg.blank_token
-            for s in range(self.n_streams):
-                toks = [
-                    (int(tokens[s, t, i]), self.frame_offset + t)
-                    for t in range(tokens.shape[1])
-                    for i in range(tokens.shape[2])
-                    if tokens[s, t, i] != blank
-                ]
-                if toks:
-                    self.tokens[s].extend(toks)
-                    text = tokens_to_text(toks, self.vocab,
-                                          timestamp_words=self.timestamp_words)
-                    self.transcripts[s] += text
-                    new_text[s] += text
+            emitted = dec_mod.extract_emitted(
+                tokens, self.cfg.blank_token,
+                np.full(self.n_streams, self.frame_offset, np.int64))
+            for s, toks in emitted.items():
+                self.tokens[s].extend(toks)
+                text = tokens_to_text(toks, self.vocab,
+                                      timestamp_words=self.timestamp_words)
+                self.transcripts[s] += text
+                new_text[s] += text
             self.frame_offset += tokens.shape[1]
         return new_text
 

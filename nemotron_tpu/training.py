@@ -48,9 +48,15 @@ def prediction_network(params: ModelParams, cfg: ModelConfig, labels):
 
 
 def transducer_logits(params: ModelParams, cfg: ModelConfig, mel, labels,
-                      remat: bool = False):
-    """Full-lattice joint logits [B, T, U+1, V] for training."""
-    enc = encode_batch(params, cfg, mel, remat=remat)       # [B, T, D]
+                      remat: bool = False, enc_lengths=None):
+    """Full-lattice joint logits [B, T, U+1, V] for training.
+
+    enc_lengths [B] (encoder frames): masks attention beyond each
+    utterance's valid length so padded frames cannot contaminate real ones
+    (batch-mode attention is bidirectional; without the mask, loss and
+    gradients silently depend on how much padding the batch carries)."""
+    enc = encode_batch(params, cfg, mel, remat=remat,
+                       enc_lengths=enc_lengths)              # [B, T, D]
     dec = prediction_network(params, cfg, labels)           # [B, U+1, H]
     jp = params.joint
     enc_p = joint_project_enc(jp, enc)                      # [B, T, J]
@@ -68,7 +74,8 @@ def loss_fn(params: ModelParams, cfg: ModelConfig, batch,
     mel [B, Tm, n_mels], labels [B, U], mel_lengths [B] (in encoder
     frames), label_lengths [B]."""
     logits = transducer_logits(params, cfg, batch["mel"], batch["labels"],
-                               remat=remat)
+                               remat=remat,
+                               enc_lengths=batch["mel_lengths"])
     losses = rnnt_loss(logits, batch["labels"], batch["mel_lengths"],
                        batch["label_lengths"], blank=cfg.blank_token)
     return jnp.mean(losses)

@@ -142,3 +142,62 @@ def test_frame_skipping_greedy_matches_frame_scan(model_setup, bias, seed):
                                atol=1e-6)
     np.testing.assert_array_equal(np.asarray(st_a.prev_token),
                                   np.asarray(st_b.prev_token))
+
+
+def test_greedy_decode_ragged_early_exit(model_setup, rng):
+    """Regression: with enc_lengths, the while_loop terminates once every
+    stream reaches ITS OWN valid length (previously the loop condition used
+    the padded T, so ragged batches spun to the T*MAX+T safety bound
+    re-evaluating the [B, T, V] joint every iteration)."""
+    from nemotron_tpu.models import decoder as dec_mod
+
+    import dataclasses
+
+    _, params, cfg = model_setup
+    # blank-biased joint: realistic sparse emission (unbiased random logits
+    # emit the MAX_SYMBOLS worst case on every frame, where the old
+    # spin-to-safety-bound behavior is indistinguishable from emitting)
+    jb = np.asarray(params.joint.out_b).copy()
+    jb[cfg.blank_token] += 8.0
+    params = dataclasses.replace(
+        params, joint=dataclasses.replace(params.joint, out_b=jnp.asarray(jb)))
+
+    B, T = 3, 12
+    lens = [2, 12, 5]
+    enc = (rng.standard_normal((B, T, cfg.d_model)) * 3).astype(np.float32)
+
+    toks, _st, iters = dec_mod.greedy_decode(
+        params, cfg, jnp.asarray(enc),
+        dec_mod.init_decoder_state(cfg, batch=B),
+        enc_lengths=jnp.asarray(lens, jnp.int32), with_iters=True)
+
+    arr = np.asarray(toks)
+    per_stream = [len(dec_mod.tokens_to_list(arr[b], cfg.blank_token))
+                  for b in range(B)]
+    # each iteration, every still-active stream either emits one token or
+    # finishes; so iterations ~ max per-stream emissions (+ O(1) slack for
+    # the hit-MAX force-advance path), FAR below the T*MAX+T safety bound
+    # the old while-condition (ptr < padded T) spun to
+    assert int(iters) <= max(per_stream) + 4
+    # no emissions beyond each stream's valid length
+    for b, L in enumerate(lens):
+        assert np.all(arr[b, L:] == cfg.blank_token)
+
+
+def test_extract_emitted_matches_naive_loop(rng):
+    """Vectorized serving-path token extraction == the per-element loop."""
+    from nemotron_tpu.models import decoder as dec_mod
+
+    blank = 40
+    toks = rng.integers(0, 41, (6, 4, 3)).astype(np.int32)
+    toks[3] = blank  # one stream with no emissions
+    offs = np.array([0, 7, 3, 0, 100, 2], np.int64)
+
+    got = dec_mod.extract_emitted(toks, blank, offs)
+    for b in range(6):
+        want = [(int(toks[b, t, i]), int(offs[b]) + t)
+                for t in range(toks.shape[1])
+                for i in range(toks.shape[2])
+                if toks[b, t, i] != blank]
+        assert got.get(b, []) == want
+    assert 3 not in got

@@ -197,3 +197,24 @@ def test_malformed_gguf_rejected(model_setup, tmp_path, corruption):
     open(path, "wb").write(bytes(data))
     with pytest.raises((ValueError, struct.error)):
         gguf.read_gguf(path, use_native=False)
+
+
+def test_save_model_vocab_byte_truncation(model_setup, tmp_path):
+    """Over-long vocab tokens are truncated by UTF-8 byte length (never
+    mid-codepoint) with a warning, instead of corrupting multibyte tokens or
+    crashing in encode_vocab."""
+    from nemotron_tpu import params as P
+
+    _, params, cfg = model_setup
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+    vocab[1] = "verylongtoken"          # 13 ascii bytes -> 7
+    vocab[2] = "日本語語"  # 4 CJK chars = 12 bytes -> 2 chars
+    path = str(tmp_path / "trunc.gguf")
+    with pytest.warns(UserWarning):
+        P.save_model(path, params, cfg, vocab=vocab)
+
+    gf = gguf.read_gguf(path)
+    got = gguf.decode_vocab(gf.metadata["tokenizer.vocab"], cfg.vocab_size)
+    assert got[1] == "verylon"
+    assert got[2] == "日本"
+    assert got[3] == vocab[3]

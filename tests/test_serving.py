@@ -524,3 +524,61 @@ def test_continuous_batching_int8_kv(model_setup):
             solo.feed_audio({s: audio(seed, n)})
             solo.step()
         assert solo.transcripts[s] == eng.transcripts[slot]
+
+
+def test_finalize_drains_backlog_then_tail(model_setup, cc):
+    """Regression (round-1 advice): finalize_stream on a slot holding MORE
+    than one full buffered chunk plus a partial tail must drain the full
+    chunks and then flush the padded tail -- previously the tail was
+    silently discarded whenever >1 chunk was buffered."""
+    from nemotron_tpu.streaming.session import StreamSession
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    n = cc.chunk_samples
+    audio = synth(3 * n + n // 2, 77)
+
+    eng = make_engine(model_setup, cc)
+    slot = eng.add_stream()
+    eng.feed_audio({slot: audio})      # stage everything, no step()
+    text_eng = eng.finalize_stream(slot)
+
+    sess = StreamSession(params, cfg, vocab, cc)
+    sess.process(audio)
+    text_solo = sess.finalize()
+
+    assert text_eng == text_solo
+    assert text_eng != ""
+
+
+def test_stats_geometry_from_cache_config(model_setup):
+    """aggregate_rtf derives audio seconds from the configured geometry, not
+    hardcoded subsampling*hop/rate defaults."""
+    import dataclasses
+
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=1, att_left_context=12,
+                     n_mels=cfg.n_mels, hop_length=80, sample_rate=8000)
+    eng = ServingEngine(params, cfg, [f"w{i}" for i in range(cfg.vocab_size)],
+                        cc, n_slots=2, compute_dtype=jnp.float32)
+    eng.frame_offsets[:] = [10, 0]
+    s = eng.stats()
+    assert s["audio_seconds_decoded"] == pytest.approx(
+        10 * cc.subsampling_factor * cc.hop_length / cc.sample_rate)
+
+
+def test_bulk_add_streams_matches_individual(model_setup, cc):
+    """add_streams(k) == k sequential add_stream calls (one device reset)."""
+    eng_a = make_engine(model_setup, cc)
+    eng_b = make_engine(model_setup, cc)
+    slots_a = eng_a.add_streams(3)
+    slots_b = [eng_b.add_stream() for _ in range(3)]
+    assert slots_a == slots_b
+
+    n = cc.chunk_samples
+    feed = {s: synth(n, 5 + s) for s in slots_a}
+    out_a = (eng_a.feed_audio(feed), eng_a.step())[1]
+    out_b = (eng_b.feed_audio(feed), eng_b.step())[1]
+    assert out_a == out_b
+    assert [eng_a.transcripts[s] for s in slots_a] == \
+        [eng_b.transcripts[s] for s in slots_b]

@@ -176,3 +176,33 @@ def test_int8_kv_ring_accuracy(model_setup, oracle, rng):
         a, b = np.asarray(out), np.asarray(out8)
         denom = np.abs(a).max() + 1e-9
         assert np.abs(a - b).max() / denom < 0.02, ci
+
+
+def test_mixed_ring_phase_poisons_output(model_setup):
+    """encode_chunk's lockstep-phase invariant: a direct caller passing
+    non-uniform ring phases gets NaN-poisoned output (loud), not silently
+    wrong attention windows; uniform phases stay finite."""
+    import dataclasses
+
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=1, att_left_context=12,
+                     n_mels=cfg.n_mels)
+    pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc)
+    st = enc_mod.init_encoder_state(cfg, cc, batch=2)
+    mel = jnp.zeros((2, cc.chunk_mel_frames, cfg.n_mels), jnp.float32)
+
+    out_ok, st2 = enc_mod.encode_chunk(params, cfg, cc, mel, st, pos_heads)
+    assert np.isfinite(np.asarray(out_ok)).all()
+
+    bad = dataclasses.replace(st2, phase=jnp.asarray([0, 1], jnp.int32))
+    out_bad, _ = enc_mod.encode_chunk(params, cfg, cc, mel, bad, pos_heads)
+    assert np.isnan(np.asarray(out_bad)).all()
+
+    # masked path: non-uniform phases among ADVANCING streams also poison
+    out_m, _ = enc_mod.encode_chunk(params, cfg, cc, mel, bad, pos_heads,
+                                    step_mask=jnp.asarray([True, True]))
+    assert np.isnan(np.asarray(out_m)).all()
+    # ...but a lagging MASKED-OUT stream with a stale phase is legal
+    out_l, _ = enc_mod.encode_chunk(params, cfg, cc, mel, bad, pos_heads,
+                                    step_mask=jnp.asarray([False, True]))
+    assert np.isfinite(np.asarray(out_l)).all()

@@ -171,3 +171,41 @@ def test_train_state_checkpoint_resume(model_setup, tmp_path):
         p3, s3, loss = step2(p3, s3, batch)
         resumed.append(float(loss))
     np.testing.assert_allclose(resumed, losses[2:], rtol=1e-6)
+
+
+def test_loss_invariant_to_mel_padding(model_setup, rng):
+    """Regression (round-1 advice): transducer_logits must thread
+    mel_lengths into encode_batch; otherwise batch-mode (bidirectional)
+    attention lets valid frames attend to padding and the loss silently
+    depends on how much padding the batch carries.
+
+    mel_lengths is chosen conservatively (3 frames for a 25-frame mel) so
+    every counted encoder frame is fully determined by valid audio: the
+    causal subsampling has a 1-frame lookahead per stage, so the last
+    ~2 encoder frames are boundary-affected by construction and excluded."""
+    from nemotron_tpu.models.encoder import encode_batch
+    from nemotron_tpu.training import loss_fn
+
+    _, params, cfg = model_setup
+    B, U, Tm, Tpad = 2, 3, 25, 41
+    mel1 = rng.standard_normal((B, Tm, cfg.n_mels)).astype(np.float32)
+    mel2 = np.zeros((B, Tpad, cfg.n_mels), np.float32)
+    mel2[:, :Tm] = mel1
+    labels = rng.integers(0, cfg.vocab_size - 1, (B, U)).astype(np.int32)
+    lens = np.full(B, 3, np.int32)
+
+    enc1 = encode_batch(params, cfg, jnp.asarray(mel1),
+                        enc_lengths=jnp.asarray(lens))
+    enc2 = encode_batch(params, cfg, jnp.asarray(mel2),
+                        enc_lengths=jnp.asarray(lens))
+    np.testing.assert_allclose(np.asarray(enc1)[:, :3],
+                               np.asarray(enc2)[:, :3], atol=2e-5)
+
+    def batch(mel):
+        return {"mel": jnp.asarray(mel), "labels": jnp.asarray(labels),
+                "mel_lengths": jnp.asarray(lens),
+                "label_lengths": jnp.full((B,), U, jnp.int32)}
+
+    l1 = float(loss_fn(params, cfg, batch(mel1)))
+    l2 = float(loss_fn(params, cfg, batch(mel2)))
+    np.testing.assert_allclose(l1, l2, rtol=2e-5)
