@@ -1,0 +1,231 @@
+"""Lockstep many-stream serving: ONE device program per tick, PCM to tokens.
+
+The maximum-throughput serving shape (every stream advances every tick, the
+configuration all headline numbers are quoted at). Where `ServingEngine`
+(serving.py) keeps the DSP and chunk assembly on the host so slots can
+advance at independent rates, `LockstepEngine` fuses the ENTIRE pipeline
+into a single jitted step:
+
+    i16 PCM [S, N]
+      -> on-device DSP (scale, pre-emph, frame, window, rFFT, mel, log)
+      -> on-device mel ring (9-frame overlap seeding, chunk assembly)
+      -> cache-aware streaming encoder
+      -> on-device greedy RNN-T decode
+      -> int32 tokens [k, S, valid_out, MAX]
+
+Host work per tick: upload S*N int16 samples (6.4x fewer bytes than framed
+f32 windows), download the token tensor, one vectorized detok pass. The
+reference's per-chunk boundary crossings (mel upload, enc-out download,
+per-symbol transfers, src/nemo-stream.cpp:961-1057) all disappear.
+
+Chunk cadence is data-independent: how many chunks a tick consumes is a
+pure function of sample counts, so the host tracks the mel-buffer fill and
+bakes it into the jit signature as a static (two or three distinct programs
+over a stream's lifetime, all cached).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (MAX_SYMBOLS_PER_STEP, CacheConfig, ModelConfig,
+                      PreprocessorConfig)
+from ..frontend.device_frontend import (FrontendState, frames_after,
+                                        init_frontend_state,
+                                        mel_frontend_step)
+from ..frontend.preprocessor import pad_window
+from ..models import decoder as dec_mod
+from ..models import encoder as enc_mod
+from ..utils.text import tokens_to_text
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
+                   donate_argnums=(6, 7, 8, 9))
+def _fused_tick(cfg: ModelConfig, cc: CacheConfig, pcfg: PreprocessorConfig,
+                buf_len: int, params, pcm_i16, front: FrontendState,
+                mel_buf, enc_state, dec_state, pos_heads, window, filterbank):
+    """One fused tick. All control flow is static: `buf_len` (mel frames
+    already buffered) and the PCM length determine how many chunk steps this
+    program contains (k = 0 or 1 at steady cadence)."""
+    S = pcm_i16.shape[0]
+    mel, front = mel_frontend_step(pcm_i16, front, window, filterbank, pcfg)
+    f = mel.shape[1]
+    dtype = mel_buf.dtype
+    if f:
+        mel_buf = jax.lax.dynamic_update_slice_in_dim(
+            mel_buf, mel.astype(dtype), buf_len, axis=1)
+
+    chunk, shift = cc.chunk_mel_frames, cc.shift_mel_frames
+    fill = buf_len + f
+    tokens_out = []
+    while fill >= chunk:
+        chunk_mel = mel_buf[:, :chunk]
+        enc_out, enc_state = enc_mod.encode_chunk(
+            params, cfg, cc, chunk_mel, enc_state, pos_heads)
+        toks, dec_state = dec_mod.greedy_decode(params, cfg, enc_out,
+                                                dec_state)
+        tokens_out.append(toks)
+        mel_buf = jnp.concatenate(
+            [mel_buf[:, shift:],
+             jnp.zeros((S, shift, mel_buf.shape[2]), dtype)], axis=1)
+        fill -= shift
+
+    if tokens_out:
+        tokens = jnp.stack(tokens_out)          # [k, S, valid_out, MAX]
+    else:
+        tokens = jnp.zeros((0, S, cc.valid_out_len, MAX_SYMBOLS_PER_STEP),
+                           jnp.int32)
+    return tokens, front, mel_buf, enc_state, dec_state
+
+
+class LockstepEngine:
+    """S streams at a fixed shared cadence, end-to-end on device.
+
+    Lifecycle mirrors StreamSession (reset / tick / finalize / transcripts)
+    but `tick` takes one PCM block for ALL streams at once. Typical use:
+    feed `cc.shift_samples` of audio per stream per tick (real time)."""
+
+    def __init__(self, params, cfg: ModelConfig,
+                 vocab: list[str] | None = None,
+                 cache_config: CacheConfig | None = None,
+                 n_streams: int = 256,
+                 compute_dtype=jnp.bfloat16, mesh=None):
+        from ..params import cast_params
+
+        self.cfg = cfg
+        self.cc = cache_config or CacheConfig(n_mels=cfg.n_mels)
+        self.pcfg = PreprocessorConfig(n_mels=cfg.n_mels)
+        self.vocab = vocab or []
+        self.n_streams = n_streams
+        self.dtype = compute_dtype
+        self.mesh = mesh
+
+        self.params = cast_params(params, compute_dtype)
+        self.pos_heads = enc_mod.precompute_pos_heads(
+            params, cfg, self.cc, dtype=compute_dtype)
+        self.window = jnp.asarray(
+            pad_window(np.asarray(params.preprocessor.window, np.float32),
+                       self.pcfg.n_fft), jnp.float32)
+        self.filterbank = jnp.asarray(params.preprocessor.filterbank,
+                                      jnp.float32)
+        if mesh is not None:
+            from ..parallel.mesh import param_shardings, shard_params
+
+            self.params = shard_params(self.params, mesh)
+            self.pos_heads = jax.device_put(
+                self.pos_heads, param_shardings(self.pos_heads, mesh))
+        self.reset()
+
+    def reset(self) -> None:
+        cfg, cc, S = self.cfg, self.cc, self.n_streams
+        self.enc_state = enc_mod.init_encoder_state(cfg, cc, S, self.dtype)
+        self.dec_state = dec_mod.init_decoder_state(cfg, S, self.dtype)
+        self.front = init_frontend_state(S, self.pcfg)
+        # 9-frame zero-seeded overlap (reference src/nemo-stream.cpp:58-60)
+        cap = cc.chunk_mel_frames + cc.shift_mel_frames + 1
+        self.mel_buf = jnp.zeros((S, cap, cfg.n_mels), self.dtype)
+        self.buf_len = cc.pre_encode_cache_size
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_state
+
+            self.enc_state = shard_state(self.enc_state, self.mesh)
+            self.dec_state = shard_state(self.dec_state, self.mesh)
+            self.front = shard_state(self.front, self.mesh)
+            self.mel_buf = jax.device_put(
+                self.mel_buf,
+                jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec("data", None,
+                                                          None)))
+        self.tokens: list[list[tuple[int, int]]] = [
+            [] for _ in range(self.n_streams)]
+        self.transcripts = [""] * self.n_streams
+        self.frame_offset = 0
+        self.total_chunks = 0
+        self._pending = None
+
+    def _chunks_in(self, fill: int) -> int:
+        k = 0
+        while fill >= self.cc.chunk_mel_frames:
+            fill -= self.cc.shift_mel_frames
+            k += 1
+        return k
+
+    def _issue(self, pcm_i16: np.ndarray):
+        """Dispatch one fused tick (async); returns (tokens_jax, frame
+        offset base) to be materialized by _collect."""
+        assert pcm_i16.shape[0] == self.n_streams
+        cap = int(self.mel_buf.shape[1])
+        f = frames_after(int(self.front.residue.shape[1]), pcm_i16.shape[1],
+                         self.pcfg)
+        assert self.buf_len + f <= cap, (
+            f"tick of {pcm_i16.shape[1]} samples would overflow the mel ring"
+            f" ({self.buf_len}+{f} > {cap}); feed at most ~shift_samples"
+            " per tick")
+
+        tokens, self.front, self.mel_buf, self.enc_state, self.dec_state = \
+            _fused_tick(self.cfg, self.cc, self.pcfg, self.buf_len,
+                        self.params, jnp.asarray(pcm_i16, jnp.int16),
+                        self.front, self.mel_buf, self.enc_state,
+                        self.dec_state, self.pos_heads, self.window,
+                        self.filterbank)
+        k = self._chunks_in(self.buf_len + f)
+        self.buf_len = self.buf_len + f - k * self.cc.shift_mel_frames
+        self.total_chunks += k
+        base = self.frame_offset
+        self.frame_offset += k * self.cc.valid_out_len
+        return tokens, base
+
+    def _collect(self, tokens, base: int) -> dict[int, str]:
+        """Materialize a tick's tokens and fold them into transcripts."""
+        out: dict[int, str] = {}
+        tokens = np.asarray(tokens)
+        for i in range(tokens.shape[0]):
+            emitted = dec_mod.extract_emitted(
+                tokens[i], self.cfg.blank_token,
+                np.full(self.n_streams,
+                        base + i * self.cc.valid_out_len, np.int64))
+            for s, toks in emitted.items():
+                self.tokens[s].extend(toks)
+                text = tokens_to_text(toks, self.vocab)
+                self.transcripts[s] += text
+                out[s] = out.get(s, "") + text
+        return out
+
+    def tick(self, pcm_i16: np.ndarray) -> dict[int, str]:
+        """Advance every stream by pcm_i16 [S, N] samples; returns new text
+        per stream. N is part of the compiled program's signature -- keep it
+        constant across ticks (e.g. cc.shift_samples) to reuse the cache."""
+        return self._collect(*self._issue(pcm_i16))
+
+    def tick_pipelined(self, pcm_i16: np.ndarray) -> dict[int, str]:
+        """Depth-1 pipelined tick: dispatches this tick asynchronously and
+        returns the PREVIOUS tick's text. The next tick's PCM upload and
+        host work overlap the device compute instead of serializing behind
+        a sync -- higher throughput for one extra tick of text latency.
+        Call flush_pipeline() (or finalize()) to drain the last tick."""
+        prev = self._pending
+        self._pending = self._issue(pcm_i16)
+        return self._collect(*prev) if prev is not None else {}
+
+    def flush_pipeline(self) -> dict[int, str]:
+        if self._pending is None:
+            return {}
+        prev, self._pending = self._pending, None
+        return self._collect(*prev)
+
+    def finalize(self) -> list[str]:
+        """Flush pending (non-overlap) mel frames with one zero-padded
+        chunk, as the session/reference finalize does."""
+        self.flush_pipeline()
+        pending = self.buf_len - self.cc.pre_encode_cache_size
+        if pending > 0:
+            need = (self.cc.chunk_mel_frames - self.buf_len) * \
+                self.pcfg.n_window_stride
+            pad = np.zeros((self.n_streams,
+                            max(need, 0) + self.pcfg.n_fft), np.int16)
+            self.tick(pad)
+        return list(self.transcripts)

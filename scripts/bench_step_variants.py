@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Device-step microbenchmarks for optimization decisions: measures the raw
+fused chunk_step (bench.py protocol: state-threaded chains, RTT-cancelled)
+across batch sizes and implementation variants.
+
+    bench_step_variants.py [--batches 768,896] [--unroll 1,4,24]
+                           [--modes w8a8-int8kv] [--chains 4] [--len 10]
+
+Variants are selected via the NEMOTRON_TPU_* env knobs, applied before each
+compile (the scan-unroll knob is read at trace time).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="768,896")
+    ap.add_argument("--unroll", default="1,24")
+    ap.add_argument("--modes", default="w8a8-int8kv")
+    ap.add_argument("--chains", type=int, default=4)
+    ap.add_argument("--len", type=int, default=10, dest="chain_len")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from nemotron_tpu import params as P
+    from nemotron_tpu.config import CacheConfig, ModelConfig
+    from nemotron_tpu.models import decoder as dec_mod
+    from nemotron_tpu.models import encoder as enc_mod
+    from nemotron_tpu.streaming import session as sess_mod
+
+    if args.quick:
+        cfg = ModelConfig(n_mels=32, d_model=128, n_heads=8, d_head=16,
+                          d_ff=256, n_layers=2, vocab_size=64, decoder_dim=64,
+                          joint_dim=64, subsampling_channels=16)
+        batches = [4]
+    else:
+        cfg = ModelConfig()
+        batches = [int(b) for b in args.batches.split(",")]
+    dtype = jnp.float32 if args.quick else jnp.bfloat16
+    cc = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
+
+    arrays = P.random_weight_arrays(cfg, seed=0)
+    arrays["joint.joint_net.2.bias"][cfg.vocab_size - 1] = 12.0
+    base = P.params_from_arrays(arrays, cfg)
+    params_by_mode = {}
+    for m in args.modes.split(","):
+        if m == "bf16":
+            params_by_mode[m] = (P.cast_params(base, dtype), cc)
+        elif m == "w8a8":
+            params_by_mode[m] = (
+                P.cast_params(P.quantize_model_params(base, "w8a8"), dtype),
+                cc)
+        elif m == "w8a8-int8kv":
+            params_by_mode[m] = (
+                P.cast_params(P.quantize_model_params(base, "w8a8"), dtype),
+                dataclasses.replace(cc, kv_cache_int8=True))
+        else:
+            raise SystemExit(f"unknown mode {m}")
+
+    def sync(x):
+        return jax.device_get(jnp.sum(x))
+
+    results = {}
+    rng = np.random.default_rng(0)
+    for unroll in (int(u) for u in args.unroll.split(",")):
+        os.environ["NEMOTRON_TPU_SCAN_UNROLL"] = str(unroll)
+        for mode, (params, cc_run) in params_by_mode.items():
+            pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc_run,
+                                                     dtype=dtype)
+            for B in batches:
+                # fresh jit cache per variant (env knob is trace-time)
+                step = jax.jit(
+                    lambda p, mel, es, ds, ph, _cc=cc_run: (
+                        sess_mod.chunk_step.__wrapped__(
+                            p, cfg, _cc, mel, es, ds, ph)),
+                    donate_argnums=(2, 3))
+                es = enc_mod.init_encoder_state(cfg, cc_run, B, dtype)
+                ds = dec_mod.init_decoder_state(cfg, B, dtype)
+                mel = jnp.asarray(rng.standard_normal(
+                    (B, cc_run.chunk_mel_frames, cfg.n_mels)), dtype)
+                try:
+                    toks, es, ds = step(params, mel, es, ds, pos_heads)
+                    sync(toks)
+                except Exception as e:
+                    print(f"unroll={unroll} {mode} B={B}: "
+                          f"{type(e).__name__}: {e}", file=sys.stderr)
+                    continue
+                rtts = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    sync(toks)
+                    rtts.append(time.perf_counter() - t0)
+                rtt = float(np.median(rtts))
+                est = []
+                for _ in range(args.chains):
+                    t0 = time.perf_counter()
+                    for _ in range(args.chain_len):
+                        toks, es, ds = step(params, mel, es, ds, pos_heads)
+                    sync(toks)
+                    est.append(max(time.perf_counter() - t0 - rtt, 0)
+                               / args.chain_len)
+                key = f"unroll{unroll}/{mode}/B{B}"
+                ms = sorted(x * 1e3 for x in est)
+                results[key] = {"p50_ms": round(ms[len(ms) // 2], 2),
+                                "min_ms": round(ms[0], 2),
+                                "max_ms": round(ms[-1], 2)}
+                print(f"{key}: {results[key]}", file=sys.stderr)
+
+    print(json.dumps(results, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

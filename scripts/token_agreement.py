@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""Token-agreement harness for the quantized serving configs (VERDICT r1
+item 3): puts an accuracy number on every speed mode by comparing decoded
+token sequences against the dense-f32 reference pipeline over long
+multi-chunk streams.
+
+The reference's quality gate is transcript-level output match
+(reference scripts/compare_outputs.py:1-136); without real weights the
+closest honest measurement is this: same audio, same model (random weights
+but identical across configs), token-level agreement
+
+    agreement = 1 - Levenshtein(tokens_cfg, tokens_f32) / max(len)
+
+per latency mode, per serving config, over several seeds. A config that
+perturbs decode decisions (bf16 rounding, int8 weights, int8 K/V) shows up
+directly as token flips. Random weights are a HARSH case: logit margins are
+smaller than for trained weights, so real-weight agreement should only be
+better.
+
+Usage:
+  python scripts/token_agreement.py [--full] [--seconds 60] [--seeds 2]
+                                    [--modes 0,13] [--streams 4] [--json F]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+import os
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def levenshtein(a: list[int], b: list[int]) -> int:
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i]
+        for j, y in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (x != y)))
+        prev = cur
+    return prev[-1]
+
+
+def synth_audio(n: int, seed: int) -> np.ndarray:
+    """Speech-band synthetic signal: drifting tone mixture + noise bursts."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000.0
+    f0 = 120 + 80 * np.sin(2 * np.pi * 0.7 * t + rng.uniform(0, 6))
+    sig = 0.4 * np.sin(2 * np.pi * np.cumsum(f0) / 16000.0)
+    for k in (3, 5, 8):
+        sig += (0.15 / k) * np.sin(2 * np.pi * k * np.cumsum(f0) / 16000.0
+                                   + rng.uniform(0, 6))
+    env = np.clip(np.sin(2 * np.pi * 1.3 * t + rng.uniform(0, 6)), 0, 1)
+    sig = sig * env + 0.05 * rng.standard_normal(n)
+    return (sig * 12000).astype(np.int16)
+
+
+def run_config(params, cfg, cc, dtype, audio, chunk_samples) -> list[list[int]]:
+    """Decode all streams; returns per-stream token-id sequences."""
+    from nemotron_tpu.streaming.session import StreamSession
+
+    S = audio.shape[0]
+    sess = StreamSession(params, cfg, None, cc, n_streams=S,
+                         compute_dtype=dtype)
+    n = audio.shape[1]
+    for ofs in range(0, n, chunk_samples):
+        sess.process(audio[:, ofs:ofs + chunk_samples])
+    sess.finalize()
+    return [[t for t, _f in sess.get_tokens(s)] for s in range(S)]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="full-size 0.6B model (TPU recommended)")
+    ap.add_argument("--seconds", type=float, default=60.0)
+    ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--streams", type=int, default=4)
+    ap.add_argument("--modes", default="0,13",
+                    help="latency modes (att_right_context values)")
+    ap.add_argument("--blank-bias", type=float, default=3.0,
+                    help="joint blank bias steering emission density")
+    ap.add_argument("--configs", default=None,
+                    help="comma list to limit configs (default: all)")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from nemotron_tpu import params as P
+    from nemotron_tpu.config import CacheConfig, ModelConfig
+
+    if args.full:
+        cfg = ModelConfig()
+    else:
+        cfg = ModelConfig(n_mels=32, d_model=128, n_heads=8, d_head=16,
+                          d_ff=256, n_layers=4, vocab_size=64,
+                          decoder_dim=64, joint_dim=64,
+                          subsampling_channels=16)
+
+    results = {}
+    n = int(args.seconds * 16000)
+    for seed in range(args.seeds):
+        arrays = P.random_weight_arrays(cfg, seed=seed)
+        arrays["joint.joint_net.2.bias"][cfg.vocab_size - 1] = args.blank_bias
+        base = P.params_from_arrays(arrays, cfg)
+        w8a8 = P.quantize_model_params(base, mode="w8a8")
+        audio = np.stack([synth_audio(n, 100 * seed + s)
+                          for s in range(args.streams)])
+
+        for mode in (int(m) for m in args.modes.split(",")):
+            cc = CacheConfig(att_right_context=mode, n_mels=cfg.n_mels)
+            cc8 = dataclasses.replace(cc, kv_cache_int8=True)
+            chunk = cc.chunk_samples
+
+            ref = run_config(base, cfg, cc, jnp.float32, audio, chunk)
+            n_ref = sum(len(r) for r in ref)
+            configs = {
+                "dense-bf16": (base, cc, jnp.bfloat16),
+                "w8a8-bf16": (w8a8, cc, jnp.bfloat16),
+                "w8a8-int8kv-bf16": (w8a8, cc8, jnp.bfloat16),
+            }
+            if args.configs:
+                keep = set(args.configs.split(","))
+                configs = {k: v for k, v in configs.items() if k in keep}
+            for name, (p, ccx, dt) in configs.items():
+                got = run_config(p, cfg, ccx, dt, audio, chunk)
+                dist = sum(levenshtein(g, r) for g, r in zip(got, ref))
+                denom = sum(max(len(g), len(r), 1)
+                            for g, r in zip(got, ref))
+                agr = 1.0 - dist / denom
+                key = f"R{mode}/{name}"
+                results.setdefault(key, []).append(
+                    {"agreement": round(agr, 4), "ref_tokens": n_ref,
+                     "flips": dist, "seed": seed})
+                print(f"seed {seed} R={mode:2d} {name:18s} "
+                      f"agreement {agr*100:6.2f}%  "
+                      f"({dist} edits / {n_ref} ref tokens)",
+                      file=sys.stderr)
+
+    summary = {k: {"agreement_pct": round(
+                       100 * float(np.mean([r["agreement"] for r in v])), 2),
+                   "min_pct": round(
+                       100 * min(r["agreement"] for r in v), 2),
+                   "ref_tokens": sum(r["ref_tokens"] for r in v),
+                   "runs": v}
+               for k, v in results.items()}
+    out = json.dumps(summary, indent=1)
+    if args.json:
+        with open(args.json, "w") as f:
+            f.write(out)
+    print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

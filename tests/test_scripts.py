@@ -159,3 +159,45 @@ def test_serve_demo_mesh(tiny_gguf, tmp_path):
                    "--seconds", "2", "--mesh", "4", timeout=400)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "aggregate real-time" in r.stderr
+
+
+def test_run_parity_ladder(tiny_gguf):
+    """One-command parity ladder: all stages PASS on the tiny f32 model."""
+    r = run_script("run_parity.py", tiny_gguf, "--cpu", "--quick",
+                   timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ALL PASS" in r.stdout
+    for stage in ("load", "stages", "greedy", "streaming R=13",
+                  "quant q8_0", "quant w8a8"):
+        assert stage in r.stdout
+
+
+def test_token_agreement_harness(tmp_path):
+    """Accuracy harness runs and reports agreement for every quant config."""
+    out = str(tmp_path / "agr.json")
+    r = run_script("token_agreement.py", "--seconds", "6", "--seeds", "1",
+                   "--streams", "1", "--modes", "13", "--cpu",
+                   "--configs", "w8a8-int8kv-bf16",
+                   "--blank-bias", "0.3", "--json", out, timeout=1200)
+    assert r.returncode == 0, r.stderr
+    import json
+
+    d = json.load(open(out))
+    assert "R13/w8a8-int8kv-bf16" in d
+    for v in d.values():
+        assert 0.0 <= v["agreement_pct"] <= 100.0
+
+
+def test_bench_engine_quick():
+    """Engine benchmark --quick: runs both engines end to end on CPU."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "bench_engine.py"),
+         "--quick", "--ticks", "3"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, r.stderr
+    import json
+
+    d = json.loads(r.stdout)
+    assert any(k.startswith("lockstep/") for k in d)
+    assert any(k.startswith("engine/") for k in d)

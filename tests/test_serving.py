@@ -582,3 +582,86 @@ def test_bulk_add_streams_matches_individual(model_setup, cc):
     assert out_a == out_b
     assert [eng_a.transcripts[s] for s in slots_a] == \
         [eng_b.transcripts[s] for s in slots_b]
+
+
+def test_lockstep_engine_matches_session(model_setup, cc):
+    """The fully fused PCM->tokens lockstep tick (on-device DSP + mel ring +
+    encoder + decode in ONE program) reproduces the host-frontend
+    StreamSession transcripts exactly, including finalize semantics."""
+    from nemotron_tpu.streaming.lockstep import LockstepEngine
+    from nemotron_tpu.streaming.session import StreamSession
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    S = 3
+    n = cc.shift_samples
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal((S, 4 * n + n // 3)) * 8000).astype(np.int16)
+
+    eng = LockstepEngine(params, cfg, vocab, cc, n_streams=S,
+                         compute_dtype=jnp.float32)
+    for t in range(4):
+        eng.tick(audio[:, t * n:(t + 1) * n])
+    eng.tick(audio[:, 4 * n:])
+    final_eng = eng.finalize()
+
+    sess = StreamSession(params, cfg, vocab, cc, n_streams=S)
+    sess.process(audio)
+    final_sess = sess.finalize()
+
+    assert final_eng == final_sess
+    assert any(final_eng)
+    for s in range(S):
+        assert eng.tokens[s] == sess.get_tokens(s)
+
+
+def test_lockstep_engine_on_mesh(model_setup, cc):
+    """Lockstep engine sharded over the 8-device CPU mesh == unsharded."""
+    from jax.sharding import Mesh
+    from nemotron_tpu.parallel.mesh import make_mesh
+    from nemotron_tpu.streaming.lockstep import LockstepEngine
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    S, n = 8, cc.shift_samples
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal((S, 3 * n)) * 8000).astype(np.int16)
+
+    mesh = make_mesh(8, model_parallel=2)
+    a = LockstepEngine(params, cfg, vocab, cc, n_streams=S,
+                       compute_dtype=jnp.float32)
+    b = LockstepEngine(params, cfg, vocab, cc, n_streams=S,
+                       compute_dtype=jnp.float32, mesh=mesh)
+    for t in range(3):
+        a.tick(audio[:, t * n:(t + 1) * n])
+        b.tick(audio[:, t * n:(t + 1) * n])
+    assert a.transcripts == b.transcripts
+
+
+def test_lockstep_pipelined_matches_tick(model_setup, cc):
+    """tick_pipelined produces identical transcripts/tokens as tick(), just
+    one call later (depth-1 pipeline for transfer/compute overlap)."""
+    from nemotron_tpu.streaming.lockstep import LockstepEngine
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    S, n = 2, cc.shift_samples
+    rng = np.random.default_rng(9)
+    audio = (rng.standard_normal((S, 5 * n)) * 8000).astype(np.int16)
+
+    a = LockstepEngine(params, cfg, vocab, cc, n_streams=S,
+                       compute_dtype=jnp.float32)
+    b = LockstepEngine(params, cfg, vocab, cc, n_streams=S,
+                       compute_dtype=jnp.float32)
+    outs_a, outs_b = [], []
+    for t in range(5):
+        blk = audio[:, t * n:(t + 1) * n]
+        outs_a.append(a.tick(blk))
+        outs_b.append(b.tick_pipelined(blk))
+    outs_b.append(b.flush_pipeline())
+    assert a.transcripts == b.transcripts
+    assert a.tokens == b.tokens
+    # pipelined output is the same stream of per-tick dicts, shifted by one
+    assert outs_b[0] == {}
+    assert outs_a == outs_b[1:]
+    assert a.finalize() == b.finalize()
