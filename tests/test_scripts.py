@@ -201,3 +201,17 @@ def test_bench_engine_quick():
     d = json.loads(r.stdout)
     assert any(k.startswith("lockstep/") for k in d)
     assert any(k.startswith("engine/") for k in d)
+
+
+def test_debug_conv_layers(tiny_gguf):
+    r = run_script("debug_conv_layers.py", tiny_gguf, "--cpu", timeout=400)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "worst stage max_abs" in r.stdout
+    assert "DIFF" not in r.stdout
+
+
+def test_debug_joint_trace(tiny_gguf):
+    r = run_script("debug_joint_trace.py", tiny_gguf, "--cpu",
+                   "--frames", "4", timeout=400)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "no divergence" in r.stdout
