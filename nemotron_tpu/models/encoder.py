@@ -29,25 +29,36 @@ from ..params import ConformerLayerParams, ModelParams
 from ..ops.basic import ffn, layer_norm
 from ..ops.conv import conformer_conv_module, conv_subsampling
 from ..ops.rel_attention import (pos_emb_descending, project_pos,
-                                 rel_pos_mha, rel_pos_mha_ring)
+                                 rel_pos_mha, rel_pos_mha_ring,
+                                 rel_pos_mha_ring_fused)
 
 
 def conformer_layer(lp: ConformerLayerParams, x, pos_heads, mask=None,
-                    kv_cache=None, conv_cache=None, ring=None, *,
-                    n_heads: int, d_head: int):
+                    kv_cache=None, conv_cache=None, ring=None,
+                    ring_fused=None, *, n_heads: int, d_head: int):
     """One conformer layer (residual structure:
     reference src/nemo-ggml.cpp:768-813). Returns
     (y, new_k_cache, new_v_cache, new_conv_cache).
 
-    Streaming uses `ring` = (k_ring, v_ring, pos_perm) for the head-major
-    ring-buffered attention cache; `kv_cache` is the legacy shift-window
-    path (kept for differential testing)."""
+    Streaming uses `ring` = (k_ring, v_ring, pos_perm, ...) for the
+    head-major ring-buffered attention cache, or `ring_fused` =
+    (layer_idx, k_ring_all, v_ring_all, pos_perm, k_cols, v_cols,
+    block_b, interpret) for the Pallas fused-attention path (rings stay
+    stacked in HBM; the kernel DMAs one layer's block). `kv_cache` is the
+    legacy shift-window path (kept for differential testing)."""
     r = x
     cur = layer_norm(r, lp.norm_ff1_w, lp.norm_ff1_b)
     r = r + 0.5 * ffn(cur, lp.ffn1_w1, lp.ffn1_w2)
 
     cur = layer_norm(r, lp.norm_attn_w, lp.norm_attn_b)
-    if ring is not None:
+    if ring_fused is not None:
+        (l, k_all, v_all, pos_perm, k_cols, v_cols, block_b,
+         interpret) = ring_fused
+        attn, new_k, new_v = rel_pos_mha_ring_fused(
+            lp, cur, pos_heads, n_heads, d_head, l, k_all, v_all,
+            pos_perm, mask, k_cols, v_cols, block_b=block_b,
+            interpret=interpret)
+    elif ring is not None:
         k_ring, v_ring, pos_perm, k_cols, v_cols = ring
         attn, new_k, new_v = rel_pos_mha_ring(
             lp, cur, pos_heads, n_heads, d_head, k_ring, v_ring,
@@ -264,23 +275,50 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
         future = d < -cc.att_right_context                   # [Q, kv+Q]
         mask = mask + jnp.where(future, jnp.float32(-1e9), 0.0)[None, None]
 
-    # Layers scan: rings are READ-ONLY inside (xs); each layer emits its new
+    # Layers scan: rings are READ-ONLY inside; each layer emits its new
     # chunk K/V [B, Q, D] as stacked ys, and ONE batched segment write per
     # step updates all layers afterwards -- Q rows per stream per layer
     # instead of the reference's full-window rewrite.
+    #
+    # Attention impl (NEMOTRON_TPU_ATTN):
+    #   'xla'    -- rings in the scan xs (per-layer dynamic slice) + einsum
+    #               chain (rel_pos_mha_ring);
+    #   'pallas' -- rings stay stacked in HBM as loop-invariant operands;
+    #               the fused kernel DMAs one layer's block per call and
+    #               keeps scores/softmax in VMEM (rel_pos_mha_ring_fused);
+    #   'pallas-interpret' -- same, interpreter mode (CPU tests).
+    import os
+
+    attn_impl = os.environ.get("NEMOTRON_TPU_ATTN", "xla")
+    block_b = int(os.environ.get("NEMOTRON_TPU_ATTN_BLOCK", "8"))
+    use_fused = attn_impl.startswith("pallas") and B % block_b == 0
+
     def body(carry, per_layer):
         h, cv_all, l = carry
-        lp, ph, kr, vr, ks, vs = per_layer
+        if use_fused:
+            lp, ph, ks, vs = per_layer
+        else:
+            lp, ph, kr, vr, ks, vs = per_layer
         cvc = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
         if cc.kv_cache_int8:
             # per-segment dequant scales expanded to per-slot columns
             kcols = jnp.repeat(ks, Q, axis=-1)           # [B, H, kv]
             vcols = jnp.repeat(vs, Q, axis=-1)
+        elif use_fused:
+            kcols = vcols = jnp.ones((B, cfg.n_heads, kv), jnp.float32)
         else:
             kcols = vcols = None
-        y, nk, nv, ncv = conformer_layer(
-            lp, h, ph, mask=mask, ring=(kr, vr, pos_perm, kcols, vcols),
-            conv_cache=cvc, n_heads=cfg.n_heads, d_head=cfg.d_head)
+        if use_fused:
+            y, nk, nv, ncv = conformer_layer(
+                lp, h, ph, mask=mask, conv_cache=cvc,
+                ring_fused=(l, state.k_cache, state.v_cache, pos_perm,
+                            kcols, vcols, block_b,
+                            attn_impl == "pallas-interpret"),
+                n_heads=cfg.n_heads, d_head=cfg.d_head)
+        else:
+            y, nk, nv, ncv = conformer_layer(
+                lp, h, ph, mask=mask, ring=(kr, vr, pos_perm, kcols, vcols),
+                conv_cache=cvc, n_heads=cfg.n_heads, d_head=cfg.d_head)
         cv_all = jax.lax.dynamic_update_index_in_dim(cv_all, ncv, l, 0)
         ys = (nk, nv, y) if capture else (nk, nv)
         return (y, cv_all, l + 1), ys
@@ -288,14 +326,13 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     # NEMOTRON_TPU_SCAN_UNROLL > 1 trades compile time for static ring
     # slices (the scan's per-layer dynamic-slice of the K/V rings costs
     # ~3x the raw read bandwidth; unrolling lets XLA slice statically)
-    import os
-
     unroll = int(os.environ.get("NEMOTRON_TPU_SCAN_UNROLL", "1"))
+    xs = ((params.layers, pos_heads, state.k_scale, state.v_scale)
+          if use_fused else
+          (params.layers, pos_heads, state.k_cache, state.v_cache,
+           state.k_scale, state.v_scale))
     (x, ncv, _), ys = jax.lax.scan(
-        body, (x, state.conv_cache, jnp.int32(0)),
-        (params.layers, pos_heads, state.k_cache, state.v_cache,
-         state.k_scale, state.v_scale),
-        unroll=unroll)
+        body, (x, state.conv_cache, jnp.int32(0)), xs, unroll=unroll)
     k_new, v_new = ys[0], ys[1]                          # [L, B, H, Q, Dh]
 
     new_k_scale, new_v_scale = state.k_scale, state.v_scale

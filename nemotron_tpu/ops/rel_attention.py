@@ -232,6 +232,56 @@ def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
     return out, k_new, v_new
 
 
+def rel_pos_mha_ring_fused(lp, x, pos_heads, n_heads: int, d_head: int,
+                           layer_idx, k_ring_all, v_ring_all, pos_perm,
+                           mask, k_cols, v_cols, block_b: int = 8,
+                           interpret: bool = False):
+    """rel_pos_mha_ring with the bandwidth-bound half (ring reads + scores +
+    softmax + context) fused into one Pallas kernel
+    (ops/ring_attn_kernel.py). The rings are passed as the FULL stacked
+    [L, B, H, KV, Dh] arrays; `layer_idx` selects the layer inside the
+    kernel's BlockSpec index_map, so only this layer's block is DMA'd --
+    bypassing the scan dynamic-slice relayout (~3x the raw bytes) AND the
+    per-layer [B, H, Q, KV+Q] HBM round-trips of the unfused path.
+
+    k_cols/v_cols [B, H, KV] f32: per-slot dequant columns (ones if dense).
+    Numerically identical to rel_pos_mha_ring (same dot orders, f32
+    accumulation and softmax; differentially tested)."""
+    from .quant import qmm, qmm_shared
+    from .ring_attn_kernel import fused_ring_attention
+
+    B, Q, D = x.shape
+    dt = x.dtype
+
+    def heads(t):
+        return jnp.swapaxes(t.reshape(B, Q, n_heads, d_head), 1, 2)
+
+    q3 = qmm_shared(x, [lp.attn_q_w, lp.attn_k_w, lp.attn_v_w])
+    q, k_new, v_new = heads(q3[0]), heads(q3[1]), heads(q3[2])
+
+    kv = k_ring_all.shape[3]
+    q_u = q + lp.pos_bias_u.astype(dt)[None, :, None, :]
+    q_v = q + lp.pos_bias_v.astype(dt)[None, :, None, :]
+
+    pos_raw = jnp.einsum("bhid,phd->bhip", q_v, pos_heads.astype(dt),
+                         preferred_element_type=jnp.float32).astype(dt)
+    pos_chron = rel_shift(pos_raw, kv)
+    pos_attn = jax.lax.dot_general(
+        pos_chron.reshape(B * n_heads * Q, kv), pos_perm.astype(dt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, n_heads, Q, kv + Q)
+    scale = np.float32(1.0 / np.sqrt(d_head))
+    a = (pos_attn * scale + mask.astype(jnp.float32)).astype(dt)
+
+    ctx = fused_ring_attention(layer_idx, q_u, k_new, v_new,
+                               k_ring_all, v_ring_all, a, k_cols, v_cols,
+                               block_b=block_b, interpret=interpret)
+    ctx = jnp.swapaxes(ctx, 1, 2).reshape(B, Q, D)
+    out = qmm(ctx, lp.attn_out_w)
+    return out, k_new, v_new
+
+
 def project_pos(lp_pos_w, pos_emb, n_heads: int, d_head: int):
     """pos_emb [P, D] @ linear_pos -> [P, H, Dh]. For streaming this is
     precomputed once per session instead of per chunk (the reference re-runs

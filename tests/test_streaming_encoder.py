@@ -206,3 +206,40 @@ def test_mixed_ring_phase_poisons_output(model_setup):
     out_l, _ = enc_mod.encode_chunk(params, cfg, cc, mel, bad, pos_heads,
                                     step_mask=jnp.asarray([False, True]))
     assert np.isfinite(np.asarray(out_l)).all()
+
+
+@pytest.mark.parametrize("int8kv", [False, True])
+def test_pallas_fused_attention_matches_xla(model_setup, rng, int8kv,
+                                            monkeypatch):
+    """The Pallas fused ring-attention path (NEMOTRON_TPU_ATTN=pallas)
+    produces the same streaming outputs and cache writes as the einsum
+    path, dense and int8-KV, over multiple chunks (interpret mode)."""
+    import dataclasses
+
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=1, att_left_context=12,
+                     n_mels=cfg.n_mels, kv_cache_int8=int8kv)
+    B = 8
+    pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc)
+
+    def run(impl):
+        monkeypatch.setenv("NEMOTRON_TPU_ATTN", impl)
+        monkeypatch.setenv("NEMOTRON_TPU_ATTN_BLOCK", "4")
+        st = enc_mod.init_encoder_state(cfg, cc, B)
+        outs = []
+        r = np.random.default_rng(7)
+        for _ in range(4):
+            mel = jnp.asarray(
+                r.standard_normal((B, cc.chunk_mel_frames, cfg.n_mels)),
+                jnp.float32)
+            out, st = enc_mod.encode_chunk(params, cfg, cc, mel, st,
+                                           pos_heads)
+            outs.append(np.asarray(out))
+        return np.stack(outs), st
+
+    want, st_x = run("xla")
+    got, st_p = run("pallas-interpret")
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(st_p.k_cache, np.float32),
+        np.asarray(st_x.k_cache, np.float32), atol=2e-5)
