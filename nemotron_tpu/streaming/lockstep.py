@@ -217,6 +217,72 @@ class LockstepEngine:
         prev, self._pending = self._pending, None
         return self._collect(*prev)
 
+    # -- checkpoint / resume --------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Snapshot all device state + transcripts (exact resume, the same
+        contract as StreamSession/ServingEngine.save)."""
+        self.flush_pipeline()
+        flat = {
+            "enc/k_cache": np.asarray(self.enc_state.k_cache),
+            "enc/v_cache": np.asarray(self.enc_state.v_cache),
+            "enc/k_scale": np.asarray(self.enc_state.k_scale),
+            "enc/v_scale": np.asarray(self.enc_state.v_scale),
+            "enc/conv_cache": np.asarray(self.enc_state.conv_cache),
+            "enc/valid_len": np.asarray(self.enc_state.valid_len),
+            "enc/phase": np.asarray(self.enc_state.phase),
+            "dec/h": np.asarray(self.dec_state.h),
+            "dec/c": np.asarray(self.dec_state.c),
+            "dec/prev_token": np.asarray(self.dec_state.prev_token),
+            "front/last_sample": np.asarray(self.front.last_sample),
+            "front/residue": np.asarray(self.front.residue),
+            "mel_buf": np.asarray(self.mel_buf, np.float32),
+            "buf_len": np.int64(self.buf_len),
+            "frame_offset": np.int64(self.frame_offset),
+            "total_chunks": np.int64(self.total_chunks),
+            "transcripts": np.asarray(self.transcripts, dtype=object),
+        }
+        for s in range(self.n_streams):
+            flat[f"tokens/{s}"] = np.asarray(
+                self.tokens[s], np.int64).reshape(-1, 2)
+        np.savez(path, **flat)
+
+    def load(self, path: str) -> None:
+        from ..frontend.device_frontend import FrontendState
+
+        z = np.load(path, allow_pickle=True)
+        ring_dtype = jnp.int8 if self.cc.kv_cache_int8 else self.dtype
+        self.enc_state = enc_mod.EncoderState(
+            k_cache=jnp.asarray(z["enc/k_cache"], ring_dtype),
+            v_cache=jnp.asarray(z["enc/v_cache"], ring_dtype),
+            k_scale=jnp.asarray(z["enc/k_scale"], jnp.float32),
+            v_scale=jnp.asarray(z["enc/v_scale"], jnp.float32),
+            conv_cache=jnp.asarray(z["enc/conv_cache"], self.dtype),
+            valid_len=jnp.asarray(z["enc/valid_len"], jnp.int32),
+            phase=jnp.asarray(z["enc/phase"], jnp.int32))
+        self.dec_state = dec_mod.DecoderState(
+            h=jnp.asarray(z["dec/h"], self.dtype),
+            c=jnp.asarray(z["dec/c"], self.dtype),
+            prev_token=jnp.asarray(z["dec/prev_token"], jnp.int32))
+        self.front = FrontendState(
+            last_sample=jnp.asarray(z["front/last_sample"], jnp.float32),
+            residue=jnp.asarray(z["front/residue"], jnp.float32))
+        self.mel_buf = jnp.asarray(z["mel_buf"], self.dtype)
+        self.buf_len = int(z["buf_len"])
+        self.frame_offset = int(z["frame_offset"])
+        self.total_chunks = int(z["total_chunks"])
+        self.transcripts = [str(t) for t in z["transcripts"]]
+        self.tokens = [
+            [tuple(int(x) for x in row) for row in z[f"tokens/{s}"]]
+            for s in range(self.n_streams)]
+        self._pending = None
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_state
+
+            self.enc_state = shard_state(self.enc_state, self.mesh)
+            self.dec_state = shard_state(self.dec_state, self.mesh)
+            self.front = shard_state(self.front, self.mesh)
+
     def finalize(self) -> list[str]:
         """Flush pending (non-overlap) mel frames with one zero-padded
         chunk, as the session/reference finalize does."""

@@ -6,6 +6,7 @@ aggregate throughput and latency percentiles.
     serve.py <model.gguf> <audio.pcm|.wav> [--streams N] [--slots S]
              [--right-context R] [--quantize w8a8] [--seconds T] [--cpu]
              [--mesh N]            # shard slots over N (virtual) devices
+             [--lockstep]          # fused PCM->tokens LockstepEngine path
 
 Streams are staggered (each starts at a different offset into the audio,
 wrapping around) so the engine exercises admission at different phases.
@@ -61,26 +62,52 @@ def main(argv: list[str]) -> int:
         from nemotron_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(mesh_n)
-    eng = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots, mesh=mesh,
-                        compute_dtype=jnp.bfloat16)
-    slots = [eng.add_stream() for _ in range(n_streams)]
-    offsets = [(i * len(audio)) // max(n_streams, 1) for i in range(n_streams)]
 
+    offsets = [(i * len(audio)) // max(n_streams, 1) for i in range(n_streams)]
     tick = cc.shift_samples  # one chunk of audio per engine tick per stream
     n_ticks = int(seconds * 16000 / tick)
-    t0 = time.perf_counter()
-    for _ in range(n_ticks):
-        feed = {}
-        for i, s in enumerate(slots):
-            start = offsets[i] % len(audio)
-            block = np.resize(np.roll(audio, -start)[:tick], tick)
-            offsets[i] += tick
-            feed[s] = block
-        eng.feed_audio(feed)
-        eng.step()
-    wall = time.perf_counter() - t0
 
-    st = eng.stats()
+    def block_for(i):
+        start = offsets[i] % len(audio)
+        blk = np.resize(np.roll(audio, -start)[:tick], tick)
+        offsets[i] += tick
+        return blk
+
+    if "--lockstep" in argv:
+        # fused PCM->tokens path: every stream advances every tick
+        from nemotron_tpu.streaming.lockstep import LockstepEngine
+
+        eng = LockstepEngine(params, cfg, vocab, cc, n_streams=n_streams,
+                             mesh=mesh, compute_dtype=jnp.bfloat16)
+        slots = list(range(n_streams))
+        tick_times = []
+        t0 = time.perf_counter()
+        for _ in range(n_ticks):
+            pcm = np.stack([block_for(i) for i in range(n_streams)])
+            tt = time.perf_counter()
+            eng.tick_pipelined(pcm)
+            tick_times.append(time.perf_counter() - tt)
+        eng.flush_pipeline()
+        wall = time.perf_counter() - t0
+        audio_s = eng.total_chunks * n_streams * cc.valid_out_len \
+            * cc.subsampling_factor * cc.hop_length / cc.sample_rate
+        t = np.asarray(tick_times)
+        st = {"audio_seconds_decoded": audio_s,
+              "aggregate_rtf": wall / max(audio_s, 1e-9),
+              "latency": {"p50": float(np.percentile(t, 50)),
+                          "p90": float(np.percentile(t, 90)),
+                          "p99": float(np.percentile(t, 99))}}
+    else:
+        eng = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
+                            mesh=mesh, compute_dtype=jnp.bfloat16)
+        slots = eng.add_streams(n_streams)
+        t0 = time.perf_counter()
+        for _ in range(n_ticks):
+            feed = {s: block_for(i) for i, s in enumerate(slots)}
+            eng.feed_audio(feed)
+            eng.step()
+        wall = time.perf_counter() - t0
+        st = eng.stats()
     print(f"streams={n_streams} slots={n_slots} mode=R{R}"
           f"{' ' + quant_mode if quant_mode else ''}", file=sys.stderr)
     print(f"decoded {st['audio_seconds_decoded']:.1f}s of audio in "

@@ -665,3 +665,59 @@ def test_lockstep_pipelined_matches_tick(model_setup, cc):
     assert outs_b[0] == {}
     assert outs_a == outs_b[1:]
     assert a.finalize() == b.finalize()
+
+
+def test_lockstep_snapshot_resume(model_setup, cc, tmp_path):
+    """LockstepEngine save/load: a resumed engine continues exactly."""
+    from nemotron_tpu.streaming.lockstep import LockstepEngine
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    S, n = 2, cc.shift_samples
+    rng = np.random.default_rng(11)
+    audio = (rng.standard_normal((S, 5 * n)) * 8000).astype(np.int16)
+
+    a = LockstepEngine(params, cfg, vocab, cc, n_streams=S,
+                       compute_dtype=jnp.float32)
+    for t in range(3):
+        a.tick(audio[:, t * n:(t + 1) * n])
+    ck = str(tmp_path / "lockstep.npz")
+    a.save(ck)
+    for t in range(3, 5):
+        a.tick(audio[:, t * n:(t + 1) * n])
+
+    b = LockstepEngine(params, cfg, vocab, cc, n_streams=S,
+                       compute_dtype=jnp.float32)
+    b.load(ck)
+    for t in range(3, 5):
+        b.tick(audio[:, t * n:(t + 1) * n])
+    assert a.transcripts == b.transcripts
+    assert a.tokens == b.tokens
+    assert a.finalize() == b.finalize()
+
+
+def test_serve_demo_lockstep(model_setup, tmp_path):
+    import subprocess
+    import sys as _sys
+
+    from conftest import tiny_config, write_tiny_gguf
+    from nemotron_tpu import params as P
+
+    cfg = tiny_config()
+    arrays = P.random_weight_arrays(cfg, seed=0)
+    arrays["joint.joint_net.2.bias"][5] = 2.0
+    gguf_path = str(tmp_path / "t.gguf")
+    write_tiny_gguf(gguf_path, arrays, cfg)
+    pcm = (np.random.default_rng(0).standard_normal(24000) * 8000
+           ).astype("<i2")
+    audio = str(tmp_path / "s.pcm")
+    pcm.tofile(audio)
+    scripts = __import__("os").path.join(
+        __import__("os").path.dirname(__file__), "..", "scripts")
+    r = subprocess.run(
+        [_sys.executable, __import__("os").path.join(scripts, "serve.py"),
+         gguf_path, audio, "--streams", "2", "--right-context", "1",
+         "--seconds", "2", "--cpu", "--lockstep"],
+        capture_output=True, text=True, timeout=400)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "aggregate real-time" in r.stderr
