@@ -28,6 +28,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="768,896")
     ap.add_argument("--unroll", default="1,24")
+    ap.add_argument("--attn", default="xla",
+                    help="comma list: xla,pallas (NEMOTRON_TPU_ATTN)")
+    ap.add_argument("--attn-block", default="8")
     ap.add_argument("--modes", default="w8a8-int8kv")
     ap.add_argument("--chains", type=int, default=4)
     ap.add_argument("--len", type=int, default=10, dest="chain_len")
@@ -82,8 +85,12 @@ def main() -> int:
 
     results = {}
     rng = np.random.default_rng(0)
-    for unroll in (int(u) for u in args.unroll.split(",")):
+    os.environ["NEMOTRON_TPU_ATTN_BLOCK"] = args.attn_block
+    for variant in [(u, a) for u in args.unroll.split(",")
+                    for a in args.attn.split(",")]:
+        unroll, attn = int(variant[0]), variant[1]
         os.environ["NEMOTRON_TPU_SCAN_UNROLL"] = str(unroll)
+        os.environ["NEMOTRON_TPU_ATTN"] = attn
         for mode, (params, cc_run) in params_by_mode.items():
             pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc_run,
                                                      dtype=dtype)
@@ -119,7 +126,7 @@ def main() -> int:
                     sync(toks)
                     est.append(max(time.perf_counter() - t0 - rtt, 0)
                                / args.chain_len)
-                key = f"unroll{unroll}/{mode}/B{B}"
+                key = f"unroll{unroll}-{attn}/{mode}/B{B}"
                 ms = sorted(x * 1e3 for x in est)
                 results[key] = {"p50_ms": round(ms[len(ms) // 2], 2),
                                 "min_ms": round(ms[0], 2),
