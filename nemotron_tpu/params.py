@@ -460,31 +460,8 @@ def save_model(path: str, params: ModelParams, cfg: ModelConfig,
         "nemo.vocab_size": cfg.vocab_size,
     }
     if vocab:
-        # vocab entries are fixed 8-byte slots (7 content bytes + NUL,
-        # reference scripts/convert_to_gguf.py:252-260); truncate by encoded
-        # UTF-8 byte length, never mid-codepoint, and warn when lossy
-        def fit(tok: str) -> str:
-            enc = tok.encode("utf-8")
-            if len(enc) <= gguf_mod.VOCAB_ENTRY_SIZE - 1:
-                return tok
-            cut = enc[: gguf_mod.VOCAB_ENTRY_SIZE - 1]
-            while cut:
-                try:
-                    short = cut.decode("utf-8")
-                    break
-                except UnicodeDecodeError:
-                    cut = cut[:-1]
-            else:
-                short = ""
-            import warnings
-
-            warnings.warn(f"vocab token {tok!r} exceeds the "
-                          f"{gguf_mod.VOCAB_ENTRY_SIZE - 1}-byte GGUF entry; "
-                          f"truncated to {short!r}")
-            return short
-
         meta["tokenizer.vocab"] = gguf_mod.encode_vocab(
-            [fit(v) for v in vocab])
+            [gguf_mod.fit_vocab_token(v) for v in vocab])
     quantize = {}
     if quantize_mode:
         gtype = {"q8_0": gguf_mod.GGML_Q8_0,

@@ -93,7 +93,9 @@ def infer_metadata(arrays: dict[str, np.ndarray], config: dict) -> dict:
     enc = config.get("encoder", {}) if isinstance(config, dict) else {}
     d_model = int(enc.get("d_model",
                           arrays["encoder.pre_encode.out.weight"].shape[0]))
-    n_heads = int(enc.get("n_heads", 8))
+    pbu = arrays.get("encoder.layers.0.self_attn.pos_bias_u")
+    n_heads = int(enc.get("n_heads",
+                          pbu.shape[0] if pbu is not None else 8))
     n_layers = len({n.split(".")[2] for n in arrays
                     if n.startswith("encoder.layers.")})
     ffw = arrays.get("encoder.layers.0.feed_forward1.linear1.weight")
@@ -137,9 +139,9 @@ def main(argv: list[str]) -> int:
 
     if vocab is not None:
         if len(vocab) == meta["nemo.vocab_size"] - 1:
-            vocab = vocab + ["<blank>"[:7]]
+            vocab = vocab + ["<blank>"]
         meta["tokenizer.vocab"] = gguf.encode_vocab(
-            [v[:7] for v in vocab])
+            [gguf.fit_vocab_token(v) for v in vocab])
     else:
         print("warning: no vocab found; GGUF will lack tokenizer.vocab",
               file=sys.stderr)

@@ -1,0 +1,143 @@
+"""Legacy "NEMO" v1 binary weight format: reader/writer round-trips,
+reference wire-format compliance, converter script bridging (SURVEY.md
+§2.2 "NEMO binary weight loader" / §2.3 "Legacy NEMO-format converter";
+reference src/reference/ggml_weights.cpp:19-157, scripts/convert_weights.py)."""
+
+import os
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from nemotron_tpu.utils.nemo_bin import (NemoBinError, read_nemo_bin,
+                                         write_nemo_bin)
+
+SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
+
+
+def run_script(name, *args, timeout=240):
+    return subprocess.run([sys.executable, os.path.join(SCRIPTS, name), *args],
+                          capture_output=True, text=True, timeout=timeout)
+
+
+def test_roundtrip_f32_f16(tmp_path):
+    rng = np.random.default_rng(0)
+    arrays = {
+        "encoder.layers.0.weight": rng.standard_normal((3, 5)).astype(np.float32),
+        "decoder.bias": rng.standard_normal(7).astype(np.float32),
+        "scalarish": np.float32(2.5).reshape(()),  # 0-dim tensor
+    }
+    p32 = str(tmp_path / "m32.bin")
+    write_nemo_bin(p32, arrays)
+    got = read_nemo_bin(p32)
+    assert set(got) == set(arrays)
+    for k in arrays:
+        np.testing.assert_array_equal(got[k], arrays[k])
+        assert got[k].dtype == np.float32
+
+    p16 = str(tmp_path / "m16.bin")
+    write_nemo_bin(p16, arrays, f16=True)
+    got16 = read_nemo_bin(p16)
+    for k in arrays:
+        # f16 storage, widened back to f32 on read (reference loader behavior)
+        assert got16[k].dtype == np.float32
+        np.testing.assert_array_equal(
+            got16[k], arrays[k].astype(np.float16).astype(np.float32))
+    assert read_nemo_bin(p16, keep_f16=True)["decoder.bias"].dtype == np.float16
+
+
+def test_wire_format_matches_reference_layout(tmp_path):
+    """Byte-level check against the documented reference layout
+    (reference scripts/convert_weights.py:11-22)."""
+    a = np.arange(6, dtype=np.float32).reshape(2, 3)
+    path = str(tmp_path / "m.bin")
+    write_nemo_bin(path, {"w": a})
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"NEMO"
+    version, n = struct.unpack_from("<II", raw, 4)
+    assert (version, n) == (1, 1)
+    name_len, = struct.unpack_from("<I", raw, 12)
+    assert name_len == 1 and raw[16:17] == b"w"
+    n_dims, d0, d1, dtype = struct.unpack_from("<IIII", raw, 17)
+    assert (n_dims, d0, d1, dtype) == (2, 2, 3, 0)
+    assert raw[33:] == a.tobytes()
+
+
+def test_malformed_rejected(tmp_path):
+    path = str(tmp_path / "bad.bin")
+
+    def write(b):
+        open(path, "wb").write(b)
+
+    write(b"GGUF" + b"\0" * 8)
+    with pytest.raises(NemoBinError, match="magic"):
+        read_nemo_bin(path)
+    write(b"NEMO" + struct.pack("<II", 2, 0))
+    with pytest.raises(NemoBinError, match="version"):
+        read_nemo_bin(path)
+    # implausible tensor count must not allocate
+    write(b"NEMO" + struct.pack("<II", 1, 0xFFFFFFFF))
+    with pytest.raises(NemoBinError):
+        read_nemo_bin(path)
+    # truncated payload
+    write(b"NEMO" + struct.pack("<II", 1, 1) + struct.pack("<I", 1) + b"w"
+          + struct.pack("<II", 1, 100) + struct.pack("<I", 0) + b"\0" * 8)
+    with pytest.raises(NemoBinError, match="truncated"):
+        read_nemo_bin(path)
+
+
+def test_model_pipeline_from_bin(model_setup, tmp_path):
+    """model.bin of the tiny model feeds params_from_arrays and the numpy
+    oracle identically to the in-memory arrays."""
+    arrays, params, cfg = model_setup
+    path = str(tmp_path / "model.bin")
+    write_nemo_bin(path, arrays)
+    loaded = read_nemo_bin(path)
+
+    from nemotron_tpu.oracle.model import OracleModel
+    from nemotron_tpu.params import params_from_arrays
+
+    p2 = params_from_arrays(loaded, cfg)
+    np.testing.assert_array_equal(np.asarray(p2.layers.ffn1_w1),
+                                  np.asarray(params.layers.ffn1_w1))
+
+    mel = np.random.default_rng(3).standard_normal(
+        (40, cfg.n_mels)).astype(np.float32)
+    out_ref = OracleModel(arrays, cfg).encoder(mel)
+    out_bin = OracleModel(loaded, cfg).encoder(mel)
+    np.testing.assert_array_equal(out_bin, out_ref)
+
+
+def test_convert_weights_script(model_setup, tmp_path):
+    """ckpt -> bin -> gguf bridging through the CLI."""
+    torch = pytest.importorskip("torch")
+    arrays, _params, cfg = model_setup
+    ckpt = {n: torch.from_numpy(np.asarray(a)) for n, a in arrays.items()}
+    ckpt_path = str(tmp_path / "model_weights.ckpt")
+    torch.save(ckpt, ckpt_path)
+
+    bin_path = str(tmp_path / "model.bin")
+    r = run_script("convert_weights.py", ckpt_path, bin_path)
+    assert r.returncode == 0, r.stderr
+    got = read_nemo_bin(bin_path)
+    assert set(got) == set(arrays)
+    np.testing.assert_array_equal(
+        got["encoder.pre_encode.out.weight"],
+        arrays["encoder.pre_encode.out.weight"])
+
+    gguf_path = str(tmp_path / "model.gguf")
+    r = run_script("convert_weights.py", bin_path, gguf_path)
+    assert r.returncode == 0, r.stderr
+    from nemotron_tpu.params import load_model, params_from_arrays
+
+    loaded, lcfg, _vocab = load_model(gguf_path)
+    assert lcfg.d_model == cfg.d_model and lcfg.n_layers == cfg.n_layers
+    want = params_from_arrays(arrays, cfg)
+    np.testing.assert_allclose(np.asarray(loaded.layers.ffn1_w1),
+                               np.asarray(want.layers.ffn1_w1), atol=0)
+
+    r = run_script("convert_weights.py", "--info", bin_path)
+    assert r.returncode == 0, r.stderr
+    assert "encoder" in r.stdout and "params" in r.stdout
