@@ -148,9 +148,10 @@ def main() -> int:
                                              dtype=dtype)
 
     # Plan: dense-bf16 baseline, then W8A8 int8-MXU weights + int8 K/V
-    # cache rings at larger batches. Measured ladder (head-major ring):
-    # bf16 512 -> ~98 ms; w8a8 704 -> ~114; w8a8+int8kv 768 -> ~115,
-    # 896 -> ~138 vs the 120 ms bar. int8 dot = ~390 TOPS on v5e.
+    # cache rings at larger batches. Measured ladder (head-major ring,
+    # full layer unroll): bf16 512 -> ~98 ms; w8a8+int8kv 768 -> ~112,
+    # 800 -> ~118, 832 -> ~128 vs the 120 ms bar. int8 dot = ~390 TOPS
+    # on v5e.
     if quick:
         plan = [("bf16", params_bf16, b, cc) for b in candidates]
     else:
@@ -158,7 +159,7 @@ def main() -> int:
             P.quantize_model_params(base, mode="w8a8"), dtype)
         plan = [("bf16", params_bf16, 512, cc),
                 ("w8a8-int8kv", params_w8a8, 768, cc8),
-                ("w8a8-int8kv", params_w8a8, 896, cc8)]
+                ("w8a8-int8kv", params_w8a8, 800, cc8)]
 
     results = {}
     best = 0

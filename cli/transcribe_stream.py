@@ -7,7 +7,7 @@ src/transcribe_stream.cpp:27-36):
     transcribe_stream.py <model.gguf> <audio.pcm|.wav|-|--stdin> [chunk_ms]
                          [right_context] [--cpu|--tpu] [--timestamps]
                          [--profile=DIR] [--trace=DIR] [--quantize=q8_0|w8a8]
-                         [--kv-int8]
+                         [--kv-int8] [--rc-by-layer=13,6,1,0]
 
   - input: raw s16le 16 kHz mono PCM file, or '-' / '--stdin' for stdin
   - chunk_ms is advisory (>=10 warning); the actual read size comes from the
@@ -86,6 +86,20 @@ def main(argv: list[str]) -> int:
 
         cc = dataclasses.replace(cc, kv_cache_int8=True)
         print("int8 K/V cache rings enabled", file=sys.stderr)
+    for f in flags:
+        # NeMo per-layer-group right context (e.g. --rc-by-layer=13,6,1,0;
+        # the reference's acknowledged limitation #2)
+        if f.startswith("--rc-by-layer="):
+            import dataclasses
+
+            pat = tuple(int(v) for v in f.split("=", 1)[1].split(","))
+            cc = dataclasses.replace(cc, att_right_context_by_layer=pat)
+            try:
+                cc.rc_schedule(cfg.n_layers)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+            print(f"per-layer right context: {pat}", file=sys.stderr)
     print(f"config: chunk={cc.chunk_mel_frames} mel frames "
           f"({cc.latency_ms} ms), shift={cc.shift_mel_frames}, "
           f"valid_out={cc.valid_out_len}, left_context={cc.att_left_context}",

@@ -104,11 +104,39 @@ class CacheConfig:
     # src/nemo-stream.cpp:446) and relies on valid_out_len truncation only;
     # False reproduces that behavior exactly.
     strict_right_context: bool = False
+    # Per-layer-group intra-chunk lookahead limits (NeMo's per-group right
+    # context, the reference's acknowledged limitation #2 at
+    # docs/STREAMING.md:540-548: full-size groups are layers 0-5 rc=13,
+    # 6-11 rc=6, 12-17 rc=1, 18-23 rc=0). A tuple of group values expanded
+    # evenly over the layers, e.g. (13, 6, 1, 0) for 24 layers = 4 groups
+    # of 6. Each value caps how far INTO THE CURRENT CHUNK that group may
+    # attend (ring/cache keys are all past and unaffected); geometry and
+    # latency are set by att_right_context as before. None = uniform
+    # behavior (the reference's).
+    att_right_context_by_layer: tuple[int, ...] | None = None
     # int8 K/V cache rings: halves ring HBM traffic and per-stream state
     # (~8 -> ~4.5 MB bf16-equivalent). Per-(layer, stream, head, segment)
     # scales are folded into the attention scores/weights so the big dots
     # read int8 directly. Opt-in: adds ~0.5% K/V quantization error.
     kv_cache_int8: bool = False
+
+    def rc_schedule(self, n_layers: int) -> list[int] | None:
+        """att_right_context_by_layer expanded to one value per layer
+        (groups repeat evenly, NeMo convention), or None if unset."""
+        pat = self.att_right_context_by_layer
+        if pat is None:
+            return None
+        if not pat or n_layers % len(pat):
+            raise ValueError(
+                f"att_right_context_by_layer {pat} does not divide "
+                f"{n_layers} layers into equal groups")
+        rep = n_layers // len(pat)
+        out = [int(r) for r in pat for _ in range(rep)]
+        if any(r > self.att_right_context for r in out):
+            raise ValueError(
+                f"per-layer right context {pat} exceeds the chunk lookahead "
+                f"att_right_context={self.att_right_context}")
+        return out
 
     @property
     def conv_cache_size(self) -> int:

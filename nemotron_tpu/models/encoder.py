@@ -291,14 +291,29 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
 
     attn_impl = os.environ.get("NEMOTRON_TPU_ATTN", "xla")
     block_b = int(os.environ.get("NEMOTRON_TPU_ATTN_BLOCK", "8"))
-    use_fused = attn_impl.startswith("pallas") and B % block_b == 0
+    # per-layer-group lookahead limits (NeMo per-group right context; the
+    # reference's limitation #2, docs/STREAMING.md:540-548) ride the scan
+    # as a per-layer scalar; the fused pallas kernel takes a layer-
+    # invariant mask, so the pattern forces the XLA attention path
+    rcs = cc.rc_schedule(cfg.n_layers)
+    use_fused = (attn_impl.startswith("pallas") and B % block_b == 0
+                 and rcs is None)
+    rc_arr = None if rcs is None else jnp.asarray(rcs, jnp.int32)
 
     def body(carry, per_layer):
         h, cv_all, l = carry
         if use_fused:
             lp, ph, ks, vs = per_layer
+        elif rc_arr is not None:
+            lp, ph, kr, vr, ks, vs, rc_l = per_layer
         else:
             lp, ph, kr, vr, ks, vs = per_layer
+        if rc_arr is None:
+            lmask = mask
+        else:
+            # key more than rc_l ahead of query i is masked for this layer
+            lmask = mask + jnp.where(d < -rc_l, jnp.float32(-1e9),
+                                     jnp.float32(0.0))[None, None]
         cvc = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
         if cc.kv_cache_int8:
             # per-segment dequant scales expanded to per-slot columns
@@ -310,14 +325,14 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
             kcols = vcols = None
         if use_fused:
             y, nk, nv, ncv = conformer_layer(
-                lp, h, ph, mask=mask, conv_cache=cvc,
+                lp, h, ph, mask=lmask, conv_cache=cvc,
                 ring_fused=(l, state.k_cache, state.v_cache, pos_perm,
                             kcols, vcols, block_b,
                             attn_impl == "pallas-interpret"),
                 n_heads=cfg.n_heads, d_head=cfg.d_head)
         else:
             y, nk, nv, ncv = conformer_layer(
-                lp, h, ph, mask=mask, ring=(kr, vr, pos_perm, kcols, vcols),
+                lp, h, ph, mask=lmask, ring=(kr, vr, pos_perm, kcols, vcols),
                 conv_cache=cvc, n_heads=cfg.n_heads, d_head=cfg.d_head)
         cv_all = jax.lax.dynamic_update_index_in_dim(cv_all, ncv, l, 0)
         ys = (nk, nv, y) if capture else (nk, nv)
@@ -325,12 +340,26 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
 
     # NEMOTRON_TPU_SCAN_UNROLL > 1 trades compile time for static ring
     # slices (the scan's per-layer dynamic-slice of the K/V rings costs
-    # ~3x the raw read bandwidth; unrolling lets XLA slice statically)
-    unroll = int(os.environ.get("NEMOTRON_TPU_SCAN_UNROLL", "1"))
-    xs = ((params.layers, pos_heads, state.k_scale, state.v_scale)
-          if use_fused else
-          (params.layers, pos_heads, state.k_cache, state.v_cache,
-           state.k_scale, state.v_scale))
+    # ~3x the raw read bandwidth; unrolling lets XLA slice statically).
+    # Measured on v5e at the headline config: full unroll = -4% step time
+    # (112 vs 116 ms at B=768; docs/PERFORMANCE.md), so TPU defaults to
+    # full unroll; CPU (tests, dryruns) keeps the rolled scan for fast
+    # compiles. The env knob overrides either way.
+    unroll_env = os.environ.get("NEMOTRON_TPU_SCAN_UNROLL")
+    if unroll_env is not None:
+        unroll = int(unroll_env)
+    elif jax.default_backend() == "cpu":
+        unroll = 1
+    else:
+        unroll = cfg.n_layers
+    if use_fused:
+        xs = (params.layers, pos_heads, state.k_scale, state.v_scale)
+    elif rc_arr is not None:
+        xs = (params.layers, pos_heads, state.k_cache, state.v_cache,
+              state.k_scale, state.v_scale, rc_arr)
+    else:
+        xs = (params.layers, pos_heads, state.k_cache, state.v_cache,
+              state.k_scale, state.v_scale)
     (x, ncv, _), ys = jax.lax.scan(
         body, (x, state.conv_cache, jnp.int32(0)), xs, unroll=unroll)
     k_new, v_new = ys[0], ys[1]                          # [L, B, H, Q, Dh]

@@ -283,8 +283,19 @@ class OracleStream:
         mask = np.zeros(cc.att_left_context + chunk_len, np.float32)
         mask[:offset] = -1e9
 
+        # per-layer-group lookahead (NeMo per-group right context; the
+        # reference's limitation #2, docs/STREAMING.md:540-548): layer li
+        # may attend at most rc[li] frames ahead within the current chunk
+        rcs = cc.rc_schedule(self.m.cfg.n_layers)
         for li in range(self.m.cfg.n_layers):
-            x = self._cached_layer(x, li, mask)
+            m_l = mask
+            if rcs is not None:
+                i = np.arange(chunk_len)[:, None]
+                j = np.arange(mask.shape[0])[None, :]
+                future = (j - cc.att_left_context) - i > rcs[li]
+                m_l = mask[None, :] + np.where(
+                    future, np.float32(-1e9), np.float32(0.0))
+            x = self._cached_layer(x, li, m_l)
 
         self.cache_valid_len = min(self.cache_valid_len + chunk_len,
                                    cc.att_left_context)

@@ -121,11 +121,31 @@ def main() -> int:
     n = int(args.seconds * 16000)
     for seed in range(args.seeds):
         arrays = P.random_weight_arrays(cfg, seed=seed)
-        arrays["joint.joint_net.2.bias"][cfg.vocab_size - 1] = args.blank_bias
-        base = P.params_from_arrays(arrays, cfg)
-        w8a8 = P.quantize_model_params(base, mode="w8a8")
         audio = np.stack([synth_audio(n, 100 * seed + s)
                           for s in range(args.streams)])
+
+        # Calibrate the blank bias to a speech-like emission rate: a bias
+        # that silences the model entirely makes every config trivially
+        # agree (0 tokens vs 0 tokens) — a vacuous run, not a measurement.
+        cc0 = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
+        bias = args.blank_bias
+        for _try in range(5):
+            arrays["joint.joint_net.2.bias"][cfg.vocab_size - 1] = bias
+            base = P.params_from_arrays(arrays, cfg)
+            probe = run_config(base, cfg, cc0, jnp.float32,
+                               audio[:, : 4 * cc0.chunk_samples],
+                               cc0.chunk_samples)
+            n_probe = sum(len(p) for p in probe)
+            if n_probe > 0:
+                break
+            bias -= 2.5
+            print(f"seed {seed}: no emissions at blank bias "
+                  f"{bias + 2.5:.1f}; retrying with {bias:.1f}",
+                  file=sys.stderr)
+        else:
+            print(f"seed {seed}: model never emits; skipping", file=sys.stderr)
+            continue
+        w8a8 = P.quantize_model_params(base, mode="w8a8")
 
         for mode in (int(m) for m in args.modes.split(",")):
             cc = CacheConfig(att_right_context=mode, n_mels=cfg.n_mels)
@@ -134,6 +154,10 @@ def main() -> int:
 
             ref = run_config(base, cfg, cc, jnp.float32, audio, chunk)
             n_ref = sum(len(r) for r in ref)
+            if n_ref == 0:
+                print(f"seed {seed} R={mode}: reference emitted 0 tokens; "
+                      "skipping (vacuous)", file=sys.stderr)
+                continue
             configs = {
                 "dense-bf16": (base, cc, jnp.bfloat16),
                 "w8a8-bf16": (w8a8, cc, jnp.bfloat16),

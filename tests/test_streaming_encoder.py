@@ -243,3 +243,73 @@ def test_pallas_fused_attention_matches_xla(model_setup, rng, int8kv,
     np.testing.assert_allclose(
         np.asarray(st_p.k_cache, np.float32),
         np.asarray(st_x.k_cache, np.float32), atol=2e-5)
+
+
+def test_per_layer_right_context_matches_oracle(model_setup, oracle, rng):
+    """NeMo per-layer-group lookahead (att_right_context_by_layer; the
+    reference's acknowledged limitation #2, its docs/STREAMING.md:540-548):
+    the TPU streaming encoder must track the numpy oracle chunk by chunk
+    with a binding per-layer pattern."""
+    import dataclasses
+
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=6, att_left_context=14,
+                     n_mels=cfg.n_mels,
+                     att_right_context_by_layer=(6, 1, 0))
+    assert cc.rc_schedule(cfg.n_layers) == [6, 1, 0]
+
+    ostream = OracleStream(oracle, cc)
+    state = enc_mod.init_encoder_state(cfg, cc, batch=1)
+    pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc)
+    step = jax.jit(enc_mod.encode_chunk, static_argnums=(1, 2))
+
+    uniform = dataclasses.replace(cc, att_right_context_by_layer=None)
+    ostream_u = OracleStream(oracle, uniform)
+    state_u = enc_mod.init_encoder_state(cfg, uniform, batch=1)
+
+    bound = False
+    for ci in range(3):
+        mel = rng.standard_normal(
+            (cc.chunk_mel_frames, cfg.n_mels)).astype(np.float32)
+        want = ostream.encode_chunk(mel)
+        got, state = step(params, cfg, cc, jnp.asarray(mel)[None], state,
+                          pos_heads)
+        np.testing.assert_allclose(np.asarray(got)[0], want, atol=5e-5,
+                                   err_msg=f"chunk {ci}")
+        # the pattern must actually bind: outputs differ from uniform R=6
+        want_u = ostream_u.encode_chunk(mel)
+        got_u, state_u = step(params, cfg, uniform, jnp.asarray(mel)[None],
+                              state_u, pos_heads)
+        if np.max(np.abs(want_u - want)) > 1e-3:
+            bound = True
+    assert bound, "per-layer pattern never changed the output"
+
+    # a vacuous pattern (every group at the full R) is a numerical no-op
+    vac = dataclasses.replace(cc, att_right_context_by_layer=(6, 6, 6))
+    ostream_v = OracleStream(oracle, vac)
+    state_v = enc_mod.init_encoder_state(cfg, vac, batch=1)
+    rng2 = np.random.default_rng(7)
+    for _ in range(2):
+        mel = rng2.standard_normal(
+            (cc.chunk_mel_frames, cfg.n_mels)).astype(np.float32)
+        want_v = ostream_v.encode_chunk(mel)
+        got_v, state_v = step(params, cfg, vac, jnp.asarray(mel)[None],
+                              state_v, pos_heads)
+        np.testing.assert_allclose(np.asarray(got_v)[0], want_v, atol=5e-5)
+
+
+def test_rc_schedule_validation():
+    import pytest as _pytest
+
+    cc = CacheConfig(att_right_context=6,
+                     att_right_context_by_layer=(6, 1))
+    with _pytest.raises(ValueError, match="equal groups"):
+        cc.rc_schedule(3)
+    cc2 = CacheConfig(att_right_context=1,
+                      att_right_context_by_layer=(6, 1, 0))
+    with _pytest.raises(ValueError, match="exceeds"):
+        cc2.rc_schedule(3)
+    assert CacheConfig(att_right_context=13).rc_schedule(24) is None
+    cc3 = CacheConfig(att_right_context=13,
+                      att_right_context_by_layer=(13, 6, 1, 0))
+    assert cc3.rc_schedule(24) == [13] * 6 + [6] * 6 + [1] * 6 + [0] * 6
