@@ -87,7 +87,14 @@ class StreamSession:
         reference's binary dump format to that directory -- the analogue of
         the reference's my_bin/ tensor tracing (src/nemo-stream.cpp:880-958);
         diff runs with scripts/compare_tensors.py."""
-        self.params = params
+        # Cast float leaves to the compute dtype AND materialize on device
+        # once: raw numpy leaves would be re-uploaded on EVERY jitted
+        # chunk_step call (2.4 GB/chunk for the full f32 model -- fatal
+        # through a slow host<->TPU link). cast_params is idempotent on
+        # already-device, already-cast pytrees.
+        from ..params import cast_params
+
+        self.params = cast_params(params, compute_dtype)
         self.cfg = cfg
         self.cc = cache_config or CacheConfig(n_mels=cfg.n_mels)
         self.vocab = vocab or []
@@ -113,7 +120,7 @@ class StreamSession:
             cfg=PreprocessorConfig(n_mels=cfg.n_mels))
 
         self.pos_heads = enc_mod.precompute_pos_heads(
-            params, cfg, self.cc, dtype=compute_dtype)
+            self.params, cfg, self.cc, dtype=compute_dtype)
         self.reset()
 
     # -- state --------------------------------------------------------------

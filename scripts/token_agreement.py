@@ -127,11 +127,21 @@ def main() -> int:
         # Calibrate the blank bias to a speech-like emission rate: a bias
         # that silences the model entirely makes every config trivially
         # agree (0 tokens vs 0 tokens) — a vacuous run, not a measurement.
+        # The bias retries patch ONE device leaf (joint out_b) instead of
+        # rebuilding the pytree: a full rebuild re-uploads GBs per retry
+        # on a slow host<->TPU link.
+        def with_blank_bias(p, b):
+            out_b = np.asarray(p.joint.out_b).copy()
+            out_b[cfg.vocab_size - 1] = b
+            return dataclasses.replace(
+                p, joint=dataclasses.replace(
+                    p.joint, out_b=jnp.asarray(out_b, p.joint.out_b.dtype)))
+
         cc0 = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
+        base = P.cast_params(P.params_from_arrays(arrays, cfg), jnp.float32)
         bias = args.blank_bias
         for _try in range(5):
-            arrays["joint.joint_net.2.bias"][cfg.vocab_size - 1] = bias
-            base = P.params_from_arrays(arrays, cfg)
+            base = with_blank_bias(base, bias)
             probe = run_config(base, cfg, cc0, jnp.float32,
                                audio[:, : 4 * cc0.chunk_samples],
                                cc0.chunk_samples)
@@ -145,7 +155,14 @@ def main() -> int:
         else:
             print(f"seed {seed}: model never emits; skipping", file=sys.stderr)
             continue
-        w8a8 = P.quantize_model_params(base, mode="w8a8")
+        # one device copy per weight set, reused across modes/configs
+        # (StreamSession's cast_params is idempotent on device pytrees);
+        # quantization runs on the HOST pytree (numpy), then uploads once
+        arrays["joint.joint_net.2.bias"][cfg.vocab_size - 1] = bias
+        host_base = P.params_from_arrays(arrays, cfg)
+        base_bf16 = P.cast_params(host_base, jnp.bfloat16)
+        w8a8 = P.cast_params(P.quantize_model_params(host_base, mode="w8a8"),
+                             jnp.bfloat16)
 
         for mode in (int(m) for m in args.modes.split(",")):
             cc = CacheConfig(att_right_context=mode, n_mels=cfg.n_mels)
@@ -159,7 +176,7 @@ def main() -> int:
                       "skipping (vacuous)", file=sys.stderr)
                 continue
             configs = {
-                "dense-bf16": (base, cc, jnp.bfloat16),
+                "dense-bf16": (base_bf16, cc, jnp.bfloat16),
                 "w8a8-bf16": (w8a8, cc, jnp.bfloat16),
                 "w8a8-int8kv-bf16": (w8a8, cc8, jnp.bfloat16),
             }
