@@ -4,7 +4,8 @@ concurrent streams replaying one or more PCM/WAV files, and report
 aggregate throughput and latency percentiles.
 
     serve.py <model.gguf> <audio.pcm|.wav> [--streams N] [--slots S]
-             [--right-context R] [--quantize w8a8] [--seconds T] [--cpu]
+             [--right-context R] [--quantize w8a8] [--kv-int8]
+             [--rc-by-layer 13,6,1,0] [--seconds T] [--cpu]
              [--mesh N]            # shard slots over N (virtual) devices
              [--lockstep]          # fused PCM->tokens LockstepEngine path
 
@@ -55,6 +56,18 @@ def main(argv: list[str]) -> int:
     if quant_mode:
         params = quantize_model_params(params, mode=quant_mode)
     cc = CacheConfig(att_right_context=R, n_mels=cfg.n_mels)
+    if "--kv-int8" in argv:
+        import dataclasses
+
+        cc = dataclasses.replace(cc, kv_cache_int8=True)
+    rc_pat = opt("--rc-by-layer", None, str)
+    if rc_pat:
+        import dataclasses
+
+        cc = dataclasses.replace(
+            cc, att_right_context_by_layer=tuple(
+                int(v) for v in rc_pat.split(",")))
+        cc.rc_schedule(cfg.n_layers)  # validate early
     audio = read_audio_file(args[1])
 
     mesh = None

@@ -89,6 +89,9 @@ def main() -> int:
                     help="latency modes (att_right_context values)")
     ap.add_argument("--blank-bias", type=float, default=3.0,
                     help="joint blank bias steering emission density")
+    ap.add_argument("--saturate", action="store_true",
+                    help="accept saturated emission (worst-case stress: "
+                         "every frame emits to the MAX_SYMBOLS ceiling)")
     ap.add_argument("--configs", default=None,
                     help="comma list to limit configs (default: all)")
     ap.add_argument("--json", default=None)
@@ -139,22 +142,41 @@ def main() -> int:
 
         cc0 = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
         base = P.cast_params(P.params_from_arrays(arrays, cfg), jnp.float32)
+        # Bracketed search for a SPEECH-LIKE emission rate (~2-20 tok/s per
+        # stream). Both failure modes make the measurement misleading:
+        # zero emissions agree vacuously, and saturated emission (the
+        # MAX_SYMBOLS ceiling, ~125 tok/s) flips on every argmax tie --
+        # a worst case no trained model resembles.
+        probe_secs = 4 * cc0.chunk_samples / 16000.0 * args.streams
+        lo = hi = None   # lo: bias known too low (rate high); hi: too high
         bias = args.blank_bias
-        for _try in range(5):
+        rate = None
+        for _try in range(10):
             base = with_blank_bias(base, bias)
             probe = run_config(base, cfg, cc0, jnp.float32,
                                audio[:, : 4 * cc0.chunk_samples],
                                cc0.chunk_samples)
-            n_probe = sum(len(p) for p in probe)
-            if n_probe > 0:
+            rate = sum(len(p) for p in probe) / probe_secs
+            hi_rate = float("inf") if args.saturate else 25.0
+            if 1.0 <= rate <= hi_rate:
                 break
-            bias -= 2.5
-            print(f"seed {seed}: no emissions at blank bias "
-                  f"{bias + 2.5:.1f}; retrying with {bias:.1f}",
-                  file=sys.stderr)
-        else:
+            if rate > hi_rate:
+                lo = bias
+            else:
+                hi = bias
+            if lo is None:
+                bias -= 2.5
+            elif hi is None:
+                bias += 2.5
+            else:
+                bias = (lo + hi) / 2.0
+            print(f"seed {seed}: emission rate {rate:.1f} tok/s/stream; "
+                  f"retrying blank bias {bias:.2f}", file=sys.stderr)
+        if rate == 0:
             print(f"seed {seed}: model never emits; skipping", file=sys.stderr)
             continue
+        print(f"seed {seed}: blank bias {bias:.2f} -> "
+              f"{rate:.1f} tok/s/stream", file=sys.stderr)
         # one device copy per weight set, reused across modes/configs
         # (StreamSession's cast_params is idempotent on device pytrees);
         # quantization runs on the HOST pytree (numpy), then uploads once
