@@ -2,10 +2,12 @@
 """Batch (whole-file) transcription CLI (reference src/transcribe.cpp):
 
     transcribe.py <model.gguf> <audio.pcm|.wav> [more audio files...]
-                  [--cpu] [--timestamps]
+                  [--cpu] [--timestamps] [--beam=K]
 
 Multiple audio files are transcribed in ONE batched encoder/decode pass
-(length-masked; the reference is batch=1).
+(length-masked; the reference is batch=1). --beam=K decodes with the
+on-device batched RNN-T beam search (greedy when omitted; the reference
+is greedy-only).
 """
 
 import os
@@ -39,11 +41,20 @@ def main(argv: list[str]) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    beam = 1
+    for f in flags:
+        if f.startswith("--beam="):
+            beam = int(f.split("=", 1)[1])
     audios = [read_audio_file(a) for a in args[1:]]
     t0 = time.perf_counter()
-    texts = transcribe_batch(params, cfg, vocab,
-                             audios if len(audios) > 1 else audios[0],
-                             timestamp_words="--timestamps" in flags)
+    try:
+        texts = transcribe_batch(params, cfg, vocab,
+                                 audios if len(audios) > 1 else audios[0],
+                                 timestamp_words="--timestamps" in flags,
+                                 beam_size=beam)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     elapsed = time.perf_counter() - t0
     if len(audios) == 1:
         print(texts)

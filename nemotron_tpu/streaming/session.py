@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import CacheConfig, ModelConfig
+from ..config import CacheConfig, MAX_SYMBOLS_PER_STEP, ModelConfig
 from ..models import decoder as dec_mod
 from ..models import encoder as enc_mod
 from ..params import ModelParams
@@ -328,11 +328,18 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
                      filterbank: np.ndarray | None = None,
                      window: np.ndarray | None = None,
                      timestamp_words: bool = False,
-                     compute_dtype=jnp.float32) -> str:
+                     compute_dtype=jnp.float32,
+                     beam_size: int = 1,
+                     beam_expansions: int | None = None) -> str:
     """Offline full-utterance transcription (the reference `transcribe` CLI
     path: src/transcribe.cpp + nemo_transcribe_audio,
     src/nemo-ggml.cpp:1585-1598). Unlike the reference there is no 164 s
-    pos-emb cap: the position table is sized per call."""
+    pos-emb cap: the position table is sized per call.
+
+    beam_size > 1 switches the label search to the on-device batched beam
+    (models/beam.py) -- a capability the reference lacks (greedy only).
+    Word timestamps require greedy (beam hypotheses carry no frame
+    alignment)."""
     fb = filterbank if filterbank is not None else np.asarray(
         params.preprocessor.filterbank)
     win = window if window is not None else np.asarray(
@@ -361,6 +368,27 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
 
     enc = enc_mod.encode_batch(params, cfg, jnp.asarray(mel, compute_dtype),
                                enc_lengths=enc_lengths)
+    if beam_size > 1:
+        from ..models import beam as beam_mod
+
+        if timestamp_words:
+            raise ValueError("word timestamps require greedy decode "
+                             "(beam hypotheses carry no frame alignment)")
+        exp = (beam_expansions if beam_expansions is not None
+               else MAX_SYMBOLS_PER_STEP)
+        bstate = beam_mod.init_beam_state(
+            cfg, len(mels), beam_size,
+            max_tokens=int(enc.shape[1]) * MAX_SYMBOLS_PER_STEP,
+            dtype=compute_dtype)
+        bstate = jax.jit(beam_mod.beam_decode, static_argnums=(1, 4, 5))(
+            params, cfg, enc, bstate, beam_size, exp, enc_lengths)
+        btok, blen, _ = beam_mod.best_hypothesis(bstate, length_norm=True)
+        btok, blen = np.asarray(btok), np.asarray(blen)
+        texts = [
+            tokens_to_text([(int(t), 0) for t in btok[i, : blen[i]]], vocab)
+            for i in range(len(mels))]
+        return (texts[0] if not isinstance(audio_i16, (list, tuple))
+                else texts)
     dec_state = dec_mod.init_decoder_state(cfg, len(mels), compute_dtype)
     tokens, _ = jax.jit(dec_mod.greedy_decode, static_argnums=1)(
         params, cfg, enc, dec_state, enc_lengths=enc_lengths)

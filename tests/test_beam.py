@@ -1,0 +1,159 @@
+"""On-device batched RNN-T beam search vs the plain-Python beam oracle
+(and internal consistency gates). Reference has greedy only
+(src/nemo-ggml.cpp:1109-1429); beam is a capability beyond it."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nemotron_tpu.models import beam as beam_mod
+from nemotron_tpu.models import decoder as dec_mod
+from nemotron_tpu.oracle.beam import OracleBeam
+
+
+@pytest.fixture(scope="module")
+def enc_batch(model_setup):
+    _arrays, _params, cfg = model_setup
+    rng = np.random.default_rng(42)
+    B, T = 2, 4
+    return rng.standard_normal((B, T, cfg.d_model)).astype(np.float32) * 0.5
+
+
+@pytest.mark.parametrize("K,expansions", [(1, 3), (2, 3), (4, 2)])
+def test_beam_matches_oracle(model_setup, enc_batch, K, expansions):
+    arrays, params, cfg = model_setup
+    B, T, _ = enc_batch.shape
+    U = 32
+
+    st = beam_mod.init_beam_state(cfg, B, K, U)
+    run = jax.jit(beam_mod.beam_decode,
+                  static_argnums=(1, 4, 5))
+    st = run(params, cfg, jnp.asarray(enc_batch), st, K, expansions)
+    tokens, lengths, scores = beam_mod.best_hypothesis(st)
+    tokens, lengths, scores = (np.asarray(tokens), np.asarray(lengths),
+                               np.asarray(scores))
+
+    oracle = OracleBeam(arrays, cfg)
+    for b in range(B):
+        want = oracle.decode(enc_batch[b], K, expansions, max_tokens=U)
+        got = tokens[b, : lengths[b]].tolist()
+        assert got == want.tokens, (
+            f"stream {b} K={K}: {got} vs oracle {want.tokens}")
+        np.testing.assert_allclose(scores[b], want.score, rtol=2e-4,
+                                   err_msg=f"stream {b} K={K}")
+
+
+def test_beam_score_monotone(model_setup, enc_batch):
+    _arrays, params, cfg = model_setup
+    B = enc_batch.shape[0]
+    run = jax.jit(beam_mod.beam_decode, static_argnums=(1, 4, 5))
+    scores = {}
+    for K in (1, 4):
+        st = beam_mod.init_beam_state(cfg, B, K, 32)
+        st = run(params, cfg, jnp.asarray(enc_batch), st, K, 3)
+        _t, _l, s = beam_mod.best_hypothesis(st)
+        scores[K] = np.asarray(s)
+    assert np.all(scores[4] >= scores[1] - 1e-5)
+
+
+def test_beam_ragged_matches_solo(model_setup, enc_batch):
+    """enc_lengths-padded batch decodes exactly like each stream alone."""
+    _arrays, params, cfg = model_setup
+    B, T, D = enc_batch.shape
+    K = 2
+    run = jax.jit(beam_mod.beam_decode, static_argnums=(1, 4, 5))
+
+    lens = np.array([T, T - 2], np.int32)
+    st = beam_mod.init_beam_state(cfg, B, K, 32)
+    st = run(params, cfg, jnp.asarray(enc_batch), st, K, 3,
+             jnp.asarray(lens))
+    tok_b, len_b, _ = (np.asarray(x) for x in beam_mod.best_hypothesis(st))
+
+    for b in range(B):
+        solo = beam_mod.init_beam_state(cfg, 1, K, 32)
+        solo = run(params, cfg, jnp.asarray(enc_batch[b : b + 1, : lens[b]]),
+                   solo, K, 3)
+        ts, ls, _ = (np.asarray(x) for x in beam_mod.best_hypothesis(solo))
+        assert tok_b[b, : len_b[b]].tolist() == ts[0, : ls[0]].tolist()
+
+
+def test_beam_chunk_carry(model_setup, enc_batch):
+    """Beam state carried across two calls == one call over the
+    concatenated frames (the streaming-chunk invariant)."""
+    _arrays, params, cfg = model_setup
+    B, T, _ = enc_batch.shape
+    K = 2
+    run = jax.jit(beam_mod.beam_decode, static_argnums=(1, 4, 5))
+
+    st_once = beam_mod.init_beam_state(cfg, B, K, 32)
+    st_once = run(params, cfg, jnp.asarray(enc_batch), st_once, K, 3)
+
+    st = beam_mod.init_beam_state(cfg, B, K, 32)
+    st = run(params, cfg, jnp.asarray(enc_batch[:, : 2]), st, K, 3)
+    st = run(params, cfg, jnp.asarray(enc_batch[:, 2:]), st, K, 3)
+
+    for leaf_a, leaf_b in zip(jax.tree_util.tree_leaves(st_once),
+                              jax.tree_util.tree_leaves(st)):
+        np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b),
+                                   atol=1e-5)
+
+
+def test_beam_greedy_score_floor(model_setup, enc_batch):
+    """The beam-1 best path's probability is >= the greedy path's
+    probability (beam can only improve on greedy's frame-local commits)."""
+    arrays, params, cfg = model_setup
+    B = enc_batch.shape[0]
+    blank = cfg.blank_token
+
+    # greedy path + its score via the oracle's scoring machinery
+    gstate = dec_mod.init_decoder_state(cfg, B)
+    gtok, _ = jax.jit(dec_mod.greedy_decode, static_argnums=(1,))(
+        params, cfg, jnp.asarray(enc_batch), gstate)
+    gtok = np.asarray(gtok)                                # [B, T, MAX]
+
+    ob = OracleBeam(arrays, cfg)
+    run = jax.jit(beam_mod.beam_decode, static_argnums=(1, 4, 5))
+    for b in range(B):
+        # score greedy's label sequence frame by frame
+        L, H = cfg.decoder_layers, cfg.decoder_dim
+        h = np.zeros((L, H), np.float32)
+        c = np.zeros((L, H), np.float32)
+        prev, score = blank, 0.0
+        for t in range(enc_batch.shape[1]):
+            for v in gtok[b, t]:
+                dec_out, h2, c2 = ob._dec_step(prev, h, c)
+                logp = ob._joint_logp(enc_batch[b, t], dec_out)
+                if v == blank:
+                    score += logp[blank]
+                    break
+                score += logp[v]
+                h, c, prev = h2, c2, int(v)
+            else:
+                dec_out, _h, _c = ob._dec_step(prev, h, c)
+                score += ob._joint_logp(enc_batch[b, t], dec_out)[blank]
+
+        st = beam_mod.init_beam_state(cfg, 1, 1, 64)
+        st = run(params, cfg, jnp.asarray(enc_batch[b : b + 1]), st, 1, 10)
+        _t, _l, s = beam_mod.best_hypothesis(st)
+        assert float(np.asarray(s)[0]) >= score - 1e-4
+
+
+def test_transcribe_batch_beam_wiring(model_setup):
+    """transcribe_batch(beam_size>1) runs the full pipeline and returns
+    per-utterance strings (the --beam CLI path)."""
+    arrays, params, cfg = model_setup
+    rng = np.random.default_rng(0)
+    from nemotron_tpu.streaming.session import transcribe_batch
+
+    fb = np.abs(rng.standard_normal((cfg.n_mels, 257))).astype(np.float32)
+    win = np.hanning(400).astype(np.float32)
+    audio = (rng.standard_normal(8000) * 3000).astype(np.int16)
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+    texts = transcribe_batch(params, cfg, vocab, [audio, audio],
+                             filterbank=fb, window=win, beam_size=2)
+    assert isinstance(texts, list) and len(texts) == 2
+    assert texts[0] == texts[1]  # identical inputs decode identically
+    with pytest.raises(ValueError, match="timestamps"):
+        transcribe_batch(params, cfg, vocab, audio, filterbank=fb,
+                         window=win, beam_size=2, timestamp_words=True)
