@@ -7,7 +7,7 @@ src/transcribe_stream.cpp:27-36):
     transcribe_stream.py <model.gguf> <audio.pcm|.wav|-|--stdin> [chunk_ms]
                          [right_context] [--cpu|--tpu] [--timestamps]
                          [--profile=DIR] [--trace=DIR] [--quantize=q8_0|w8a8]
-                         [--kv-int8] [--rc-by-layer=13,6,1,0]
+                         [--kv-int8] [--rc-by-layer=13,6,1,0] [--beam=K]
 
   - input: raw s16le 16 kHz mono PCM file, or '-' / '--stdin' for stdin
   - chunk_ms is advisory (>=10 warning); the actual read size comes from the
@@ -105,8 +105,21 @@ def main(argv: list[str]) -> int:
           f"valid_out={cc.valid_out_len}, left_context={cc.att_left_context}",
           file=sys.stderr)
 
-    sess = StreamSession(params, cfg, vocab, cc, trace_dir=trace_dir,
-                         timestamp_words="--timestamps" in flags)
+    beam = 1
+    for f in flags:
+        if f.startswith("--beam="):
+            beam = int(f.split("=", 1)[1])
+    if beam > 1:
+        print(f"beam search: K={beam} (incremental output disabled; "
+              "the best hypothesis may rewrite as chunks arrive)",
+              file=sys.stderr)
+    try:
+        sess = StreamSession(params, cfg, vocab, cc, trace_dir=trace_dir,
+                             timestamp_words="--timestamps" in flags,
+                             beam_size=beam)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     if profile_dir:
         import jax
 
@@ -150,7 +163,11 @@ def main(argv: list[str]) -> int:
 
     before = len(sess.get_transcript(0))
     final = sess.finalize()
-    if len(final) > before:  # text emitted by the flush chunk
+    if beam > 1:
+        # beam transcripts may rewrite earlier text; nothing was printed
+        # incrementally, so emit the whole final best hypothesis here
+        sys.stdout.write(final)
+    elif len(final) > before:  # text emitted by the flush chunk
         sys.stdout.write(final[before:])
     sys.stdout.write("\n")
     sys.stdout.flush()

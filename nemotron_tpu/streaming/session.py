@@ -58,6 +58,25 @@ def chunk_step_masked(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     return tokens, enc_state, dec_state
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 7, 8),
+                   donate_argnums=(4, 5))
+def chunk_step_beam(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
+                    mel_chunk, enc_state, beam_state, pos_heads,
+                    beam_size: int, expansions: int):
+    """Fused streaming step with BEAM decode: cached encoder + on-device
+    batched RNN-T beam search (models/beam.py). The beam state (K
+    hypotheses per stream) is carried across chunks exactly like the
+    greedy DecoderState -- beam_decode's chunk-carry invariance is tested
+    in tests/test_beam.py."""
+    from ..models import beam as beam_mod
+
+    enc_out, enc_state = enc_mod.encode_chunk(params, cfg, cc, mel_chunk,
+                                              enc_state, pos_heads)
+    beam_state = beam_mod.beam_decode(params, cfg, enc_out, beam_state,
+                                      beam_size, expansions)
+    return enc_state, beam_state
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
 def chunk_step_captured(params: ModelParams, cfg: ModelConfig,
                         cc: CacheConfig, mel_chunk, enc_state, dec_state,
@@ -81,7 +100,10 @@ class StreamSession:
                  window: np.ndarray | None = None,
                  compute_dtype=jnp.float32,
                  trace_dir: str | None = None,
-                 timestamp_words: bool = False):
+                 timestamp_words: bool = False,
+                 beam_size: int = 1,
+                 beam_expansions: int | None = None,
+                 max_beam_tokens: int = 4096):
         """trace_dir: when set, every chunk dumps named intermediates (mel,
         pre_encode_out, per-layer outputs, encoder_out, tokens) in the
         reference's binary dump format to that directory -- the analogue of
@@ -103,6 +125,21 @@ class StreamSession:
         # word timestamps in the transcript ({sec} markers): the reference
         # has the flag but no CLI switch (src/nemo-ggml.h:226, :1446-1450)
         self.timestamp_words = timestamp_words
+        # beam_size > 1: per-chunk decode runs the on-device beam search
+        # instead of greedy; the K-hypothesis BeamState carries across
+        # chunks. Transcripts come from the CURRENT best hypothesis, so
+        # earlier text may be rewritten as better hypotheses win (inherent
+        # to streaming beam) -- process() returns "" increments and the
+        # transcript is read via get_transcript()/finalize().
+        self.beam_size = beam_size
+        self.beam_expansions = (beam_expansions if beam_expansions is not None
+                                else MAX_SYMBOLS_PER_STEP)
+        self.max_beam_tokens = max_beam_tokens
+        if beam_size > 1:
+            if timestamp_words:
+                raise ValueError("word timestamps require greedy decode")
+            if trace_dir is not None:
+                raise ValueError("tracing supports greedy decode only")
         self.tracer = None
         if trace_dir is not None:
             from ..utils.dump import DumpTracer
@@ -131,6 +168,12 @@ class StreamSession:
         cfg, cc, S = self.cfg, self.cc, self.n_streams
         self.enc_state = enc_mod.init_encoder_state(cfg, cc, S, self.dtype)
         self.dec_state = dec_mod.init_decoder_state(cfg, S, self.dtype)
+        self.beam_state = None
+        if self.beam_size > 1:
+            from ..models import beam as beam_mod
+
+            self.beam_state = beam_mod.init_beam_state(
+                cfg, S, self.beam_size, self.max_beam_tokens, self.dtype)
         self.preproc.reset()
         # 9-frame zero-seeded overlap (reference src/nemo-stream.cpp:58-60)
         self.mel_buffer = np.zeros((S, cc.pre_encode_cache_size, cfg.n_mels),
@@ -181,6 +224,17 @@ class StreamSession:
             chunk = jnp.asarray(
                 self.mel_buffer[:, : cc.chunk_mel_frames], self.dtype)
             t0 = time.perf_counter()
+            if self.beam_state is not None:
+                self.enc_state, self.beam_state = chunk_step_beam(
+                    self.params, self.cfg, cc, chunk, self.enc_state,
+                    self.beam_state, self.pos_heads, self.beam_size,
+                    self.beam_expansions)
+                self.chunk_seconds += time.perf_counter() - t0
+                self.total_chunks += 1
+                self.mel_buffer = self.mel_buffer[:, cc.shift_mel_frames:]
+                self.frame_offset += cc.valid_out_len
+                self._refresh_beam_transcripts()
+                continue
             if self.tracer is not None:
                 tokens, self.enc_state, self.dec_state = self._traced_step(
                     chunk)
@@ -204,6 +258,19 @@ class StreamSession:
                 new_text[s] += text
             self.frame_offset += tokens.shape[1]
         return new_text
+
+    def _refresh_beam_transcripts(self) -> None:
+        """Rewrite transcripts/tokens from the CURRENT best hypothesis
+        (length-normalized selection, the serving default)."""
+        from ..models import beam as beam_mod
+
+        btok, blen, _ = beam_mod.best_hypothesis(self.beam_state,
+                                                 length_norm=True)
+        btok, blen = np.asarray(btok), np.asarray(blen)
+        for s in range(self.n_streams):
+            toks = [(int(t), 0) for t in btok[s, : blen[s]]]
+            self.tokens[s] = toks
+            self.transcripts[s] = tokens_to_text(toks, self.vocab)
 
     def _traced_step(self, chunk):
         """Chunk step with named-intermediate capture + dump-file tracing."""
@@ -243,7 +310,10 @@ class StreamSession:
             "tokens": [list(t) for t in self.tokens],
             "transcripts": list(self.transcripts),
             "frame_offset": self.frame_offset,
-        }
+        } | ({} if self.beam_state is None else {
+            f"beam/{k}": np.asarray(getattr(self.beam_state, k))
+            for k in ("h", "c", "prev_token", "scores", "tokens", "lengths")
+        })
 
     def load_state_dict(self, st: dict) -> None:
         ring_dtype = (jnp.int8 if self.cc.kv_cache_int8 else self.dtype)
@@ -261,6 +331,17 @@ class StreamSession:
             c=jnp.asarray(st["dec/c"], self.dtype),
             prev_token=jnp.asarray(st["dec/prev_token"], jnp.int32),
         )
+        if "beam/h" in st:
+            from ..models import beam as beam_mod
+
+            self.beam_state = beam_mod.BeamState(
+                h=jnp.asarray(st["beam/h"], self.dtype),
+                c=jnp.asarray(st["beam/c"], self.dtype),
+                prev_token=jnp.asarray(st["beam/prev_token"], jnp.int32),
+                scores=jnp.asarray(st["beam/scores"], jnp.float32),
+                tokens=jnp.asarray(st["beam/tokens"], jnp.int32),
+                lengths=jnp.asarray(st["beam/lengths"], jnp.int32),
+            )
         self.preproc.load_state_dict(st["preproc"])
         self.mel_buffer = np.asarray(st["mel_buffer"], np.float32).copy()
         self.tokens = [[tuple(t) for t in ts] for ts in st["tokens"]]

@@ -157,3 +157,67 @@ def test_transcribe_batch_beam_wiring(model_setup):
     with pytest.raises(ValueError, match="timestamps"):
         transcribe_batch(params, cfg, vocab, audio, filterbank=fb,
                          window=win, beam_size=2, timestamp_words=True)
+
+
+def test_stream_session_beam(model_setup):
+    """StreamSession(beam_size=K) over chunks == encode_chunk frames fed
+    through beam_decode with carried state; snapshot/resume preserves the
+    beam exactly."""
+    arrays, params, cfg = model_setup
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.models import encoder as enc_mod
+    from nemotron_tpu.streaming.session import StreamSession
+    from nemotron_tpu.utils.text import tokens_to_text
+
+    rng = np.random.default_rng(5)
+    K = 2
+    cc = CacheConfig(att_right_context=6, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+    fb = np.abs(rng.standard_normal((cfg.n_mels, 257))).astype(np.float32)
+    win = np.hanning(400).astype(np.float32)
+
+    sess = StreamSession(params, cfg, vocab, cc, filterbank=fb, window=win,
+                         beam_size=K, max_beam_tokens=64)
+    n = 3 * cc.chunk_samples
+    audio = (rng.standard_normal((1, n)) * 8000).astype(np.int16)
+    inc = sess.process(audio)
+    assert inc == [""]  # beam mode emits no incremental text
+
+    # manual pipeline: same mel -> streaming encoder -> beam_decode
+    from nemotron_tpu.frontend.preprocessor import StreamingPreprocessor
+    from nemotron_tpu.config import PreprocessorConfig
+
+    pre = StreamingPreprocessor(fb, win,
+                                cfg=PreprocessorConfig(n_mels=cfg.n_mels))
+    mel = pre.process(audio)
+    st = enc_mod.init_encoder_state(cfg, cc, 1)
+    ph = enc_mod.precompute_pos_heads(params, cfg, cc)
+    bstate = beam_mod.init_beam_state(cfg, 1, K, 64)
+    ofs = 0
+    from nemotron_tpu.config import MAX_SYMBOLS_PER_STEP
+    while mel.shape[1] - ofs >= cc.chunk_mel_frames:
+        chunk = jnp.asarray(mel[:, ofs : ofs + cc.chunk_mel_frames])
+        enc_out, st = enc_mod.encode_chunk(params, cfg, cc, chunk, st, ph)
+        bstate = beam_mod.beam_decode(params, cfg, enc_out, bstate, K,
+                                      MAX_SYMBOLS_PER_STEP)
+        ofs += cc.shift_mel_frames
+    btok, blen, _ = beam_mod.best_hypothesis(bstate, length_norm=True)
+    want = tokens_to_text(
+        [(int(t), 0) for t in np.asarray(btok)[0, : np.asarray(blen)[0]]],
+        vocab)
+    assert sess.get_transcript(0) == want
+
+    # snapshot -> new session -> resume -> identical beam state
+    sd = sess.state_dict()
+    assert "beam/h" in sd
+    sess2 = StreamSession(params, cfg, vocab, cc, filterbank=fb, window=win,
+                          beam_size=K, max_beam_tokens=64)
+    sess2.load_state_dict(sd)
+    more = (rng.standard_normal((1, cc.chunk_samples)) * 8000).astype(np.int16)
+    sess.process(more)
+    sess2.process(more)
+    assert sess.get_transcript(0) == sess2.get_transcript(0)
+    np.testing.assert_allclose(np.asarray(sess.beam_state.scores),
+                               np.asarray(sess2.beam_state.scores),
+                               atol=1e-6)

@@ -313,3 +313,42 @@ def test_rc_schedule_validation():
     cc3 = CacheConfig(att_right_context=13,
                       att_right_context_by_layer=(13, 6, 1, 0))
     assert cc3.rc_schedule(24) == [13] * 6 + [6] * 6 + [1] * 6 + [0] * 6
+
+
+def test_fuzz_random_geometries_vs_oracle(model_setup, oracle):
+    """Property fuzz: random non-standard cache geometries (R, left context
+    multiple, optional per-layer lookahead pattern) all track the streaming
+    oracle chunk by chunk. Guards the ring index math off the four standard
+    presets."""
+    import dataclasses
+
+    _, params, cfg = model_setup
+    rng = np.random.default_rng(2024)
+    step = jax.jit(enc_mod.encode_chunk, static_argnums=(1, 2))
+
+    for case in range(6):
+        R = int(rng.integers(0, 8))
+        chunk_enc = 1 + R
+        left = chunk_enc * int(rng.integers(2, 5))
+        cc = CacheConfig(att_right_context=R, att_left_context=left,
+                         n_mels=cfg.n_mels)
+        if case >= 4:
+            # random binding per-layer pattern (3 layers in the tiny model)
+            pat = tuple(int(rng.integers(0, R + 1)) for _ in range(3))
+            cc = dataclasses.replace(cc, att_right_context_by_layer=pat)
+        label = (f"case {case}: R={R} left={left} "
+                 f"pat={cc.att_right_context_by_layer}")
+
+        ostream = OracleStream(oracle, cc)
+        state = enc_mod.init_encoder_state(cfg, cc, batch=1)
+        pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc)
+        n_chunks = int(rng.integers(2, 4))
+        for ci in range(n_chunks):
+            mel = rng.standard_normal(
+                (cc.chunk_mel_frames, cfg.n_mels)).astype(np.float32)
+            want = ostream.encode_chunk(mel)
+            got, state = step(params, cfg, cc, jnp.asarray(mel)[None],
+                              state, pos_heads)
+            np.testing.assert_allclose(
+                np.asarray(got)[0], want, atol=5e-5,
+                err_msg=f"{label} chunk {ci}")
