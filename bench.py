@@ -149,15 +149,15 @@ def main() -> int:
 
     # Plan: dense-bf16 baseline, then W8A8 int8-MXU weights + int8 K/V
     # cache rings at larger batches. Measured ladder (head-major ring,
-    # full layer unroll): bf16 512 -> ~98 ms; w8a8+int8kv 768 -> ~112,
-    # 800 -> ~118, 832 -> ~128 vs the 120 ms bar. int8 dot = ~390 TOPS
-    # on v5e.
+    # full layer unroll): bf16 640 -> ~116 ms (704 = 144); w8a8+int8kv
+    # 768 -> ~112, 800 -> ~118, 832 -> ~128 vs the 120 ms bar. int8 dot
+    # = ~390 TOPS on v5e.
     if quick:
         plan = [("bf16", params_bf16, b, cc) for b in candidates]
     else:
         params_w8a8 = P.cast_params(
             P.quantize_model_params(base, mode="w8a8"), dtype)
-        plan = [("bf16", params_bf16, 512, cc),
+        plan = [("bf16", params_bf16, 640, cc),
                 ("w8a8-int8kv", params_w8a8, 768, cc8),
                 ("w8a8-int8kv", params_w8a8, 800, cc8)]
 

@@ -73,6 +73,10 @@ def main() -> int:
             params_by_mode[m] = (
                 P.cast_params(P.quantize_model_params(base, "w8a8"), dtype),
                 cc)
+        elif m == "bf16-int8kv":
+            params_by_mode[m] = (
+                P.cast_params(base, dtype),
+                dataclasses.replace(cc, kv_cache_int8=True))
         elif m == "w8a8-int8kv":
             params_by_mode[m] = (
                 P.cast_params(P.quantize_model_params(base, "w8a8"), dtype),
