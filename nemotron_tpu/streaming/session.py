@@ -26,6 +26,131 @@ from ..utils.text import tokens_to_text
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
+def _chunk_step_jit(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
+                    mel_chunk, enc_state, dec_state, pos_heads):
+    enc_out, enc_state = enc_mod.encode_chunk(params, cfg, cc, mel_chunk,
+                                              enc_state, pos_heads)
+    tokens, dec_state = dec_mod.greedy_decode(params, cfg, enc_out, dec_state)
+    return tokens, enc_state, dec_state
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
+def _chunk_step_masked_jit(params: ModelParams, cfg: ModelConfig,
+                           cc: CacheConfig, mel_chunk, enc_state, dec_state,
+                           pos_heads, step_mask):
+    enc_out, enc_state = enc_mod.encode_chunk(
+        params, cfg, cc, mel_chunk, enc_state, pos_heads, step_mask=step_mask)
+    tokens, dec_state = dec_mod.greedy_decode(params, cfg, enc_out, dec_state,
+                                              step_mask=step_mask)
+    return tokens, enc_state, dec_state
+
+
+# -- ring-layout-pinned variants (the single-device hot path) ---------------
+#
+# Left to its own layout assignment, XLA gives the K/V ring PARAMETERS a
+# layout that makes the one-segment ring write contiguous ({4,2,3,1,0}:
+# heads interleaved inside the window axis) while the 24 attention dots
+# read row-major -- so it inserts a full-ring relayout copy of BOTH rings
+# on every step: 2 x 1.65 GB at B=800 int8 ~= 10 ms/step, 21% of the step
+# as pure "data formatting" (xplane, scripts/profile_step.py). XLA can't
+# see the steady-state serving loop, so it optimizes the single call the
+# wrong way. Pinning the entry/exit layouts to row-major keeps the rings
+# in the layout the dots want; the strided segment write is ~1 ms.
+
+def _ring_pinned_step(cfg: ModelConfig, cc: CacheConfig, masked: bool, dev):
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    rm = Format(Layout(major_to_minor=(0, 1, 2, 3, 4)),
+                SingleDeviceSharding(dev))
+    fmt = enc_mod.EncoderState(k_cache=rm, v_cache=rm, k_scale=None,
+                               v_scale=None, conv_cache=None,
+                               valid_len=None, phase=None)
+    if masked:
+        def f(params, mel_chunk, enc_state, dec_state, pos_heads, step_mask):
+            enc_out, enc_state = enc_mod.encode_chunk(
+                params, cfg, cc, mel_chunk, enc_state, pos_heads,
+                step_mask=step_mask)
+            tokens, dec_state = dec_mod.greedy_decode(
+                params, cfg, enc_out, dec_state, step_mask=step_mask)
+            return tokens, enc_state, dec_state
+
+        in_sh = (None, None, fmt, None, None, None)
+    else:
+        def f(params, mel_chunk, enc_state, dec_state, pos_heads):
+            enc_out, enc_state = enc_mod.encode_chunk(
+                params, cfg, cc, mel_chunk, enc_state, pos_heads)
+            tokens, dec_state = dec_mod.greedy_decode(
+                params, cfg, enc_out, dec_state)
+            return tokens, enc_state, dec_state
+
+        in_sh = (None, None, fmt, None, None)
+    return jax.jit(f, donate_argnums=(2, 3), in_shardings=in_sh,
+                   out_shardings=(None, fmt, None))
+
+
+_pinned_steps: dict = {}
+
+
+def _pinned_for(cfg, cc, masked, enc_state):
+    """The layout-pinned jit for this config IF the state lives on one
+    device (the serving case); None under mesh sharding / abstract args.
+
+    int8 rings are NOT pinned: measured on the v5e, XLA's auto layout
+    ({4,2,3,1,0} entry + read-side relayout) beats pinned row-major for
+    the s8 (4,1)-packed dots (768: 111.9 vs 120.5 ms). The bf16 dots
+    read row-major natively, so pinning removes the relayout copies
+    outright (640 dense: 116.0 -> 112.4 ms).
+
+    DEFAULT OFF (NEMOTRON_TPU_PIN_LAYOUT=1 to enable): executables
+    compiled with layout-pinned entry points fail to DESERIALIZE from
+    the persistent compilation cache on the tunneled axon TPU backend
+    (INVALID_ARGUMENT on cache read), and the failed load wedges the
+    backend client for the rest of the process. In-process use is fine;
+    any flow that may reload the executable from cache in a fresh
+    process is not. Dense 640 fits the latency bar either way
+    (115.7 ms unpinned), so stability wins until the backend fixes
+    executable deserialization."""
+    import os
+
+    from jax.sharding import SingleDeviceSharding
+
+    if os.environ.get("NEMOTRON_TPU_PIN_LAYOUT", "0") != "1":
+        return None
+    if cc.kv_cache_int8:
+        return None
+    sh = getattr(enc_state.k_cache, "sharding", None)
+    if not isinstance(sh, SingleDeviceSharding):
+        return None
+    dev = next(iter(sh.device_set))
+    key = (cfg, cc, masked, dev)
+    if key not in _pinned_steps:
+        _pinned_steps[key] = _ring_pinned_step(cfg, cc, masked, dev)
+    return _pinned_steps[key]
+
+
+def _pin_rings(enc_state, dev):
+    """One-time relayout of freshly initialized rings to the pinned
+    row-major layout. Required before the first pinned call: with buffer
+    DONATION, the output ring aliases the donated input buffer and
+    silently inherits ITS layout, defeating the out_shardings pin (and
+    crashing the second call on the layout mismatch)."""
+    import dataclasses
+
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    want = (0, 1, 2, 3, 4)
+    fmt = getattr(enc_state.k_cache, "format", None)
+    if fmt is not None and fmt.layout.major_to_minor == want:
+        return enc_state
+    rm = Format(Layout(major_to_minor=want), SingleDeviceSharding(dev))
+    return dataclasses.replace(
+        enc_state,
+        k_cache=jax.device_put(enc_state.k_cache, rm),
+        v_cache=jax.device_put(enc_state.v_cache, rm))
+
+
 def chunk_step(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
                mel_chunk, enc_state, dec_state, pos_heads):
     """Fused streaming step: cached encoder + greedy RNN-T decode.
@@ -37,25 +162,30 @@ def chunk_step(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     The state pytrees are DONATED: XLA reuses their buffers for the updated
     caches (the K/V window shift becomes an in-place update instead of an
     alloc+copy of ~7 MB/stream). Callers must rebind the returned state, as
-    all call sites here do.
-    """
-    enc_out, enc_state = enc_mod.encode_chunk(params, cfg, cc, mel_chunk,
-                                              enc_state, pos_heads)
-    tokens, dec_state = dec_mod.greedy_decode(params, cfg, enc_out, dec_state)
-    return tokens, enc_state, dec_state
+    all call sites here do. On a single device the K/V ring entry/exit
+    layouts are pinned row-major (see _ring_pinned_step)."""
+    fn = _pinned_for(cfg, cc, False, enc_state)
+    if fn is not None:
+        dev = next(iter(enc_state.k_cache.sharding.device_set))
+        enc_state = _pin_rings(enc_state, dev)
+        return fn(params, mel_chunk, enc_state, dec_state, pos_heads)
+    return _chunk_step_jit(params, cfg, cc, mel_chunk, enc_state, dec_state,
+                           pos_heads)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
 def chunk_step_masked(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
                       mel_chunk, enc_state, dec_state, pos_heads, step_mask):
     """chunk_step for continuous batching: `step_mask` [S] bool marks which
     streams actually advance; the rest keep caches, decoder state and
     valid_len frozen and emit nothing (their mel rows are padding)."""
-    enc_out, enc_state = enc_mod.encode_chunk(
-        params, cfg, cc, mel_chunk, enc_state, pos_heads, step_mask=step_mask)
-    tokens, dec_state = dec_mod.greedy_decode(params, cfg, enc_out, dec_state,
-                                              step_mask=step_mask)
-    return tokens, enc_state, dec_state
+    fn = _pinned_for(cfg, cc, True, enc_state)
+    if fn is not None:
+        dev = next(iter(enc_state.k_cache.sharding.device_set))
+        enc_state = _pin_rings(enc_state, dev)
+        return fn(params, mel_chunk, enc_state, dec_state, pos_heads,
+                  step_mask)
+    return _chunk_step_masked_jit(params, cfg, cc, mel_chunk, enc_state,
+                                  dec_state, pos_heads, step_mask)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 7, 8),

@@ -102,7 +102,7 @@ def main() -> int:
                 # fresh jit cache per variant (env knob is trace-time)
                 step = jax.jit(
                     lambda p, mel, es, ds, ph, _cc=cc_run: (
-                        sess_mod.chunk_step.__wrapped__(
+                        sess_mod._chunk_step_jit.__wrapped__(
                             p, cfg, _cc, mel, es, ds, ph)),
                     donate_argnums=(2, 3))
                 es = enc_mod.init_encoder_state(cfg, cc_run, B, dtype)
