@@ -32,6 +32,20 @@ from ..ops.rel_attention import (pos_emb_descending, project_pos,
                                  rel_pos_mha, rel_pos_mha_ring,
                                  rel_pos_mha_ring_fused)
 
+_pallas_fallback_warned: set = set()
+
+
+def _warn_pallas_fallback(reason: str) -> None:
+    """One-time stderr note when NEMOTRON_TPU_ATTN=pallas is requested but
+    the configuration forces the XLA attention path (e.g. --rc-by-layer:
+    the fused kernel takes a layer-invariant mask). Fires at trace time."""
+    if reason not in _pallas_fallback_warned:
+        _pallas_fallback_warned.add(reason)
+        import sys
+
+        print(f"note: NEMOTRON_TPU_ATTN=pallas ignored ({reason}); "
+              "using the XLA attention path", file=sys.stderr)
+
 
 def conformer_layer(lp: ConformerLayerParams, x, pos_heads, mask=None,
                     kv_cache=None, conv_cache=None, ring=None,
@@ -298,6 +312,10 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     rcs = cc.rc_schedule(cfg.n_layers)
     use_fused = (attn_impl.startswith("pallas") and B % block_b == 0
                  and rcs is None)
+    if attn_impl.startswith("pallas") and not use_fused:
+        _warn_pallas_fallback(
+            "per-layer right-context schedule set" if rcs is not None
+            else f"batch {B} not divisible by block {block_b}")
     rc_arr = None if rcs is None else jnp.asarray(rcs, jnp.int32)
 
     def body(carry, per_layer):

@@ -461,7 +461,23 @@ class StreamSession:
             c=jnp.asarray(st["dec/c"], self.dtype),
             prev_token=jnp.asarray(st["dec/prev_token"], jnp.int32),
         )
-        if "beam/h" in st:
+        # Beam-state compatibility: a greedy session must not silently adopt
+        # (or drop) a beam snapshot, and a beam session must not resume with
+        # a freshly-reset beam alongside restored encoder/decoder state.
+        has_beam = "beam/h" in st
+        if self.beam_size > 1 and not has_beam:
+            raise ValueError(
+                f"session has beam_size={self.beam_size} but the snapshot "
+                "carries no beam state (saved from a greedy session)")
+        if self.beam_size <= 1 and has_beam:
+            raise ValueError(
+                f"snapshot carries beam state (K={st['beam/h'].shape[1]}) "
+                "but this session decodes greedily (beam_size=1)")
+        if has_beam and st["beam/h"].shape[1] != self.beam_size:
+            raise ValueError(
+                f"snapshot beam width K={st['beam/h'].shape[1]} != session "
+                f"beam_size={self.beam_size}")
+        if has_beam:
             from ..models import beam as beam_mod
 
             self.beam_state = beam_mod.BeamState(

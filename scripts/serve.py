@@ -29,7 +29,15 @@ def main(argv: list[str]) -> int:
         return 1
 
     def opt(name, default, cast):
-        return cast(argv[argv.index(name) + 1]) if name in argv else default
+        if name not in argv:
+            return default
+        raw = argv[argv.index(name) + 1]
+        try:
+            return cast(raw)
+        except ValueError:
+            print(f"error: invalid value for {name}: {raw!r}",
+                  file=sys.stderr)
+            raise SystemExit(1)
 
     mesh_n = opt("--mesh", 0, int)
     if mesh_n > 1:
@@ -64,10 +72,15 @@ def main(argv: list[str]) -> int:
     if rc_pat:
         import dataclasses
 
-        cc = dataclasses.replace(
-            cc, att_right_context_by_layer=tuple(
-                int(v) for v in rc_pat.split(",")))
-        cc.rc_schedule(cfg.n_layers)  # validate early
+        try:
+            cc = dataclasses.replace(
+                cc, att_right_context_by_layer=tuple(
+                    int(v) for v in rc_pat.split(",")))
+            cc.rc_schedule(cfg.n_layers)  # validate early
+        except ValueError as e:
+            print(f"error: bad --rc-by-layer pattern {rc_pat!r}: {e}",
+                  file=sys.stderr)
+            return 1
     audio = read_audio_file(args[1])
 
     mesh = None

@@ -150,8 +150,10 @@ def main() -> int:
         probe_secs = 4 * cc0.chunk_samples / 16000.0 * args.streams
         lo = hi = None   # lo: bias known too low (rate high); hi: too high
         bias = args.blank_bias
+        applied = bias   # the bias actually baked into `base` (and probed)
         rate = None
         for _try in range(10):
+            applied = bias
             base = with_blank_bias(base, bias)
             probe = run_config(base, cfg, cc0, jnp.float32,
                                audio[:, : 4 * cc0.chunk_samples],
@@ -172,6 +174,11 @@ def main() -> int:
                 bias = (lo + hi) / 2.0
             print(f"seed {seed}: emission rate {rate:.1f} tok/s/stream; "
                   f"retrying blank bias {bias:.2f}", file=sys.stderr)
+        # If the search exhausted its tries, `bias` was updated once more
+        # after the last probe but never applied to `base`; fall back to the
+        # bias that actually produced the probed rate so the f32 reference
+        # and every quantized config share the SAME blank bias.
+        bias = applied
         if rate == 0:
             print(f"seed {seed}: model never emits; skipping", file=sys.stderr)
             continue

@@ -221,3 +221,35 @@ def test_stream_session_beam(model_setup):
     np.testing.assert_allclose(np.asarray(sess.beam_state.scores),
                                np.asarray(sess2.beam_state.scores),
                                atol=1e-6)
+
+
+def test_session_snapshot_beam_compat(model_setup):
+    """Snapshot/session beam-width mismatches raise instead of producing an
+    inconsistent resume (greedy session + beam snapshot, beam session +
+    greedy snapshot, K mismatch)."""
+    _arrays, params, cfg = model_setup
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.streaming.session import StreamSession
+
+    rng = np.random.default_rng(7)
+    cc = CacheConfig(att_right_context=6, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    fb = np.abs(rng.standard_normal((cfg.n_mels, 257))).astype(np.float32)
+    win = np.hanning(400).astype(np.float32)
+
+    def make(k):
+        return StreamSession(params, cfg, None, cc, filterbank=fb,
+                             window=win, beam_size=k, max_beam_tokens=32)
+
+    greedy_sd = make(1).state_dict()
+    beam_sd = make(2).state_dict()
+
+    with pytest.raises(ValueError, match="no beam state"):
+        make(2).load_state_dict(greedy_sd)
+    with pytest.raises(ValueError, match="greedily"):
+        make(1).load_state_dict(beam_sd)
+    with pytest.raises(ValueError, match="beam_size=3"):
+        make(3).load_state_dict(beam_sd)
+    # matching widths still round-trip
+    make(2).load_state_dict(beam_sd)
+    make(1).load_state_dict(greedy_sd)
