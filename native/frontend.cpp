@@ -161,57 +161,142 @@ int nemo_frontend_n_frames(void* h, int n_samples) {
     return (int)((avail - f->n_fft) / f->hop + 1);
 }
 
+namespace {
+
+// One stream's full step: append pre-emphasized samples, emit n_frames of
+// log-mel, keep the unconsumed tail. Shared by the lockstep batched entry
+// (uniform advance) and the ragged serving entry (per-slot advance).
+int process_stream(Frontend* f, int s, const int16_t* in, int n_samples,
+                   float* mel_out) {
+    const int n_fft = f->n_fft, hop = f->hop;
+    const int n_mels = f->n_mels, n_freqs = f->n_freqs;
+    auto& buf = f->residue[s];
+    const size_t residue_len = buf.size();
+    const long avail = (long)residue_len + n_samples;
+    const int n_frames =
+        avail < n_fft ? 0 : (int)((avail - n_fft) / hop + 1);
+
+    buf.resize(residue_len + n_samples);
+    // i16 -> f32, pre-emphasis with carry (reference
+    // src/preprocessor.cpp:349-356)
+    float prev = f->last_sample[s];
+    for (int i = 0; i < n_samples; ++i) {
+        float x = (float)in[i] / 32768.0f;
+        buf[residue_len + i] = x - f->preemph * prev;
+        prev = x;
+    }
+    f->last_sample[s] = prev;
+
+    std::vector<float> re(n_fft), im(n_fft), power(n_freqs);
+    for (int t = 0; t < n_frames; ++t) {
+        const float* frame = buf.data() + (size_t)t * hop;
+        for (int i = 0; i < n_fft; ++i) {
+            re[i] = frame[i] * f->window[i];
+            im[i] = 0.0f;
+        }
+        f->fft.run(re.data(), im.data());
+        for (int k = 0; k < n_freqs; ++k)
+            power[k] = re[k] * re[k] + im[k] * im[k];
+        // mel = log(fb @ power + guard)
+        float* row = mel_out + (size_t)t * n_mels;
+        for (int m = 0; m < n_mels; ++m) {
+            const float* fb = f->filterbank.data() + (size_t)m * n_freqs;
+            float acc = 0.0f;
+            for (int k = 0; k < n_freqs; ++k) acc += fb[k] * power[k];
+            row[m] = std::log(acc + f->log_zero_guard);
+        }
+    }
+
+    // keep unconsumed tail (reference src/preprocessor.cpp:388-394)
+    buf.erase(buf.begin(), buf.begin() + (size_t)n_frames * hop);
+    return n_frames;
+}
+
+}  // namespace
+
 // audio: [n_streams, n_samples] s16le. out_mel: [n_streams, n_frames, n_mels]
 // f32 (row-major), n_frames from nemo_frontend_n_frames. Returns n_frames.
 int nemo_frontend_process(void* h, const int16_t* audio, int n_samples,
                           float* out_mel) {
     auto* f = (Frontend*)h;
     const int n_frames = nemo_frontend_n_frames(h, n_samples);
-    const int n_fft = f->n_fft, hop = f->hop;
-    const int n_mels = f->n_mels, n_freqs = f->n_freqs;
-
-    std::vector<float> re(n_fft), im(n_fft), power(n_freqs);
-
     for (int s = 0; s < f->n_streams; ++s) {
-        auto& buf = f->residue[s];
-        const size_t residue_len = buf.size();
-        buf.resize(residue_len + n_samples);
-        // i16 -> f32, pre-emphasis with carry (reference
-        // src/preprocessor.cpp:349-356)
-        const int16_t* in = audio + (size_t)s * n_samples;
-        float prev = f->last_sample[s];
-        for (int i = 0; i < n_samples; ++i) {
-            float x = (float)in[i] / 32768.0f;
-            buf[residue_len + i] = x - f->preemph * prev;
-            prev = x;
-        }
-        f->last_sample[s] = prev;
-
-        float* mel_out = out_mel + (size_t)s * n_frames * n_mels;
-        for (int t = 0; t < n_frames; ++t) {
-            const float* frame = buf.data() + (size_t)t * hop;
-            for (int i = 0; i < n_fft; ++i) {
-                re[i] = frame[i] * f->window[i];
-                im[i] = 0.0f;
-            }
-            f->fft.run(re.data(), im.data());
-            for (int k = 0; k < n_freqs; ++k)
-                power[k] = re[k] * re[k] + im[k] * im[k];
-            // mel = log(fb @ power + guard)
-            float* row = mel_out + (size_t)t * n_mels;
-            for (int m = 0; m < n_mels; ++m) {
-                const float* fb = f->filterbank.data() + (size_t)m * n_freqs;
-                float acc = 0.0f;
-                for (int k = 0; k < n_freqs; ++k) acc += fb[k] * power[k];
-                row[m] = std::log(acc + f->log_zero_guard);
-            }
-        }
-
-        // keep unconsumed tail (reference src/preprocessor.cpp:388-394)
-        const size_t consumed = (size_t)n_frames * hop;
-        buf.erase(buf.begin(), buf.begin() + consumed);
+        int got = process_stream(f, s, audio + (size_t)s * n_samples,
+                                 n_samples,
+                                 out_mel + (size_t)s * n_frames * f->n_mels);
+        if (got != n_frames) return -1;  // uniform-advance invariant broken
     }
     return n_frames;
+}
+
+// --- ragged serving entry points (continuous batching: per-slot rates) -----
+
+// Frames the next ragged process will produce for ONE stream fed n samples
+// (per-stream residue; no uniform-advance assumption).
+int nemo_frontend_n_frames_s(void* h, int stream, int n_samples) {
+    auto* f = (Frontend*)h;
+    if (stream < 0 || stream >= f->n_streams) return -1;
+    long avail = (long)f->residue[stream].size() + n_samples;
+    if (avail < f->n_fft) return 0;
+    return (int)((avail - f->n_fft) / f->hop + 1);
+}
+
+// Reset one stream to the FRESH state (n_fft/2-zero center-pad residue,
+// reference src/preprocessor.cpp:220-222) regardless of other streams'
+// residue lengths -- the admission semantics of the ragged serving engine.
+// (nemo_frontend_reset keeps residue lengths uniform for the lockstep
+// batch; ragged streams have no such invariant.)
+void nemo_frontend_reset_fresh(void* h, int stream) {
+    auto* f = (Frontend*)h;
+    f->last_sample[stream] = 0.0f;
+    f->residue[stream].assign((size_t)f->n_fft / 2, 0.0f);
+}
+
+// Process an arbitrary subset of streams, each with its own sample count:
+//   audio   -- concatenated s16le PCM, stream i's block at offsets[i],
+//              counts[i] samples long;
+//   slots   -- [n_fed] stream indices;
+//   out_mel -- concatenated [sum(frames_i), n_mels] f32 in call order
+//              (size it with nemo_frontend_n_frames_s per slot);
+//   out_frames -- [n_fed] frames produced per slot.
+// Returns the total frame count (or -1 on a bad slot index).
+int nemo_frontend_process_ragged(void* h, const int16_t* audio,
+                                 const long long* offsets,
+                                 const int* slots, const int* counts,
+                                 int n_fed, float* out_mel,
+                                 int* out_frames) {
+    auto* f = (Frontend*)h;
+    long total = 0;
+    for (int i = 0; i < n_fed; ++i) {
+        const int s = slots[i];
+        if (s < 0 || s >= f->n_streams) return -1;
+        int got = process_stream(f, s, audio + offsets[i], counts[i],
+                                 out_mel + total * f->n_mels);
+        out_frames[i] = got;
+        total += got;
+    }
+    return (int)total;
+}
+
+// Per-stream DSP state snapshot (ragged engines checkpoint slot by slot).
+int nemo_frontend_residue_len_s(void* h, int stream) {
+    auto* f = (Frontend*)h;
+    return (int)f->residue[stream].size();
+}
+
+void nemo_frontend_get_state_s(void* h, int stream, float* out_last,
+                               float* out_residue) {
+    auto* f = (Frontend*)h;
+    *out_last = f->last_sample[stream];
+    std::memcpy(out_residue, f->residue[stream].data(),
+                f->residue[stream].size() * sizeof(float));
+}
+
+void nemo_frontend_set_state_s(void* h, int stream, float last,
+                               const float* residue, int residue_len) {
+    auto* f = (Frontend*)h;
+    f->last_sample[stream] = last;
+    f->residue[stream].assign(residue, residue + residue_len);
 }
 
 // --- state snapshot (checkpoint/resume of a streaming session) -------------

@@ -63,6 +63,27 @@ def _load() -> ctypes.CDLL | None:
         lib.nemo_frontend_set_state.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        # ragged serving entry points (per-slot rates)
+        lib.nemo_frontend_n_frames_s.restype = ctypes.c_int
+        lib.nemo_frontend_n_frames_s.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        lib.nemo_frontend_reset_fresh.argtypes = [
+            ctypes.c_void_p, ctypes.c_int]
+        lib.nemo_frontend_process_ragged.restype = ctypes.c_int
+        lib.nemo_frontend_process_ragged.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int)]
+        lib.nemo_frontend_residue_len_s.restype = ctypes.c_int
+        lib.nemo_frontend_residue_len_s.argtypes = [
+            ctypes.c_void_p, ctypes.c_int]
+        lib.nemo_frontend_get_state_s.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float)]
+        lib.nemo_frontend_set_state_s.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -146,3 +167,68 @@ class NativeFrontend:
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
             assert got == n_frames
         return out
+
+    # -- ragged serving entry points (per-slot rates) -----------------------
+
+    def n_frames_for_slot(self, slot: int, n_new_samples: int) -> int:
+        return self._lib.nemo_frontend_n_frames_s(self._handle, slot,
+                                                  n_new_samples)
+
+    def reset_fresh(self, slot: int) -> None:
+        """Reset one slot to the fresh (center-pad) DSP state regardless of
+        other slots' residue lengths (ragged admission semantics)."""
+        self._lib.nemo_frontend_reset_fresh(self._handle, slot)
+
+    def process_ragged(self, audio_by_slot: dict[int, np.ndarray]
+                       ) -> dict[int, np.ndarray]:
+        """Process an arbitrary subset of slots, each with its own sample
+        count, in ONE native call (the serving engine's per-tick host DSP).
+        Returns {slot: mel [frames_i, n_mels] f32}."""
+        if not audio_by_slot:
+            return {}
+        slots = np.fromiter(audio_by_slot.keys(), np.int32)
+        blocks = [np.ascontiguousarray(audio_by_slot[int(s)], "<i2").ravel()
+                  for s in slots]
+        counts = np.asarray([b.shape[0] for b in blocks], np.int32)
+        offsets = np.concatenate(
+            [[0], np.cumsum(counts[:-1])]).astype(np.int64)
+        audio = (np.concatenate(blocks) if blocks
+                 else np.zeros(0, "<i2")).astype("<i2")
+        frames = np.asarray(
+            [self.n_frames_for_slot(int(s), int(c))
+             for s, c in zip(slots, counts)], np.int32)
+        out = np.empty((int(frames.sum()), self.n_mels), np.float32)
+        got_frames = np.zeros(len(slots), np.int32)
+        got = self._lib.nemo_frontend_process_ragged(
+            self._handle,
+            audio.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            len(slots),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            got_frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        assert got == frames.sum() and (got_frames == frames).all()
+        res, ofs = {}, 0
+        for s, f in zip(slots, frames):
+            res[int(s)] = out[ofs:ofs + f]
+            ofs += f
+        return res
+
+    def slot_state_dict(self, slot: int) -> dict:
+        rl = self._lib.nemo_frontend_residue_len_s(self._handle, slot)
+        last = np.zeros(1, np.float32)
+        residue = np.empty(rl, np.float32)
+        self._lib.nemo_frontend_get_state_s(
+            self._handle, slot,
+            last.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            residue.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return {"last_sample": last, "residue": residue[None]}
+
+    def load_slot_state_dict(self, slot: int, state: dict) -> None:
+        residue = np.ascontiguousarray(state["residue"], np.float32).ravel()
+        self._lib.nemo_frontend_set_state_s(
+            self._handle, slot,
+            ctypes.c_float(float(np.asarray(state["last_sample"]).ravel()[0])),
+            residue.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            residue.shape[0])

@@ -25,7 +25,7 @@ NEG_INF = -1e30
 
 
 def rnnt_loss(logits, labels, logit_lengths, label_lengths,
-              blank: int | None = None):
+              blank: int | None = None, delay_penalty: float = 0.0):
     """Negative log-likelihood of the RNN-T lattice, per sequence.
 
     logits: [B, T, U+1, V] joint outputs (unnormalized).
@@ -33,6 +33,14 @@ def rnnt_loss(logits, labels, logit_lengths, label_lengths,
     logit_lengths: [B] valid encoder frames (<= T).
     label_lengths: [B] valid labels (<= U).
     blank: blank token id (default V-1, this model's convention).
+    delay_penalty: lambda > 0 subtracts lambda*t from every label-emission
+        transition inside the lattice DP (the k2 "delay-penalized
+        transducer", near-equivalent to FastEmit): alignment mass is pushed
+        toward the earliest feasible frames, which both cuts streaming
+        emission latency and sharpens greedy decode (a diffusely-aligned
+        model scores blank above every label pointwise and emits nothing).
+        Training-only knob; the returned value is the PENALIZED objective,
+        so report an unpenalized eval loss separately if needed.
 
     Returns loss [B] (mean over batch is the training objective).
     """
@@ -48,6 +56,10 @@ def rnnt_loss(logits, labels, logit_lengths, label_lengths,
     lab = jnp.clip(labels[:, None, :], 0, V - 1)
     lp_emit = jnp.take_along_axis(
         logp[:, :, :U, :], lab[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    if delay_penalty:
+        lp_emit = lp_emit - (
+            jnp.float32(delay_penalty)
+            * jnp.arange(T, dtype=jnp.float32)[None, :, None])
 
     u_idx = jnp.arange(U1)
     valid_u = u_idx[None, :] <= label_lengths[:, None]       # [B, U+1]

@@ -93,7 +93,8 @@ def conformer_layer(lp: ConformerLayerParams, x, pos_heads, mask=None,
 
 
 def encode_batch(params: ModelParams, cfg: ModelConfig, mel,
-                 remat: bool = False, enc_lengths=None):
+                 remat: bool = False, enc_lengths=None,
+                 att_chunk: int | None = None, att_left: int = 70):
     """Full-utterance encoder: mel [B, T, n_mels] -> [B, T', d_model].
 
     The per-layer position projection happens inside the scan body (T varies
@@ -106,7 +107,14 @@ def encode_batch(params: ModelParams, cfg: ModelConfig, mel,
     enc_lengths [B] (in subsampled encoder frames): multi-utterance batches
     mask attention beyond each sequence's length, so padded rows cannot
     contaminate real frames (the reference is strictly batch=1 and has no
-    such mask)."""
+    such mask).
+
+    att_chunk (encoder frames): STREAMING-EQUIVALENT chunked attention for
+    training -- frame i attends to its own chunk [c*C, (c+1)*C) plus the
+    `att_left` frames before the chunk start, exactly the visibility the
+    cache-aware streaming step gives it (NeMo's cache-aware training
+    regime; batch mode is otherwise fully bidirectional, which streaming
+    inference never is). Pass cc.chunk_enc_len to match a latency mode."""
     x = conv_subsampling(params.subsampling, mel)
     Tp = x.shape[1]
     pos = jnp.asarray(pos_emb_descending(Tp, cfg.d_model), dtype=x.dtype)
@@ -116,6 +124,14 @@ def encode_batch(params: ModelParams, cfg: ModelConfig, mel,
         j = jnp.arange(Tp, dtype=jnp.int32)
         invalid = j[None, :] >= enc_lengths[:, None]          # [B, T']
         mask = jnp.where(invalid, jnp.float32(-1e9), 0.0)[:, None, None, :]
+    if att_chunk is not None:
+        i = jnp.arange(Tp, dtype=jnp.int32)
+        start = (i // att_chunk) * att_chunk                  # chunk starts
+        j = jnp.arange(Tp, dtype=jnp.int32)
+        vis = ((j[None, :] < start[:, None] + att_chunk)
+               & (j[None, :] >= start[:, None] - att_left))   # [T', T']
+        cmask = jnp.where(vis, 0.0, jnp.float32(-1e9))[None, None]
+        mask = cmask if mask is None else mask + cmask
 
     def body(h, lp):
         pos_heads = project_pos(lp.attn_pos_w, pos.astype(h.dtype),

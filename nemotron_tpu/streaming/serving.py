@@ -109,7 +109,7 @@ class ServingEngine:
                  vocab: list[str] | None = None,
                  cache_config: CacheConfig | None = None,
                  n_slots: int = 64, mesh=None,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, dsp: str = "auto"):
         self.cfg = cfg
         self.cc = cache_config or CacheConfig(n_mels=cfg.n_mels)
         self.vocab = vocab or []
@@ -139,17 +139,37 @@ class ServingEngine:
 
         fb = np.asarray(params.preprocessor.filterbank)
         win = np.asarray(params.preprocessor.window)
-        # one 1-stream frontend per slot: streams may receive audio at
-        # independent rates (true continuous batching); the batched-lockstep
-        # DSP constraint applies per slot only
-        # numpy backend: per-slot state + framing only -- feed_audio batches
-        # the FFT/mel FLOPs across all fed slots into ONE spectral call
-        # (per-slot DSP measured 2.3 s/tick at 512 slots; batched ~10x less)
-        self.preprocs = [
-            StreamingPreprocessor(fb, win, n_streams=1,
-                                  cfg=PreprocessorConfig(n_mels=cfg.n_mels),
-                                  backend="numpy")
-            for _ in range(n_slots)]
+        # Host DSP backend for the ragged path (slots at independent rates):
+        #   native -- ONE C++ frontend over all slots with a ragged batched
+        #             entry point (native/frontend.cpp
+        #             nemo_frontend_process_ragged): per-tick framing + FFT +
+        #             mel in one call, per-slot residue state in C++;
+        #   numpy  -- per-slot framing, FFT/mel FLOPs batched across fed
+        #             slots into one scipy/BLAS spectral call per tick.
+        # auto = native when the shared library builds/loads.
+        self.native_fe = None
+        self.preprocs: list[StreamingPreprocessor] = []
+        pcfg = PreprocessorConfig(n_mels=cfg.n_mels)
+        if dsp in ("auto", "native"):
+            try:
+                from ..frontend.native import NativeFrontend
+                from ..frontend.preprocessor import pad_window
+
+                self.native_fe = NativeFrontend(
+                    fb.astype(np.float32),
+                    pad_window(win.astype(np.float32), pcfg.n_fft),
+                    n_streams=n_slots, n_fft=pcfg.n_fft,
+                    hop=pcfg.n_window_stride, n_mels=cfg.n_mels,
+                    preemph=pcfg.preemph,
+                    log_zero_guard=pcfg.log_zero_guard)
+            except Exception:
+                if dsp == "native":
+                    raise
+        if self.native_fe is None:
+            self.preprocs = [
+                StreamingPreprocessor(fb, win, n_streams=1, cfg=pcfg,
+                                      backend="numpy")
+                for _ in range(n_slots)]
 
         self.active = np.zeros(n_slots, bool)
         self.mel_buffers = [self._fresh_mel_buffer() for _ in range(n_slots)]
@@ -168,6 +188,25 @@ class ServingEngine:
         # 9-frame zero-seeded overlap (reference src/nemo-stream.cpp:58-60)
         return _MelBuffer(np.zeros(
             (self.cc.pre_encode_cache_size, self.cfg.n_mels), np.float32))
+
+    # -- host DSP backend dispatch -------------------------------------------
+
+    def _dsp_reset(self, slot: int) -> None:
+        if self.native_fe is not None:
+            self.native_fe.reset_fresh(slot)
+        else:
+            self.preprocs[slot].reset()
+
+    def _dsp_state(self, slot: int) -> dict:
+        if self.native_fe is not None:
+            return self.native_fe.slot_state_dict(slot)
+        return self.preprocs[slot].state_dict()
+
+    def _dsp_load_state(self, slot: int, st: dict) -> None:
+        if self.native_fe is not None:
+            self.native_fe.load_slot_state_dict(slot, st)
+        else:
+            self.preprocs[slot].load_state_dict(st)
 
     # -- admission / eviction -------------------------------------------------
 
@@ -197,7 +236,7 @@ class ServingEngine:
         for s in slots:
             s = int(s)
             self.active[s] = True
-            self.preprocs[s].reset()
+            self._dsp_reset(s)
             self.mel_buffers[s] = self._fresh_mel_buffer()
             self.tokens[s] = []
             self.transcripts[s] = ""
@@ -232,7 +271,7 @@ class ServingEngine:
         self.enc_state, self.dec_state = _reset_slot(
             self.enc_state, self.dec_state, jnp.int32(slot),
             jnp.int32(self.cfg.blank_token))
-        self.preprocs[slot].reset()
+        self._dsp_reset(slot)
         self.mel_buffers[slot] = self._fresh_mel_buffer()
         self.tokens[slot] = []
         self.transcripts[slot] = ""
@@ -246,9 +285,18 @@ class ServingEngine:
         """Stage PCM per slot; slots advance at independent rates (true
         continuous batching -- a slot that falls behind simply skips engine
         ticks, its device state frozen via the step mask)."""
+        for slot in audio_by_slot:
+            assert self.active[slot], f"slot {slot} inactive"
+        if self.native_fe is not None:
+            # ONE ragged C++ call: per-slot framing + FFT + mel for every
+            # fed slot (native/frontend.cpp nemo_frontend_process_ragged)
+            mels = self.native_fe.process_ragged(audio_by_slot)
+            for slot, mel in mels.items():
+                if mel.shape[0]:
+                    self.mel_buffers[slot].append(mel)
+            return
         slots, frames_list = [], []
         for slot, audio in audio_by_slot.items():
-            assert self.active[slot], f"slot {slot} inactive"
             frames = self.preprocs[slot].frame_only(
                 np.asarray(audio, np.int16)[None])[0]
             if frames.shape[0]:
@@ -348,7 +396,7 @@ class ServingEngine:
             "slot_phase": self.slot_phase,
         }
         for s in range(self.n_slots):
-            pp = self.preprocs[s].state_dict()
+            pp = self._dsp_state(s)
             flat[f"preproc/last_sample/{s}"] = pp["last_sample"]
             flat[f"preproc/residue/{s}"] = pp["residue"]
             flat[f"mel_buffer/{s}"] = self.mel_buffers[s].compact()
@@ -394,9 +442,9 @@ class ServingEngine:
             _MelBuffer(np.asarray(z[f"mel_buffer/{s}"], np.float32).copy())
             for s in range(self.n_slots)]
         for s in range(self.n_slots):
-            self.preprocs[s].load_state_dict(
-                {"last_sample": z[f"preproc/last_sample/{s}"],
-                 "residue": z[f"preproc/residue/{s}"]})
+            self._dsp_load_state(
+                s, {"last_sample": z[f"preproc/last_sample/{s}"],
+                    "residue": z[f"preproc/residue/{s}"]})
 
     # -- stats -----------------------------------------------------------------
 

@@ -48,15 +48,21 @@ def prediction_network(params: ModelParams, cfg: ModelConfig, labels):
 
 
 def transducer_logits(params: ModelParams, cfg: ModelConfig, mel, labels,
-                      remat: bool = False, enc_lengths=None):
+                      remat: bool = False, enc_lengths=None,
+                      att_chunk: int | None = None):
     """Full-lattice joint logits [B, T, U+1, V] for training.
 
     enc_lengths [B] (encoder frames): masks attention beyond each
     utterance's valid length so padded frames cannot contaminate real ones
     (batch-mode attention is bidirectional; without the mask, loss and
-    gradients silently depend on how much padding the batch carries)."""
+    gradients silently depend on how much padding the batch carries).
+
+    att_chunk: streaming-equivalent chunked attention (encoder frames) --
+    train with the visibility pattern the cache-aware streaming step will
+    give at inference (see encode_batch); pass cc.chunk_enc_len."""
     enc = encode_batch(params, cfg, mel, remat=remat,
-                       enc_lengths=enc_lengths)              # [B, T, D]
+                       enc_lengths=enc_lengths,
+                       att_chunk=att_chunk)                  # [B, T, D]
     dec = prediction_network(params, cfg, labels)           # [B, U+1, H]
     jp = params.joint
     enc_p = joint_project_enc(jp, enc)                      # [B, T, J]
@@ -69,15 +75,18 @@ def transducer_logits(params: ModelParams, cfg: ModelConfig, mel, labels,
 
 
 def loss_fn(params: ModelParams, cfg: ModelConfig, batch,
-            remat: bool = False):
+            remat: bool = False, att_chunk: int | None = None,
+            delay_penalty: float = 0.0):
     """Mean RNN-T loss over a batch dict with keys
     mel [B, Tm, n_mels], labels [B, U], mel_lengths [B] (in encoder
-    frames), label_lengths [B]."""
+    frames), label_lengths [B]. delay_penalty: see losses/rnnt.py."""
     logits = transducer_logits(params, cfg, batch["mel"], batch["labels"],
                                remat=remat,
-                               enc_lengths=batch["mel_lengths"])
+                               enc_lengths=batch["mel_lengths"],
+                               att_chunk=att_chunk)
     losses = rnnt_loss(logits, batch["labels"], batch["mel_lengths"],
-                       batch["label_lengths"], blank=cfg.blank_token)
+                       batch["label_lengths"], blank=cfg.blank_token,
+                       delay_penalty=delay_penalty)
     return jnp.mean(losses)
 
 
@@ -109,18 +118,24 @@ def load_train_state(path: str, params_like, opt_state_like):
     return params, opt_state, int(z["__step"])
 
 
-def make_train_step(cfg: ModelConfig, optimizer, remat: bool = False):
+def make_train_step(cfg: ModelConfig, optimizer, remat: bool = False,
+                    att_chunk: int | None = None,
+                    delay_penalty: float = 0.0):
     """Returns jitted (params, opt_state, batch) -> (params', opt_state',
     loss). Differentiates through the full encoder/prediction/joint; works
     under a mesh via sharded inputs (GSPMD handles the collectives).
-    remat=True checkpoints conformer layers (O(1) activation memory)."""
+    remat=True checkpoints conformer layers (O(1) activation memory);
+    att_chunk trains with streaming-equivalent chunked attention;
+    delay_penalty regularizes for early/sharp streaming emission."""
 
     import optax
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(p, cfg, batch, remat=remat))(params)
+            lambda p: loss_fn(p, cfg, batch, remat=remat,
+                              att_chunk=att_chunk,
+                              delay_penalty=delay_penalty))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

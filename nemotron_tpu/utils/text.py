@@ -25,3 +25,22 @@ def tokens_to_text(tokens: list[tuple[int, int]], vocab: list[str],
         else:
             out.append(piece)
     return "".join(out)
+
+
+def edit_distance(a, b) -> int:
+    """Levenshtein distance between two token sequences (the unit under
+    the reference's transcript-match gate, scripts/compare_outputs.py:
+    word-level edit distance; here tokens play the word role)."""
+    a, b = list(a), list(b)
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i]
+        for j, y in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (x != y)))
+        prev = cur
+    return prev[-1]

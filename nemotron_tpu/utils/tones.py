@@ -1,0 +1,147 @@
+"""Synthetic tone-transcription task: the in-repo trainable ASR dataset.
+
+Purpose (round-3 accuracy evidence): the quantized-config accuracy harness
+(scripts/token_agreement.py) previously could only measure token agreement
+on RANDOM weights, whose near-zero decision margins make int8 perturbations
+flip argmax decisions that trained weights would not. This module gives the
+training stack (nemotron_tpu/training.py) a real, learnable task so the
+same harness can run on weights with genuine margins -- and, because the
+ground-truth labels are known, report true token-error-rate (the WER
+analogue; each token is a "word") per serving config, not just agreement.
+
+The task: an utterance is a sequence of pure tones drawn from a fixed
+inventory of `n_tones` frequencies (log-spaced over the speech band); the
+transcript is the sequence of tone indices (token id == tone index). Tones
+vary in duration, phase, amplitude envelope and noise floor, so the model
+must learn real acoustic segmentation + classification, not a lookup.
+
+No reference counterpart: the reference (m1el/nemotron-speech.cpp) is
+inference-only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SAMPLE_RATE = 16000
+GAP_RANGE = (0.05, 0.09)   # silence after each tone (clean onsets)
+
+
+def tone_frequencies(n_tones: int, lo: float = 180.0,
+                     hi: float = 3600.0) -> np.ndarray:
+    """Log-spaced tone inventory inside the mel filterbank's sensitive band."""
+    return np.geomspace(lo, hi, n_tones).astype(np.float64)
+
+
+def render_tones(labels, durations, rng: np.random.Generator,
+                 n_tones: int, n_samples: int,
+                 noise: float = 0.02, gaps=None) -> np.ndarray:
+    """Render (labels, per-tone durations in seconds) to int16 PCM of
+    exactly n_samples (zero-padded; the tone tail past n_samples is cut).
+
+    Each tone: a 10 ms raised-cosine attack/release envelope and a random
+    amplitude/phase, over a white-noise floor. `gaps` (same length as
+    labels): seconds of silence AFTER each tone -- clean onsets make
+    segmentation learnable without pitch-tracking precision, and repeated
+    labels become acoustically distinguishable."""
+    freqs = tone_frequencies(n_tones)
+    sig = np.zeros(n_samples)
+    pos = 0
+    if gaps is None:
+        gaps = np.zeros(len(labels))
+    for lab, dur, gap in zip(labels, durations, gaps):
+        n = int(dur * SAMPLE_RATE)
+        t = np.arange(n) / SAMPLE_RATE
+        tone = rng.uniform(0.5, 0.9) * np.sin(
+            2 * np.pi * freqs[int(lab)] * t + rng.uniform(0, 2 * np.pi))
+        edge = int(0.010 * SAMPLE_RATE)
+        ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(edge) / edge)
+        tone[:edge] *= ramp
+        tone[-edge:] *= ramp[::-1]
+        end = min(pos + n, n_samples)
+        sig[pos:end] += tone[: end - pos]
+        pos += n + int(gap * SAMPLE_RATE)
+        if pos >= n_samples:
+            break
+    sig += noise * rng.standard_normal(n_samples)
+    return np.clip(sig * 16000, -32767, 32767).astype(np.int16)
+
+
+def enc_frames_of_mel(t: int) -> int:
+    """Mel frames -> encoder frames after the 3 stride-2 causal stages."""
+    for _ in range(3):
+        t = t // 2 + 1
+    return t
+
+
+def make_dataset(n_utts: int, tones_per_utt: int, n_tones: int,
+                 filterbank: np.ndarray, window: np.ndarray,
+                 n_mels: int, seed: int = 0,
+                 dur_range: tuple[float, float] = (0.20, 0.32)) -> dict:
+    """Pre-rendered training pool with STATIC shapes.
+
+    Returns numpy dict {mel [N, Tm, n_mels] f32, labels [N, U] i32,
+    mel_lengths [N] i32 (ENCODER frames, the unit training.loss_fn masks
+    in), label_lengths [N] i32} -- the exact batch layout the training
+    stack consumes. All utterances carry U = tones_per_utt labels; audio
+    length varies with the sampled durations and is zero-padded to the
+    pool maximum, with mel_lengths masking the padding out of the loss.
+    """
+    from ..config import PreprocessorConfig
+    from ..frontend.preprocessor import StreamingPreprocessor
+
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, n_tones, (n_utts, tones_per_utt))
+    durs = rng.uniform(*dur_range, (n_utts, tones_per_utt))
+    gaps = rng.uniform(*GAP_RANGE, (n_utts, tones_per_utt))
+    n_samples = int((dur_range[1] + GAP_RANGE[1]) * tones_per_utt
+                    * SAMPLE_RATE) + 400
+    audio = np.stack([
+        render_tones(labels[i], durs[i], rng, n_tones, n_samples,
+                     gaps=gaps[i])
+        for i in range(n_utts)])
+
+    pre = StreamingPreprocessor(filterbank, window, n_streams=n_utts,
+                                cfg=PreprocessorConfig(n_mels=n_mels))
+    mel = pre.process(audio)                       # [N, Tm, n_mels]
+
+    # per-utterance valid length from the true (un-padded) signal span
+    sig_samples = ((durs + gaps).sum(axis=1) * SAMPLE_RATE).astype(np.int64)
+    mel_valid = np.minimum(sig_samples // 160 + 1, mel.shape[1])
+    enc_len = np.array([enc_frames_of_mel(int(t)) for t in mel_valid])
+
+    return {
+        "mel": np.asarray(mel, np.float32),
+        "labels": labels.astype(np.int32),
+        "mel_lengths": enc_len.astype(np.int32),
+        "label_lengths": np.full(n_utts, tones_per_utt, np.int32),
+    }
+
+
+def make_eval_streams(n_streams: int, seconds: float, n_tones: int,
+                      seed: int = 0,
+                      dur_range: tuple[float, float] = (0.20, 0.32)):
+    """Continuous tone streams for the serving-config accuracy harness.
+
+    Returns (audio [S, N] int16, truths: list of per-stream label lists).
+    Each stream is an unbroken tone sequence filling `seconds`; the truth
+    keeps exactly the tones whose onset falls inside the window (a final
+    tone cut at the boundary stays in the truth -- the latency modes'
+    lookahead sees most of it, and every config faces the same edge).
+    """
+    rng = np.random.default_rng(seed)
+    n = int(seconds * SAMPLE_RATE)
+    audio = np.zeros((n_streams, n), np.int16)
+    truths: list[list[int]] = []
+    for s in range(n_streams):
+        approx = int(seconds / dur_range[0]) + 2
+        labs = rng.integers(0, n_tones, approx)
+        durs = rng.uniform(*dur_range, approx)
+        gaps = rng.uniform(*GAP_RANGE, approx)
+        starts = np.concatenate(
+            [[0.0], np.cumsum(durs + gaps)[:-1]]) * SAMPLE_RATE
+        keep = starts < n
+        audio[s] = render_tones(labs[keep], durs[keep], rng, n_tones, n,
+                                gaps=gaps[keep])
+        truths.append([int(x) for x in labs[keep]])
+    return audio, truths

@@ -17,9 +17,18 @@ directly as token flips. Random weights are a HARSH case: logit margins are
 smaller than for trained weights, so real-weight agreement should only be
 better.
 
+Round 3: `--gguf trained.gguf --tones N` runs the same harness on TRAINED
+weights (scripts/train.py --task tones) over in-distribution tone streams,
+and -- because the tone ground truth is known -- additionally reports true
+token-error-rate (TER, the WER analogue: one token == one word) per
+config. This is the measurement that settles whether the w8a8 headline's
+low agreement on random weights was a zero-margin artifact or a real
+accuracy loss.
+
 Usage:
   python scripts/token_agreement.py [--full] [--seconds 60] [--seeds 2]
                                     [--modes 0,13] [--streams 4] [--json F]
+                                    [--gguf trained.gguf] [--tones N]
 """
 
 from __future__ import annotations
@@ -78,6 +87,70 @@ def run_config(params, cfg, cc, dtype, audio, chunk_samples) -> list[list[int]]:
     return [[t for t, _f in sess.get_tokens(s)] for s in range(S)]
 
 
+def run_seed(args, cfg, results, seed, audio, truths, base, base_bf16,
+             w8a8) -> None:
+    """Evaluate every (latency mode x serving config) on one seed's audio.
+
+    Agreement is vs the dense-f32 decode; when `truths` (ground-truth label
+    sequences, tones eval) is given, each config additionally gets a true
+    token-error-rate  TER = sum(edit) / sum(len(truth))  -- the WER
+    analogue (token == word for the tones task)."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    from nemotron_tpu.config import CacheConfig
+
+    def ter_of(got):
+        dist = sum(levenshtein(g, t) for g, t in zip(got, truths))
+        return dist / max(sum(len(t) for t in truths), 1)
+
+    for mode in (int(m) for m in args.modes.split(",")):
+        cc = CacheConfig(att_right_context=mode, n_mels=cfg.n_mels)
+        cc8 = dataclasses.replace(cc, kv_cache_int8=True)
+        chunk = cc.chunk_samples
+
+        ref = run_config(base, cfg, cc, jnp.float32, audio, chunk)
+        n_ref = sum(len(r) for r in ref)
+        if n_ref == 0:
+            print(f"seed {seed} R={mode}: reference emitted 0 tokens; "
+                  "skipping (vacuous)", file=sys.stderr)
+            continue
+        if truths is not None:
+            rt = ter_of(ref)
+            results.setdefault(f"R{mode}/f32-ref", []).append(
+                {"agreement": 1.0, "ref_tokens": n_ref, "flips": 0,
+                 "ter": round(rt, 4), "seed": seed})
+            print(f"seed {seed} R={mode:2d} {'f32-ref':18s} "
+                  f"TER {rt*100:6.2f}%  ({n_ref} tokens / "
+                  f"{sum(len(t) for t in truths)} truth)", file=sys.stderr)
+        configs = {
+            "dense-bf16": (base_bf16, cc, jnp.bfloat16),
+            "w8a8-bf16": (w8a8, cc, jnp.bfloat16),
+            "w8a8-int8kv-bf16": (w8a8, cc8, jnp.bfloat16),
+        }
+        if args.configs:
+            keep = set(args.configs.split(","))
+            configs = {k: v for k, v in configs.items() if k in keep}
+        for name, (p, ccx, dt) in configs.items():
+            got = run_config(p, cfg, ccx, dt, audio, chunk)
+            dist = sum(levenshtein(g, r) for g, r in zip(got, ref))
+            denom = sum(max(len(g), len(r), 1)
+                        for g, r in zip(got, ref))
+            agr = 1.0 - dist / denom
+            key = f"R{mode}/{name}"
+            rec = {"agreement": round(agr, 4), "ref_tokens": n_ref,
+                   "flips": dist, "seed": seed}
+            extra = ""
+            if truths is not None:
+                rec["ter"] = round(ter_of(got), 4)
+                extra = f"  TER {rec['ter']*100:6.2f}%"
+            results.setdefault(key, []).append(rec)
+            print(f"seed {seed} R={mode:2d} {name:18s} "
+                  f"agreement {agr*100:6.2f}%  "
+                  f"({dist} edits / {n_ref} ref tokens){extra}",
+                  file=sys.stderr)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
@@ -96,6 +169,12 @@ def main() -> int:
                     help="comma list to limit configs (default: all)")
     ap.add_argument("--json", default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--gguf", default=None,
+                    help="TRAINED weights (train.py --task tones --save); "
+                         "skips blank-bias calibration")
+    ap.add_argument("--tones", type=int, default=None,
+                    help="evaluate on tone streams with N tones (must match "
+                         "training); adds ground-truth TER per config")
     args = ap.parse_args()
 
     import dataclasses
@@ -112,7 +191,10 @@ def main() -> int:
     from nemotron_tpu import params as P
     from nemotron_tpu.config import CacheConfig, ModelConfig
 
-    if args.full:
+    trained_host = None
+    if args.gguf:
+        trained_host, cfg, _v = P.load_model(args.gguf, keep_quantized=False)
+    elif args.full:
         cfg = ModelConfig()
     else:
         cfg = ModelConfig(n_mels=32, d_model=128, n_heads=8, d_head=16,
@@ -123,9 +205,28 @@ def main() -> int:
     results = {}
     n = int(args.seconds * 16000)
     for seed in range(args.seeds):
+        truths = None
+        if args.tones is not None:
+            from nemotron_tpu.utils import tones as tones_mod
+
+            audio, truths = tones_mod.make_eval_streams(
+                args.streams, args.seconds, args.tones, seed=1000 + seed)
+        else:
+            audio = np.stack([synth_audio(n, 100 * seed + s)
+                              for s in range(args.streams)])
+        if trained_host is not None:
+            # trained weights: natural emission, no blank-bias calibration;
+            # seeds vary the evaluation audio only
+            host_base = trained_host
+            base = P.cast_params(host_base, jnp.float32)
+            base_bf16 = P.cast_params(host_base, jnp.bfloat16)
+            w8a8 = P.cast_params(
+                P.quantize_model_params(host_base, mode="w8a8"),
+                jnp.bfloat16)
+            run_seed(args, cfg, results, seed, audio, truths, base,
+                     base_bf16, w8a8)
+            continue
         arrays = P.random_weight_arrays(cfg, seed=seed)
-        audio = np.stack([synth_audio(n, 100 * seed + s)
-                          for s in range(args.streams)])
 
         # Calibrate the blank bias to a speech-like emission rate: a bias
         # that silences the model entirely makes every config trivially
@@ -193,47 +294,20 @@ def main() -> int:
         w8a8 = P.cast_params(P.quantize_model_params(host_base, mode="w8a8"),
                              jnp.bfloat16)
 
-        for mode in (int(m) for m in args.modes.split(",")):
-            cc = CacheConfig(att_right_context=mode, n_mels=cfg.n_mels)
-            cc8 = dataclasses.replace(cc, kv_cache_int8=True)
-            chunk = cc.chunk_samples
+        run_seed(args, cfg, results, seed, audio, truths, base, base_bf16,
+                 w8a8)
 
-            ref = run_config(base, cfg, cc, jnp.float32, audio, chunk)
-            n_ref = sum(len(r) for r in ref)
-            if n_ref == 0:
-                print(f"seed {seed} R={mode}: reference emitted 0 tokens; "
-                      "skipping (vacuous)", file=sys.stderr)
-                continue
-            configs = {
-                "dense-bf16": (base_bf16, cc, jnp.bfloat16),
-                "w8a8-bf16": (w8a8, cc, jnp.bfloat16),
-                "w8a8-int8kv-bf16": (w8a8, cc8, jnp.bfloat16),
-            }
-            if args.configs:
-                keep = set(args.configs.split(","))
-                configs = {k: v for k, v in configs.items() if k in keep}
-            for name, (p, ccx, dt) in configs.items():
-                got = run_config(p, cfg, ccx, dt, audio, chunk)
-                dist = sum(levenshtein(g, r) for g, r in zip(got, ref))
-                denom = sum(max(len(g), len(r), 1)
-                            for g, r in zip(got, ref))
-                agr = 1.0 - dist / denom
-                key = f"R{mode}/{name}"
-                results.setdefault(key, []).append(
-                    {"agreement": round(agr, 4), "ref_tokens": n_ref,
-                     "flips": dist, "seed": seed})
-                print(f"seed {seed} R={mode:2d} {name:18s} "
-                      f"agreement {agr*100:6.2f}%  "
-                      f"({dist} edits / {n_ref} ref tokens)",
-                      file=sys.stderr)
-
-    summary = {k: {"agreement_pct": round(
-                       100 * float(np.mean([r["agreement"] for r in v])), 2),
-                   "min_pct": round(
-                       100 * min(r["agreement"] for r in v), 2),
-                   "ref_tokens": sum(r["ref_tokens"] for r in v),
-                   "runs": v}
-               for k, v in results.items()}
+    summary = {}
+    for k, v in results.items():
+        summary[k] = {"agreement_pct": round(
+                          100 * float(np.mean([r["agreement"] for r in v])), 2),
+                      "min_pct": round(
+                          100 * min(r["agreement"] for r in v), 2),
+                      "ref_tokens": sum(r["ref_tokens"] for r in v),
+                      "runs": v}
+        if any("ter" in r for r in v):
+            summary[k]["ter_pct"] = round(
+                100 * float(np.mean([r["ter"] for r in v if "ter" in r])), 2)
     out = json.dumps(summary, indent=1)
     if args.json:
         with open(args.json, "w") as f:

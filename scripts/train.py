@@ -5,12 +5,23 @@ reference engine is inference-only).
     train.py <model.gguf | --random> [--steps N] [--batch B] [--lr LR]
              [--model-parallel M] [--remat] [--save out.gguf]
              [--checkpoint ck.npz] [--resume ck.npz] [--cpu]
+             [--task memorize|tones] [--tones N] [--utt-tones U]
+             [--pool N] [--att-chunks 14,1] [--eval-every N] [--seed S]
 
-Data plumbing is intentionally minimal: without a dataset this runs a
-synthetic memorization task (fixed random batch) to exercise the full
-pipeline -- encoder, prediction network, joint, RNN-T lattice loss, adamw
-update -- sharded over all visible devices. Wire a real (mel, labels)
-iterator in place of `synthetic_batch` for actual fine-tuning.
+Two built-in data plumbings:
+  --task memorize   (default) fixed random batch -- exercises the full
+                    pipeline (encoder, prediction net, joint, lattice loss,
+                    adamw) without a dataset.
+  --task tones      the synthetic tone-transcription dataset
+                    (nemotron_tpu/utils/tones.py): REAL learnable audio ->
+                    labels, used to produce weights with genuine decision
+                    margins for the quantized-config accuracy harness
+                    (scripts/token_agreement.py --gguf ...). Trains with
+                    streaming-equivalent chunked attention, alternating
+                    over the --att-chunks list (NeMo-style multi-latency
+                    training), and reports held-out token-error-rate.
+
+Wire a real (mel, labels) iterator in place of these for actual fine-tuning.
 """
 
 import os
@@ -40,6 +51,36 @@ def synthetic_batch(cfg, batch, mel_frames=57, n_labels=5, seed=0):
     }
 
 
+def ter_on_batch(params, cfg, batch, att_chunk=None) -> float:
+    """Greedy-decode a (device) batch and return token-error-rate vs its
+    labels: sum(edit distance) / sum(label lengths) -- the WER analogue
+    for the tones task (token == word)."""
+    import jax
+
+    from nemotron_tpu.models import decoder as dec_mod
+    from nemotron_tpu.models import encoder as enc_mod
+    from nemotron_tpu.utils.text import edit_distance
+
+    enc = enc_mod.encode_batch(params, cfg, batch["mel"],
+                               enc_lengths=batch["mel_lengths"],
+                               att_chunk=att_chunk)
+    B = enc.shape[0]
+    dec_state = dec_mod.init_decoder_state(cfg, B, enc.dtype)
+    tokens, _ = jax.jit(dec_mod.greedy_decode, static_argnums=1)(
+        params, cfg, enc, dec_state, enc_lengths=batch["mel_lengths"])
+    tokens = np.asarray(tokens)
+    labels = np.asarray(batch["labels"])
+    lens = np.asarray(batch["label_lengths"])
+    dist = tot = 0
+    for i in range(B):
+        hyp = [t for t, _f in dec_mod.tokens_to_list(tokens[i],
+                                                     cfg.blank_token)]
+        ref = labels[i, : lens[i]].tolist()
+        dist += edit_distance(hyp, ref)
+        tot += len(ref)
+    return dist / max(tot, 1)
+
+
 def main(argv: list[str]) -> int:
     def opt_val(name, default, cast):
         return cast(argv[argv.index(name) + 1]) if name in argv else default
@@ -52,37 +93,134 @@ def main(argv: list[str]) -> int:
     batch = opt_val("--batch", 8, int)
     lr = opt_val("--lr", 1e-4, float)
     mp = opt_val("--model-parallel", 1, int)
+    task = opt_val("--task", "memorize", str)
+    seed = opt_val("--seed", 0, int)
 
     import jax
+    import jax.numpy as jnp
     import optax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from nemotron_tpu import params as P
-    from nemotron_tpu.config import ModelConfig
+    from nemotron_tpu.config import CacheConfig, ModelConfig
     from nemotron_tpu.parallel.mesh import (make_mesh, mel_sharding,
                                             param_shardings)
     from nemotron_tpu.training import make_train_step
 
+    size = opt_val("--config", "full", str)
     if argv[1:] and argv[1] == "--random":
-        cfg = ModelConfig()
-        params = P.params_from_arrays(P.random_weight_arrays(cfg), cfg)
+        if size == "tiny":
+            cfg = ModelConfig(n_mels=32, d_model=128, n_heads=8, d_head=16,
+                              d_ff=256, n_layers=4, vocab_size=64,
+                              decoder_dim=64, joint_dim=64,
+                              subsampling_channels=16)
+        elif size == "small":
+            cfg = ModelConfig(n_mels=64, d_model=192, n_heads=8, d_head=24,
+                              d_ff=512, n_layers=6, vocab_size=64,
+                              decoder_dim=128, joint_dim=128,
+                              subsampling_channels=32)
+        elif size == "mid":
+            cfg = ModelConfig(n_mels=80, d_model=512, n_heads=8, d_head=64,
+                              d_ff=2048, n_layers=8, vocab_size=256,
+                              decoder_dim=320, joint_dim=320,
+                              subsampling_channels=64)
+        else:
+            cfg = ModelConfig()
+        arrays = P.random_weight_arrays(cfg, seed=seed)
     elif argv[1:] and not argv[1].startswith("--"):
         params, cfg, _ = P.load_model(argv[1], keep_quantized=False)
+        arrays = None
     else:
         print(__doc__, file=sys.stderr)
         return 1
 
+    pool = val = None
+    att_chunks = [None]
+    if task == "tones":
+        from nemotron_tpu.frontend.preprocessor import mel_filterbank_slaney
+        from nemotron_tpu.utils import tones
+
+        n_tones = opt_val("--tones", 16, int)
+        utt_tones = opt_val("--utt-tones", 10, int)
+        pool_n = opt_val("--pool", 512, int)
+        if n_tones >= cfg.vocab_size - 1:
+            print(f"error: --tones {n_tones} must be < vocab-1", file=sys.stderr)
+            return 1
+        # a REAL mel filterbank (not the random-weights placeholder): the
+        # tones are only separable through a frequency-sensitive frontend,
+        # and the same filterbank ships in the saved GGUF so the accuracy
+        # harness decodes with exactly the trained features
+        fb = mel_filterbank_slaney(cfg.n_mels).astype(np.float32)
+        win = np.hanning(400).astype(np.float32)
+        if arrays is not None:
+            arrays["preprocessor.featurizer.fb"] = fb
+            arrays["preprocessor.featurizer.window"] = win
+        # disk-cache the rendered pool: the numpy render is minutes of CPU
+        # at full pool size and is deterministic in these parameters
+        cache = (f"/tmp/tones_pool_{pool_n}x{utt_tones}of{n_tones}"
+                 f"_m{cfg.n_mels}_s{seed}.npz")
+        if os.path.exists(cache):
+            z = np.load(cache)
+            data = {k: z[k] for k in z.files}
+            print(f"tones pool from cache: {cache}", file=sys.stderr)
+        else:
+            print(f"rendering tones pool: {pool_n} utts x {utt_tones} tones "
+                  f"of {n_tones}", file=sys.stderr)
+            data = tones.make_dataset(pool_n, utt_tones, n_tones, fb, win,
+                                      cfg.n_mels, seed=seed)
+            np.savez(cache, **data)
+        val_n = max(16, pool_n // 16)
+        pool = {k: v[val_n:] for k, v in data.items()}
+        val = {k: v[:val_n] for k, v in data.items()}
+        # streaming-equivalent chunked attention sizes (enc frames/chunk):
+        # default alternates the R=13 and R=0 chunk geometries
+        cc13 = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
+        cc0 = CacheConfig(att_right_context=0, n_mels=cfg.n_mels)
+        default_chunks = f"{cc13.chunk_enc_len},{cc0.chunk_enc_len}"
+        att_chunks = [None if c in ("none", "full") else int(c) for c in
+                      opt_val("--att-chunks", default_chunks, str).split(",")]
+
+    if arrays is not None:
+        params = P.params_from_arrays(arrays, cfg)
+
     n_dev = len(jax.devices())
     mesh = make_mesh(model_parallel=mp if n_dev % max(mp, 1) == 0 else 1)
     params = jax.device_put(params, param_shardings(params, mesh))
-    print(f"devices: {n_dev}, mesh {dict(mesh.shape)}, batch {batch}",
-          file=sys.stderr)
+    print(f"devices: {n_dev}, mesh {dict(mesh.shape)}, batch {batch}, "
+          f"task {task}, att_chunks {att_chunks}", file=sys.stderr)
 
-    opt = optax.adamw(lr)
+    warmup = min(100, max(steps // 10, 1))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=warmup, decay_steps=max(steps, warmup + 1),
+        end_value=lr * 0.1)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
     opt_state = opt.init(params)
-    step = make_train_step(cfg, opt, remat="--remat" in argv)
-    bt = synthetic_batch(cfg, batch)
-    bt = {k: (jax.device_put(v, mel_sharding(mesh)) if v.ndim == 3 else v)
-          for k, v in bt.items()}
+    delay_pen = opt_val("--delay-penalty",
+                        0.05 if task == "tones" else 0.0, float)
+    step_fns = {c: make_train_step(cfg, opt, remat="--remat" in argv,
+                                   att_chunk=c, delay_penalty=delay_pen)
+                for c in att_chunks}
+
+    if task == "tones":
+        pool_dev = {k: jax.device_put(v) for k, v in pool.items()}
+        val_dev = {k: jax.device_put(v) for k, v in val.items()}
+        gather = jax.jit(lambda p, i: {k: v[i] for k, v in p.items()})
+        data_rng = np.random.default_rng(seed + 1)
+        pool_size = pool["labels"].shape[0]
+
+        def next_batch(i):
+            idx = jnp.asarray(
+                data_rng.integers(0, pool_size, batch), jnp.int32)
+            return gather(pool_dev, idx)
+    else:
+        bt = synthetic_batch(cfg, batch)
+        bt = {k: (jax.device_put(v, mel_sharding(mesh)) if v.ndim == 3
+                  else v) for k, v in bt.items()}
+
+        def next_batch(i):
+            return bt
 
     from nemotron_tpu.training import load_train_state, save_train_state
 
@@ -92,10 +230,17 @@ def main(argv: list[str]) -> int:
         params, opt_state, start = load_train_state(ck, params, opt_state)
         print(f"resumed from {ck} at step {start}", file=sys.stderr)
 
+    eval_every = opt_val("--eval-every", max(steps // 10, 1), int)
     for i in range(start, steps):
-        params, opt_state, loss = step(params, opt_state, bt)
-        if i % max(steps // 10, 1) == 0 or i == steps - 1:
-            print(f"step {i:4d}  loss {float(loss):.4f}", file=sys.stderr)
+        fn = step_fns[att_chunks[i % len(att_chunks)]]
+        params, opt_state, loss = fn(params, opt_state, next_batch(i))
+        if i % eval_every == 0 or i == steps - 1:
+            msg = f"step {i:5d}  loss {float(loss):.4f}"
+            if val is not None:
+                ter = ter_on_batch(params, cfg, val_dev,
+                                   att_chunk=att_chunks[0])
+                msg += f"  val TER {ter*100:.2f}%"
+            print(msg, file=sys.stderr)
 
     if "--checkpoint" in argv:
         ck = argv[argv.index("--checkpoint") + 1]

@@ -110,3 +110,53 @@ def test_numpy_backend_forced(fb_win):
     got = sp.process(audio)[0]
     want = OraclePreprocessor(fb, win).process(audio)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_ragged_matches_per_slot(fb_win):
+    """One multi-slot ragged frontend == independent 1-stream frontends fed
+    the same per-slot schedules (arbitrary rates, mid-session resets,
+    per-slot state snapshot round-trip)."""
+    fb, win = fb_win
+    S = 5
+    rng = np.random.default_rng(3)
+    ragged = make_native(fb, win, n_streams=S)
+    solos = [make_native(fb, win, n_streams=1) for _ in range(S)]
+    for s in range(S):
+        ragged.reset_fresh(s)
+
+    got = [[] for _ in range(S)]
+    want = [[] for _ in range(S)]
+    for tick in range(12):
+        fed = {}
+        for s in range(S):
+            if rng.random() < 0.3:
+                continue  # slot skips this tick (ragged rates)
+            n = int(rng.integers(40, 2000))
+            fed[s] = synth(n, seed=100 * tick + s)
+        mels = ragged.process_ragged(fed)
+        for s, audio in fed.items():
+            want_mel = solos[s].process(audio[None])[0]
+            got_mel = mels[s]
+            assert got_mel.shape == want_mel.shape
+            np.testing.assert_array_equal(got_mel, want_mel)
+            got[s].append(got_mel)
+            want[s].append(want_mel)
+        if tick == 5:
+            # mid-session fresh reset of one slot mirrors a new solo
+            ragged.reset_fresh(2)
+            solos[2] = make_native(fb, win, n_streams=1)
+
+    # per-slot state snapshot round-trips bit-exactly
+    for s in range(S):
+        st = ragged.slot_state_dict(s)
+        ragged.load_slot_state_dict(s, st)
+        st2 = ragged.slot_state_dict(s)
+        np.testing.assert_array_equal(st["residue"], st2["residue"])
+        np.testing.assert_array_equal(st["last_sample"], st2["last_sample"])
+    # and transplanting a solo's state into the ragged slot keeps outputs
+    # identical on the next feed
+    ragged.load_slot_state_dict(1, solos[1].state_dict())
+    audio = synth(1777, seed=999)
+    np.testing.assert_array_equal(
+        ragged.process_ragged({1: audio})[1],
+        solos[1].process(audio[None])[0])
