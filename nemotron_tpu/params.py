@@ -476,16 +476,40 @@ def save_model(path: str, params: ModelParams, cfg: ModelConfig,
 # ---------------------------------------------------------------------------
 
 def random_weight_arrays(cfg: ModelConfig, seed: int = 0,
-                         scale: float = 0.05) -> dict[str, np.ndarray]:
+                         scale: float = 0.05,
+                         init: str = "bench") -> dict[str, np.ndarray]:
     """Random weights in the *reference's* name/shape convention
     (docs/TENSOR_SHAPES.md), so they can round-trip through GGUF and feed both
-    the oracle and the JAX model."""
+    the oracle and the JAX model.
+
+    init:
+      'bench'  -- every weight ~ N(0, scale^2): cheap and shape-exact, fine
+                  for kernels/benchmarks/differential tests.
+      'glorot' -- fan-scaled Glorot/Xavier init (std = sqrt(2/(fan_in +
+                  fan_out)), conv fans include the kernel taps) + LSTM
+                  forget-gate bias 1.0. REQUIRED for actual training: the
+                  flat 0.05 is ~10x too small for the subsampling convs
+                  (fan_in 9), which strangles the acoustic pathway --
+                  measured as the tones task pinning at the
+                  uniform-identity loss floor while the prediction-network
+                  shortcut learns instantly."""
     rng = np.random.default_rng(seed)
     D, FF, H, DH = cfg.d_model, cfg.d_ff, cfg.n_heads, cfg.d_head
     V, DD = cfg.vocab_size, cfg.decoder_dim
     K = cfg.kernel_size
 
     def w(*shape):
+        if init == "glorot":
+            if len(shape) == 1:
+                return np.zeros(shape, dtype=np.float32)   # biases
+            if len(shape) == 2:                            # [out, in]
+                fan_in, fan_out = shape[1], shape[0]
+            else:                                          # conv [Co, Ci, *k]
+                rf = int(np.prod(shape[2:]))
+                fan_in, fan_out = shape[1] * rf, shape[0] * rf
+            std = np.sqrt(2.0 / (fan_in + fan_out))
+            return rng.standard_normal(shape, dtype=np.float32) \
+                * np.float32(std)
         return rng.standard_normal(shape, dtype=np.float32) * np.float32(scale)
 
     def ones(*shape):
@@ -546,6 +570,12 @@ def random_weight_arrays(cfg: ModelConfig, seed: int = 0,
         t[f"{dp}.dec_rnn.lstm.weight_hh_l{i}"] = w(4 * DD, DD)
         t[f"{dp}.dec_rnn.lstm.bias_ih_l{i}"] = w(4 * DD)
         t[f"{dp}.dec_rnn.lstm.bias_hh_l{i}"] = w(4 * DD)
+
+    if init == "glorot":
+        for i in (0, 1):
+            # forget-gate bias 1.0 ([i,f,g,o] gate layout, ops/lstm.py):
+            # standard LSTM trainability init
+            t[f"{dp}.dec_rnn.lstm.bias_ih_l{i}"][DD:2 * DD] = 1.0
 
     t["joint.enc.weight"] = w(cfg.joint_dim, D)
     t["joint.enc.bias"] = w(cfg.joint_dim)

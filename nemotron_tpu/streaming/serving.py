@@ -104,6 +104,84 @@ def _reset_slots(enc_state, dec_state, mask, blank_token):
     return enc_state, dec_state
 
 
+class _PcmBuffer:
+    """Per-slot raw-PCM FIFO (device-DSP mode): O(1) appends, compacted
+    only when a full DSP quantum is consumed."""
+
+    __slots__ = ("parts", "count")
+
+    def __init__(self):
+        self.parts: list[np.ndarray] = []
+        self.count = 0
+
+    def append(self, pcm: np.ndarray) -> None:
+        self.parts.append(pcm)
+        self.count += pcm.shape[0]
+
+    def take(self, k: int) -> np.ndarray:
+        if len(self.parts) > 1:
+            self.parts = [np.concatenate(self.parts)]
+        buf = self.parts[0] if self.parts else np.zeros(0, np.int16)
+        out, self.parts = buf[:k], [buf[k:]]
+        self.count -= k
+        return out
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3),
+                   donate_argnums=(5, 6, 7, 8, 9))
+def _device_dsp_tick(params, cfg: ModelConfig, cc: CacheConfig, pcfg,
+                     pcm_i16, front_res, front_last, mel_buf, enc_state,
+                     dec_state, pos_heads, window, filterbank,
+                     dsp_mask, fresh_mask, consume_mask):
+    """One fused ragged tick with ON-DEVICE DSP (the ServingEngine analogue
+    of the lockstep fused tick): scale/pre-emph/frame/rFFT/mel for every
+    DSP-advancing slot, two-offset mel-buffer insert, then ONE masked
+    encoder+decode chunk step for the consuming slots.
+
+    Per-slot raggedness is carried by three masks with STATIC program
+    shape: `dsp_mask` (slot consumes one PCM quantum), `fresh_mask` (first
+    quantum after admission: residue is zero-padded to the steady length,
+    producing one leading artifact frame that is dropped by writing
+    frames[1:] at the fresh offset -- see ServingEngine._RCAP math), and
+    `consume_mask` (slot has a full chunk buffered after the insert).
+    Frozen slots' DSP state, mel buffer, caches and decoder state all pass
+    through unchanged."""
+    from ..frontend.device_frontend import FrontendState, mel_frontend_step
+
+    S = pcm_i16.shape[0]
+    chunk, shift = cc.chunk_mel_frames, cc.shift_mel_frames
+    dtype = mel_buf.dtype
+
+    state = FrontendState(last_sample=front_last, residue=front_res)
+    mel, new_state = mel_frontend_step(pcm_i16, state, window, filterbank,
+                                       pcfg)
+    front_res = jnp.where(dsp_mask[:, None], new_state.residue, front_res)
+    front_last = jnp.where(dsp_mask, new_state.last_sample, front_last)
+
+    mel = mel.astype(dtype)
+    fresh_off = cc.pre_encode_cache_size          # 9-frame zero seed
+    steady_off = chunk - 1                        # invariant: see _RCAP
+    buf_fresh = jax.lax.dynamic_update_slice_in_dim(
+        mel_buf, mel[:, 1:], fresh_off, axis=1)
+    buf_steady = jax.lax.dynamic_update_slice_in_dim(
+        mel_buf, mel, steady_off, axis=1)
+    m3 = (dsp_mask & fresh_mask)[:, None, None]
+    s3 = (dsp_mask & ~fresh_mask)[:, None, None]
+    mel_buf = jnp.where(m3, buf_fresh, jnp.where(s3, buf_steady, mel_buf))
+
+    enc_out, enc_state = enc_mod.encode_chunk(
+        params, cfg, cc, mel_buf[:, :chunk], enc_state, pos_heads,
+        step_mask=consume_mask)
+    tokens, dec_state = dec_mod.greedy_decode(params, cfg, enc_out,
+                                              dec_state,
+                                              step_mask=consume_mask)
+    shifted = jnp.concatenate(
+        [mel_buf[:, shift:],
+         jnp.zeros((S, shift, mel_buf.shape[2]), dtype)], axis=1)
+    mel_buf = jnp.where(consume_mask[:, None, None], shifted, mel_buf)
+    return tokens, front_res, front_last, mel_buf, enc_state, dec_state
+
+
 class ServingEngine:
     def __init__(self, params: ModelParams, cfg: ModelConfig,
                  vocab: list[str] | None = None,
@@ -149,8 +227,43 @@ class ServingEngine:
         # auto = native when the shared library builds/loads.
         self.native_fe = None
         self.preprocs: list[StreamingPreprocessor] = []
+        self.dsp_mode = None
         pcfg = PreprocessorConfig(n_mels=cfg.n_mels)
-        if dsp in ("auto", "native"):
+        self._pcfg = pcfg
+        if dsp == "device":
+            # ON-DEVICE DSP (the lockstep fused tick, masked for ragged
+            # rates): host stages raw i16 PCM per slot and the whole
+            # scale/pre-emph/frame/rFFT/mel chain runs inside the same
+            # program as the encoder+decode step. Per-slot advance is
+            # quantized to one chunk shift of samples; the residue length
+            # is then a CONSTANT (_RCAP) for every slot after its first
+            # quantum, which is what makes the ragged DSP batchable with
+            # static shapes. A fresh slot starts with _RCAP zeros instead
+            # of the n_fft/2 center-pad; its first quantum then yields one
+            # extra leading artifact frame, dropped in _device_dsp_tick --
+            # after that drop, frames and residue are sample-exact with a
+            # solo stream (see test_serving_device_dsp).
+            from ..frontend.device_frontend import (frames_after,
+                                                    residue_after)
+            from ..frontend.preprocessor import pad_window
+
+            self.dsp_mode = "device"
+            self._quantum = self.cc.shift_samples
+            r1 = residue_after(pcfg.initial_pad, self._quantum, pcfg)
+            self._RCAP = residue_after(r1, self._quantum, pcfg)
+            assert residue_after(self._RCAP, self._quantum, pcfg) \
+                == self._RCAP, "quantum has no steady-state residue length"
+            self._F = frames_after(self._RCAP, self._quantum, pcfg)
+            assert self._F == self.cc.shift_mel_frames
+            self._drop = self._F - frames_after(pcfg.initial_pad,
+                                                self._quantum, pcfg)
+            assert self._drop == 1, (
+                "fresh-slot artifact-frame count changed; _device_dsp_tick "
+                "writes mel[:, 1:] at the fresh offset")
+            self._window = jnp.asarray(
+                pad_window(win.astype(np.float32), pcfg.n_fft), jnp.float32)
+            self._filterbank = jnp.asarray(fb, jnp.float32)
+        elif dsp in ("auto", "native"):
             try:
                 from ..frontend.native import NativeFrontend
                 from ..frontend.preprocessor import pad_window
@@ -165,11 +278,31 @@ class ServingEngine:
             except Exception:
                 if dsp == "native":
                     raise
-        if self.native_fe is None:
+        if self.native_fe is None and self.dsp_mode != "device":
             self.preprocs = [
                 StreamingPreprocessor(fb, win, n_streams=1, cfg=pcfg,
                                       backend="numpy")
                 for _ in range(n_slots)]
+
+        if self.dsp_mode == "device":
+            cap = self.cc.chunk_mel_frames + self.cc.shift_mel_frames - 1
+            self.front_res = jnp.zeros((n_slots, self._RCAP), jnp.float32)
+            self.front_last = jnp.zeros((n_slots,), jnp.float32)
+            self.mel_buf_dev = jnp.zeros((n_slots, cap, cfg.n_mels),
+                                         compute_dtype)
+            if mesh is not None:
+                for name in ("front_res", "front_last", "mel_buf_dev"):
+                    arr = getattr(self, name)
+                    setattr(self, name, jax.device_put(
+                        arr, jax.sharding.NamedSharding(
+                            mesh, jax.sharding.PartitionSpec(
+                                "data", *(None,) * (arr.ndim - 1)))))
+            # host-side bookkeeping: per-slot raw-PCM FIFOs, mel fill
+            # levels, and the first-quantum (bootstrap) flag
+            self.pcm_fifos = [_PcmBuffer() for _ in range(n_slots)]
+            self.mel_fill = np.full(n_slots, self.cc.pre_encode_cache_size,
+                                    np.int64)
+            self.fresh = np.ones(n_slots, bool)
 
         self.active = np.zeros(n_slots, bool)
         self.mel_buffers = [self._fresh_mel_buffer() for _ in range(n_slots)]
@@ -192,18 +325,33 @@ class ServingEngine:
     # -- host DSP backend dispatch -------------------------------------------
 
     def _dsp_reset(self, slot: int) -> None:
-        if self.native_fe is not None:
+        if self.dsp_mode == "device":
+            self.front_res = self.front_res.at[slot].set(0.0)
+            self.front_last = self.front_last.at[slot].set(0.0)
+            self.mel_buf_dev = self.mel_buf_dev.at[slot].set(0)
+            self.pcm_fifos[slot] = _PcmBuffer()
+            self.mel_fill[slot] = self.cc.pre_encode_cache_size
+            self.fresh[slot] = True
+        elif self.native_fe is not None:
             self.native_fe.reset_fresh(slot)
         else:
             self.preprocs[slot].reset()
 
     def _dsp_state(self, slot: int) -> dict:
+        if self.dsp_mode == "device":
+            return {"last_sample": np.asarray(self.front_last[slot])[None],
+                    "residue": np.asarray(self.front_res[slot])[None]}
         if self.native_fe is not None:
             return self.native_fe.slot_state_dict(slot)
         return self.preprocs[slot].state_dict()
 
     def _dsp_load_state(self, slot: int, st: dict) -> None:
-        if self.native_fe is not None:
+        if self.dsp_mode == "device":
+            self.front_res = self.front_res.at[slot].set(
+                jnp.asarray(np.asarray(st["residue"], np.float32).ravel()))
+            self.front_last = self.front_last.at[slot].set(
+                float(np.asarray(st["last_sample"]).ravel()[0]))
+        elif self.native_fe is not None:
             self.native_fe.load_slot_state_dict(slot, st)
         else:
             self.preprocs[slot].load_state_dict(st)
@@ -256,6 +404,22 @@ class ServingEngine:
         session-finalize semantics), then evict and return the final
         transcript."""
         assert self.active[slot], f"slot {slot} inactive"
+        if self.dsp_mode == "device":
+            # lockstep finalize semantics (silence-PCM pad, not zero-mel):
+            # drain whole quanta, then pad the FIFO with enough silence for
+            # the tail chunk to complete -- 2 quanta if the slot never got
+            # its bootstrap quantum, else 1 (the device path runs one chunk
+            # behind real time by construction: the bootstrap quantum is
+            # one frame short of a chunk, and that deficit persists).
+            self.step()
+            fifo = self.pcm_fifos[slot]
+            if fifo.count > 0 or not self.fresh[slot]:
+                need = ((2 if self.fresh[slot] else 1) * self._quantum
+                        - fifo.count)
+                if need > 0:
+                    fifo.append(np.zeros(need, np.int16))
+                self.step()
+            return self.remove_stream(slot)
         if self.mel_buffers[slot].count >= self.cc.chunk_mel_frames:
             self.step()  # drain full chunks before padding the tail
         pending = self.mel_buffers[slot].count - self.cc.pre_encode_cache_size
@@ -287,6 +451,12 @@ class ServingEngine:
         ticks, its device state frozen via the step mask)."""
         for slot in audio_by_slot:
             assert self.active[slot], f"slot {slot} inactive"
+        if self.dsp_mode == "device":
+            # stage raw PCM only; all DSP happens inside the fused step
+            for slot, audio in audio_by_slot.items():
+                self.pcm_fifos[slot].append(
+                    np.asarray(audio, np.int16).ravel())
+            return
         if self.native_fe is not None:
             # ONE ragged C++ call: per-slot framing + FFT + mel for every
             # fed slot (native/frontend.cpp nemo_frontend_process_ragged)
@@ -324,6 +494,8 @@ class ServingEngine:
         """Run fused chunk steps while any slot has a full chunk buffered;
         returns new text per slot. Slots without enough mel are masked out
         of the step (state frozen), not fed padding."""
+        if self.dsp_mode == "device":
+            return self._step_device()
         cc = self.cc
         out: dict[int, str] = {}
         ready = self._ready()
@@ -372,6 +544,78 @@ class ServingEngine:
             ready = self._ready()
         return out
 
+    def _step_device(self) -> dict[int, str]:
+        """Device-DSP engine tick(s): each call of the fused program gives
+        every eligible slot ONE PCM quantum (= cc.shift_samples) of DSP and
+        runs ONE masked chunk step for slots whose buffer then holds a full
+        chunk; loops until no slot has a full quantum staged. Host work is
+        FIFO bookkeeping and one [S, quantum] int16 stack -- the DSP FLOPs
+        all run on device inside the same program as the encoder."""
+        cc = self.cc
+        S = self.n_slots
+        out: dict[int, str] = {}
+        while True:
+            dsp = np.array([self.active[s]
+                            and self.pcm_fifos[s].count >= self._quantum
+                            for s in range(S)], bool)
+            if not dsp.any():
+                break
+            fresh = self.fresh & dsp
+            gain = np.where(dsp,
+                            np.where(fresh, self._F - self._drop, self._F),
+                            0)
+            post_fill = self.mel_fill + gain
+            consume = post_fill >= cc.chunk_mel_frames
+            # invariant that pins the program's two static write offsets
+            steady_off = cc.chunk_mel_frames - 1
+            for s in np.flatnonzero(dsp):
+                want = (cc.pre_encode_cache_size if self.fresh[s]
+                        else steady_off)
+                assert self.mel_fill[s] == want, (
+                    f"slot {s} fill {self.mel_fill[s]} != {want}")
+            # ring-phase realign for slots resuming after skipped ticks
+            # (same semantics as the host-DSP path)
+            for s in np.flatnonzero(consume):
+                if self.slot_phase[s] != self.phase_counter:
+                    delta = int((self.phase_counter - self.slot_phase[s])
+                                % self.n_seg)
+                    self.enc_state = enc_mod.realign_ring(
+                        self.enc_state, jnp.int32(s), jnp.int32(delta),
+                        cc.chunk_enc_len)
+                    self.slot_phase[s] = self.phase_counter
+
+            pcm = np.zeros((S, self._quantum), np.int16)
+            for s in np.flatnonzero(dsp):
+                pcm[s] = self.pcm_fifos[s].take(self._quantum)
+            t0 = time.perf_counter()
+            (tokens, self.front_res, self.front_last, self.mel_buf_dev,
+             self.enc_state, self.dec_state) = _device_dsp_tick(
+                self.params, self.cfg, cc, self._pcfg, jnp.asarray(pcm),
+                self.front_res, self.front_last, self.mel_buf_dev,
+                self.enc_state, self.dec_state, self.pos_heads,
+                self._window, self._filterbank, jnp.asarray(dsp),
+                jnp.asarray(fresh), jnp.asarray(consume))
+            tokens = np.asarray(tokens)
+            self.step_times.append(time.perf_counter() - t0)
+
+            self.mel_fill = np.where(consume,
+                                     post_fill - cc.shift_mel_frames,
+                                     post_fill)
+            self.fresh = self.fresh & ~dsp
+            emitted = dec_mod.extract_emitted(
+                tokens, self.cfg.blank_token, self.frame_offsets)
+            for slot, toks in emitted.items():
+                self.tokens[slot].extend(toks)
+                text = tokens_to_text(toks, self.vocab)
+                self.transcripts[slot] += text
+                out[slot] = out.get(slot, "") + text
+            if consume.any():
+                self.frame_offsets[np.flatnonzero(consume)] += \
+                    tokens.shape[1]
+                self.phase_counter = (self.phase_counter + 1) % self.n_seg
+                self.slot_phase[consume] = self.phase_counter
+        return out
+
     # -- checkpoint / resume ---------------------------------------------------
 
     def save(self, path: str) -> None:
@@ -402,6 +646,15 @@ class ServingEngine:
             flat[f"mel_buffer/{s}"] = self.mel_buffers[s].compact()
             flat[f"tokens/{s}"] = np.asarray(
                 self.tokens[s], np.int64).reshape(-1, 2)
+        if self.dsp_mode == "device":
+            flat["devdsp/mel_buf"] = np.asarray(self.mel_buf_dev, np.float32)
+            flat["devdsp/mel_fill"] = self.mel_fill
+            flat["devdsp/fresh"] = self.fresh
+            for s in range(self.n_slots):
+                fifo = self.pcm_fifos[s]
+                flat[f"devdsp/fifo/{s}"] = (
+                    np.concatenate(fifo.parts) if fifo.parts
+                    else np.zeros(0, np.int16))
         np.savez(path, **flat)
 
     def load(self, path: str) -> None:
@@ -445,6 +698,23 @@ class ServingEngine:
             self._dsp_load_state(
                 s, {"last_sample": z[f"preproc/last_sample/{s}"],
                     "residue": z[f"preproc/residue/{s}"]})
+        if self.dsp_mode == "device":
+            assert "devdsp/mel_buf" in z.files, (
+                "snapshot was saved by a host-DSP engine; device-DSP "
+                "resume needs the device mel buffer/fill state")
+            self.mel_buf_dev = jnp.asarray(z["devdsp/mel_buf"], self.dtype)
+            self.mel_fill = z["devdsp/mel_fill"].astype(np.int64)
+            self.fresh = z["devdsp/fresh"].astype(bool)
+            self.pcm_fifos = [_PcmBuffer() for _ in range(self.n_slots)]
+            for s in range(self.n_slots):
+                blk = z[f"devdsp/fifo/{s}"].astype(np.int16)
+                if blk.size:
+                    self.pcm_fifos[s].append(blk)
+            if self.mesh is not None:
+                self.mel_buf_dev = jax.device_put(
+                    self.mel_buf_dev, jax.sharding.NamedSharding(
+                        self.mesh,
+                        jax.sharding.PartitionSpec("data", None, None)))
 
     # -- stats -----------------------------------------------------------------
 

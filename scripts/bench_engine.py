@@ -23,6 +23,7 @@ Usage: python scripts/bench_engine.py [--quick] [--modes lockstep,engine]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -129,14 +130,14 @@ def bench_lockstep_pipelined(cfg, cc, params, n_streams, ticks, dtype,
 
 
 def bench_engine(cfg, cc, params, n_slots, ticks, dtype, kv_int8,
-                 rng) -> dict:
+                 rng, dsp="auto") -> dict:
     import dataclasses
 
     from nemotron_tpu.streaming.serving import ServingEngine
 
     cc_run = dataclasses.replace(cc, kv_cache_int8=kv_int8)
     eng = ServingEngine(params, cfg, None, cc_run, n_slots=n_slots,
-                        compute_dtype=dtype)
+                        compute_dtype=dtype, dsp=dsp)
     eng.add_streams(n_slots)
     n = cc.shift_samples
     audio = (rng.standard_normal((n_slots, n)) * 6000).astype(np.int16)
@@ -207,7 +208,10 @@ def main() -> int:
     for mode in args.modes.split(","):
         fn = {"lockstep": bench_lockstep,
               "lockstep-pipe": bench_lockstep_pipelined,
-              "engine": bench_engine}[mode]
+              "engine": bench_engine,
+              "engine-numpy": functools.partial(bench_engine, dsp="numpy"),
+              "engine-device": functools.partial(bench_engine,
+                                                 dsp="device")}[mode]
         for (qname, params, kv8) in plans:
             for S in slot_list:
                 key = f"{mode}/{qname}/{S}"

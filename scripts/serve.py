@@ -8,6 +8,8 @@ aggregate throughput and latency percentiles.
              [--rc-by-layer 13,6,1,0] [--seconds T] [--cpu]
              [--mesh N]            # shard slots over N (virtual) devices
              [--lockstep]          # fused PCM->tokens LockstepEngine path
+             [--dsp auto|native|numpy|device]   # engine host-DSP backend
+                                   # (device = DSP fused into the step)
 
 Streams are staggered (each starts at a different offset into the audio,
 wrapping around) so the engine exercises admission at different phases.
@@ -125,7 +127,8 @@ def main(argv: list[str]) -> int:
                           "p99": float(np.percentile(t, 99))}}
     else:
         eng = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
-                            mesh=mesh, compute_dtype=jnp.bfloat16)
+                            mesh=mesh, compute_dtype=jnp.bfloat16,
+                            dsp=opt("--dsp", "auto", str))
         slots = eng.add_streams(n_streams)
         t0 = time.perf_counter()
         for _ in range(n_ticks):

@@ -128,7 +128,9 @@ def main(argv: list[str]) -> int:
                               subsampling_channels=64)
         else:
             cfg = ModelConfig()
-        arrays = P.random_weight_arrays(cfg, seed=seed)
+        arrays = P.random_weight_arrays(
+            cfg, seed=seed,
+            init="glorot" if task == "tones" else "bench")
     elif argv[1:] and not argv[1].startswith("--"):
         params, cfg, _ = P.load_model(argv[1], keep_quantized=False)
         arrays = None

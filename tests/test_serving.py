@@ -721,3 +721,133 @@ def test_serve_demo_lockstep(model_setup, tmp_path):
         capture_output=True, text=True, timeout=400)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "aggregate real-time" in r.stderr
+
+
+# -- device-DSP mode (fused on-device frontend, ragged rates) ----------------
+
+
+def make_device_engine(model_setup, cc, n_slots=4, mesh=None):
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    return ServingEngine(params, cfg, vocab, cc, n_slots=n_slots, mesh=mesh,
+                         compute_dtype=jnp.float32, dsp="device")
+
+
+def test_device_dsp_matches_session(model_setup, cc):
+    """dsp='device' (DSP fused into the masked chunk step, PCM in) produces
+    the same final transcripts as the host-frontend solo session, including
+    the finalize flush. The device path intentionally runs one chunk behind
+    real time (its bootstrap quantum is one mel frame short of a chunk), so
+    equality is asserted after finalize, not per tick."""
+    from nemotron_tpu.streaming.session import StreamSession
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    eng = make_device_engine(model_setup, cc, n_slots=3)
+    slots = eng.add_streams(3)
+    n = eng.cc.shift_samples
+    audio = {s: np.concatenate([synth(n, 40 + s) for _ in range(5)])
+             for s in slots}
+    for tick in range(5):
+        eng.feed_audio({s: audio[s][tick * n:(tick + 1) * n]
+                        for s in slots})
+        eng.step()
+    finals = {s: eng.finalize_stream(s) for s in slots}
+
+    for s in slots:
+        sess = StreamSession(params, cfg, vocab, cc)
+        sess.process(audio[s])
+        sess.finalize()
+        assert finals[s].startswith(sess.get_transcript(0)), (
+            s, finals[s], sess.get_transcript(0))
+        # the device finalize decodes one extra silence-padded chunk
+        # (lockstep semantics); the real-audio prefix must match exactly
+
+
+def test_device_dsp_ragged_rates(model_setup, cc):
+    """Slots advancing at different rates (one at half rate, one admitted
+    late) keep exact per-slot semantics: each equals its solo run."""
+    from nemotron_tpu.streaming.session import StreamSession
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    eng = make_device_engine(model_setup, cc, n_slots=4)
+    s_full, s_half = eng.add_streams(2)
+    n = eng.cc.shift_samples
+    full_audio = np.concatenate([synth(n, 60) for _ in range(6)])
+    half_audio = np.concatenate([synth(n, 70) for _ in range(3)])
+    late_audio = np.concatenate([synth(n, 80) for _ in range(3)])
+    s_late = None
+    for tick in range(6):
+        feed = {s_full: full_audio[tick * n:(tick + 1) * n]}
+        if tick % 2 == 0:  # half-rate slot gets audio every other tick
+            feed[s_half] = half_audio[(tick // 2) * n:(tick // 2 + 1) * n]
+        if tick == 3:
+            s_late = eng.add_stream()
+        if s_late is not None and tick >= 3:
+            feed[s_late] = late_audio[(tick - 3) * n:(tick - 2) * n]
+        eng.feed_audio(feed)
+        eng.step()
+    finals = {s: eng.finalize_stream(s)
+              for s in (s_full, s_half, s_late)}
+
+    for s, audio in ((s_full, full_audio), (s_half, half_audio),
+                     (s_late, late_audio)):
+        sess = StreamSession(params, cfg, vocab, cc)
+        sess.process(audio)
+        sess.finalize()
+        assert finals[s].startswith(sess.get_transcript(0)), (
+            s, finals[s], sess.get_transcript(0))
+        assert len(sess.get_transcript(0)) > 0 or len(finals[s]) == 0
+
+
+def test_device_dsp_snapshot_resume(model_setup, cc, tmp_path):
+    """save/load of a device-DSP engine resumes exactly (device frontend
+    state, mel buffer, fills, PCM FIFOs)."""
+    eng = make_device_engine(model_setup, cc, n_slots=3)
+    slots = eng.add_streams(2)
+    n = eng.cc.shift_samples
+    audio = {s: np.concatenate([synth(n, 90 + s) for _ in range(4)])
+             for s in slots}
+    for tick in range(2):
+        eng.feed_audio({s: audio[s][tick * n:(tick + 1) * n]
+                        for s in slots})
+        eng.step()
+    # stage un-processed PCM too (FIFO contents must survive the snapshot)
+    eng.feed_audio({slots[0]: audio[slots[0]][2 * n:2 * n + n // 2]})
+    path = str(tmp_path / "eng.npz")
+    eng.save(path)
+
+    eng2 = make_device_engine(model_setup, cc, n_slots=3)
+    eng2.load(path)
+    for e in (eng, eng2):
+        e.feed_audio({slots[0]: audio[slots[0]][2 * n + n // 2:3 * n],
+                      slots[1]: audio[slots[1]][2 * n:3 * n]})
+        e.step()
+    assert eng.transcripts == eng2.transcripts
+    assert eng.tokens == eng2.tokens
+    np.testing.assert_array_equal(np.asarray(eng.front_res),
+                                  np.asarray(eng2.front_res))
+    np.testing.assert_array_equal(np.asarray(eng.mel_fill), eng2.mel_fill)
+
+
+def test_device_dsp_on_mesh(model_setup, cc):
+    """Device-DSP engine sharded over the 8-device CPU mesh == unsharded."""
+    from nemotron_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() == 8
+    mesh = make_mesh(8)
+    eng_m = make_device_engine(model_setup, cc, n_slots=8, mesh=mesh)
+    eng_1 = make_device_engine(model_setup, cc, n_slots=8, mesh=None)
+    slots = eng_m.add_streams(8)
+    assert eng_1.add_streams(8) == slots
+    n = eng_m.cc.shift_samples
+    for tick in range(3):
+        feed = {s: synth(n, 200 + 10 * tick + s) for s in slots}
+        eng_m.feed_audio(feed)
+        eng_1.feed_audio(feed)
+        out_m = eng_m.step()
+        out_1 = eng_1.step()
+        assert out_m == out_1
+    for s in slots:
+        assert eng_m.tokens[s] == eng_1.tokens[s]
