@@ -146,10 +146,20 @@ void nemo_frontend_free(void* h) { delete (Frontend*)h; }
 
 void nemo_frontend_reset(void* h, int stream) {
     auto* f = (Frontend*)h;
-    if (stream < 0)
-        for (int s = 0; s < f->n_streams; ++s) f->reset_stream(s);
-    else
+    if (stream < 0) {
+        // Global reset = construction state. Must NOT route through
+        // reset_stream: that inherits the shared residue LENGTH from the
+        // other (not-yet-reset) streams, so a mid-session global reset
+        // would keep the steady-state length instead of the fresh
+        // center-pad length -- 2 extra frames on the next process() vs a
+        // freshly constructed frontend (found by TonesSampler reuse).
+        for (int s = 0; s < f->n_streams; ++s) {
+            f->last_sample[s] = 0.0f;
+            f->residue[s].assign((size_t)f->n_fft / 2, 0.0f);
+        }
+    } else {
         f->reset_stream(stream);
+    }
 }
 
 // Number of frames the next process() call will produce given n new samples

@@ -118,6 +118,68 @@ def make_dataset(n_utts: int, tones_per_utt: int, n_tones: int,
     }
 
 
+class TonesSampler:
+    """Fresh-utterance batch sampler: every batch is NEW audio.
+
+    Why this exists (round-3 finding): training on a fixed pre-rendered
+    pool collapses. The RNN-T lattice teacher-forces label prefixes, so
+    with a small pool the prediction network can IDENTIFY the utterance
+    from its first 2-3 labels and recall the rest -- train loss drops to
+    ~(first-token entropy) while the encoder receives no useful gradient
+    and converges to an input-INDEPENDENT function (measured: trained
+    encoder batch-wise std 1.2e-4 vs 0.12 at init; every utterance decodes
+    to the same fixed sequence). With fresh labels every step the
+    unconditional label entropy (U * log n_tones) is a hard floor for any
+    audio-ignoring model, so every nat below it must come through the
+    encoder.
+
+    Same static shapes as `make_dataset` (jit signature stability); mel via
+    the shared StreamingPreprocessor (native C++ DSP when built). One
+    sampler instance is single-threaded -- create one per prefetch worker.
+    """
+
+    def __init__(self, filterbank: np.ndarray, window: np.ndarray,
+                 n_mels: int, n_tones: int, tones_per_utt: int, batch: int,
+                 seed: int = 0,
+                 dur_range: tuple[float, float] = (0.20, 0.32)):
+        from ..config import PreprocessorConfig
+        from ..frontend.preprocessor import StreamingPreprocessor
+
+        self.n_tones = n_tones
+        self.tones_per_utt = tones_per_utt
+        self.batch = batch
+        self.dur_range = dur_range
+        self.n_samples = int((dur_range[1] + GAP_RANGE[1]) * tones_per_utt
+                             * SAMPLE_RATE) + 400
+        self._pre = StreamingPreprocessor(
+            filterbank, window, n_streams=batch,
+            cfg=PreprocessorConfig(n_mels=n_mels))
+        self._seed = seed
+
+    def sample(self, step: int) -> dict:
+        """Deterministic-in-(seed, step) fresh batch, same dict layout as
+        make_dataset."""
+        rng = np.random.default_rng([self._seed, step])
+        B, U = self.batch, self.tones_per_utt
+        labels = rng.integers(0, self.n_tones, (B, U))
+        durs = rng.uniform(*self.dur_range, (B, U))
+        gaps = rng.uniform(*GAP_RANGE, (B, U))
+        audio = np.stack([
+            render_tones(labels[i], durs[i], rng, self.n_tones,
+                         self.n_samples, gaps=gaps[i]) for i in range(B)])
+        self._pre.reset()
+        mel = self._pre.process(audio)
+        sig = ((durs + gaps).sum(axis=1) * SAMPLE_RATE).astype(np.int64)
+        mel_valid = np.minimum(sig // 160 + 1, mel.shape[1])
+        return {
+            "mel": np.asarray(mel, np.float32),
+            "labels": labels.astype(np.int32),
+            "mel_lengths": np.array([enc_frames_of_mel(int(t))
+                                     for t in mel_valid], np.int32),
+            "label_lengths": np.full(B, U, np.int32),
+        }
+
+
 def make_eval_streams(n_streams: int, seconds: float, n_tones: int,
                       seed: int = 0,
                       dur_range: tuple[float, float] = (0.20, 0.32)):

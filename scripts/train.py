@@ -6,7 +6,8 @@ reference engine is inference-only).
              [--model-parallel M] [--remat] [--save out.gguf]
              [--checkpoint ck.npz] [--resume ck.npz] [--cpu]
              [--task memorize|tones] [--tones N] [--utt-tones U]
-             [--pool N] [--att-chunks 14,1] [--eval-every N] [--seed S]
+             [--pool N] [--val N] [--prefetch K]
+             [--att-chunks 14,1] [--eval-every N] [--seed S]
 
 Two built-in data plumbings:
   --task memorize   (default) fixed random batch -- exercises the full
@@ -16,10 +17,15 @@ Two built-in data plumbings:
                     (nemotron_tpu/utils/tones.py): REAL learnable audio ->
                     labels, used to produce weights with genuine decision
                     margins for the quantized-config accuracy harness
-                    (scripts/token_agreement.py --gguf ...). Trains with
-                    streaming-equivalent chunked attention, alternating
-                    over the --att-chunks list (NeMo-style multi-latency
-                    training), and reports held-out token-error-rate.
+                    (scripts/token_agreement.py --gguf ...). FRESH audio is
+                    rendered every step (prefetched host-side); --pool N
+                    switches to a fixed pre-rendered pool, which is only
+                    for overfit/debug -- a reused pool collapses into
+                    prediction-network memorization (see TonesSampler).
+                    Trains with streaming-equivalent chunked attention,
+                    alternating over the --att-chunks list (NeMo-style
+                    multi-latency training), and reports held-out
+                    token-error-rate.
 
 Wire a real (mel, labels) iterator in place of these for actual fine-tuning.
 """
@@ -146,7 +152,12 @@ def main(argv: list[str]) -> int:
 
         n_tones = opt_val("--tones", 16, int)
         utt_tones = opt_val("--utt-tones", 10, int)
-        pool_n = opt_val("--pool", 512, int)
+        # --pool 0 (default) = FRESH audio every step. A fixed pool is kept
+        # only for overfit/debug runs: the lattice teacher-forces label
+        # prefixes, so a reused pool lets the prediction network identify
+        # and recall utterances while the encoder collapses to an
+        # input-independent function (see utils/tones.py TonesSampler).
+        pool_n = opt_val("--pool", 0, int)
         if n_tones >= cfg.vocab_size - 1:
             print(f"error: --tones {n_tones} must be < vocab-1", file=sys.stderr)
             return 1
@@ -159,23 +170,23 @@ def main(argv: list[str]) -> int:
         if arrays is not None:
             arrays["preprocessor.featurizer.fb"] = fb
             arrays["preprocessor.featurizer.window"] = win
-        # disk-cache the rendered pool: the numpy render is minutes of CPU
-        # at full pool size and is deterministic in these parameters
-        cache = (f"/tmp/tones_pool_{pool_n}x{utt_tones}of{n_tones}"
-                 f"_m{cfg.n_mels}_s{seed}.npz")
-        if os.path.exists(cache):
-            z = np.load(cache)
-            data = {k: z[k] for k in z.files}
-            print(f"tones pool from cache: {cache}", file=sys.stderr)
-        else:
-            print(f"rendering tones pool: {pool_n} utts x {utt_tones} tones "
-                  f"of {n_tones}", file=sys.stderr)
-            data = tones.make_dataset(pool_n, utt_tones, n_tones, fb, win,
-                                      cfg.n_mels, seed=seed)
-            np.savez(cache, **data)
-        val_n = max(16, pool_n // 16)
-        pool = {k: v[val_n:] for k, v in data.items()}
-        val = {k: v[:val_n] for k, v in data.items()}
+        val_n = opt_val("--val", 64, int)
+        val = tones.make_dataset(val_n, utt_tones, n_tones, fb, win,
+                                 cfg.n_mels, seed=seed + 999983)
+        if pool_n:
+            # disk-cache the rendered pool (deterministic in its params)
+            cache = (f"/tmp/tones_pool_{pool_n}x{utt_tones}of{n_tones}"
+                     f"_m{cfg.n_mels}_s{seed}.npz")
+            if os.path.exists(cache):
+                z = np.load(cache)
+                pool = {k: z[k] for k in z.files}
+                print(f"tones pool from cache: {cache}", file=sys.stderr)
+            else:
+                print(f"rendering tones pool: {pool_n} utts x {utt_tones} "
+                      f"tones of {n_tones}", file=sys.stderr)
+                pool = tones.make_dataset(pool_n, utt_tones, n_tones, fb,
+                                          win, cfg.n_mels, seed=seed)
+                np.savez(cache, **pool)
         # streaming-equivalent chunked attention sizes (enc frames/chunk):
         # default alternates the R=13 and R=0 chunk geometries
         cc13 = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
@@ -205,7 +216,33 @@ def main(argv: list[str]) -> int:
                                    att_chunk=c, delay_penalty=delay_pen)
                 for c in att_chunks}
 
-    if task == "tones":
+    if task == "tones" and not pool_n:
+        # FRESH regime: double-buffered host prefetch; K workers each own
+        # one (stateful) sampler, worker j%K renders step j. Data is
+        # deterministic in (seed, step) regardless of worker, so --resume
+        # reproduces the exact stream.
+        import concurrent.futures
+
+        val_dev = {k: jax.device_put(v) for k, v in val.items()}
+        K = opt_val("--prefetch", 3, int)
+        execs = [concurrent.futures.ThreadPoolExecutor(1) for _ in range(K)]
+        samplers = [tones.TonesSampler(fb, win, cfg.n_mels, n_tones,
+                                       utt_tones, batch, seed=seed + 1)
+                    for _ in range(K)]
+        pending: dict = {}
+
+        def _ensure(i):
+            for j in range(i, min(i + K, steps)):
+                if j not in pending:
+                    pending[j] = execs[j % K].submit(
+                        samplers[j % K].sample, j)
+
+        def next_batch(i):
+            _ensure(i)
+            b = pending.pop(i).result()
+            _ensure(i + 1)
+            return b
+    elif task == "tones":
         pool_dev = {k: jax.device_put(v) for k, v in pool.items()}
         val_dev = {k: jax.device_put(v) for k, v in val.items()}
         gather = jax.jit(lambda p, i: {k: v[i] for k, v in p.items()})

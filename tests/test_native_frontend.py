@@ -160,3 +160,20 @@ def test_ragged_matches_per_slot(fb_win):
     np.testing.assert_array_equal(
         ragged.process_ragged({1: audio})[1],
         solos[1].process(audio[None])[0])
+
+
+def test_global_reset_equals_fresh(fb_win):
+    """Regression: a global reset() mid-session must restore CONSTRUCTION
+    state. The per-stream reset keeps the shared steady-state residue
+    length (lockstep invariant), but the old global path routed through it
+    and inherited that length from not-yet-reset peers -- 2 extra frames
+    on the next process() vs a fresh frontend."""
+    fb, win = fb_win
+    audio = np.stack([synth(11600, seed=3), synth(11600, seed=4)])
+
+    fe = make_native(fb, win, n_streams=2)
+    first = fe.process(audio)
+    fe.reset()
+    again = fe.process(audio)
+    assert again.shape == first.shape
+    np.testing.assert_allclose(again, first, atol=0, rtol=0)

@@ -209,3 +209,37 @@ def test_loss_invariant_to_mel_padding(model_setup, rng):
     l1 = float(loss_fn(params, cfg, batch(mel1)))
     l2 = float(loss_fn(params, cfg, batch(mel2)))
     np.testing.assert_allclose(l1, l2, rtol=2e-5)
+
+
+def test_tones_sampler_fresh_and_deterministic():
+    """TonesSampler (the anti-memorization training regime): static shapes
+    across steps (jit signature stability), deterministic in (seed, step),
+    and actually FRESH -- different steps yield different labels/audio.
+    Background: training on a fixed pool collapses into prediction-network
+    memorization (the lattice teacher-forces label prefixes), leaving the
+    encoder input-independent; fresh data makes the unconditional label
+    entropy a floor for any audio-ignoring model."""
+    from nemotron_tpu.frontend.preprocessor import mel_filterbank_slaney
+    from nemotron_tpu.utils.tones import TonesSampler
+
+    fb = mel_filterbank_slaney(32).astype(np.float32)
+    win = np.hanning(400).astype(np.float32)
+    s1 = TonesSampler(fb, win, n_mels=32, n_tones=8, tones_per_utt=3,
+                      batch=2, seed=7, dur_range=(0.10, 0.14))
+    s2 = TonesSampler(fb, win, n_mels=32, n_tones=8, tones_per_utt=3,
+                      batch=2, seed=7, dur_range=(0.10, 0.14))
+
+    b0, b1 = s1.sample(0), s1.sample(1)
+    assert b0["mel"].shape == b1["mel"].shape
+    assert b0["labels"].shape == (2, 3)
+    assert not np.array_equal(b0["mel"], b1["mel"])
+
+    # deterministic across instances and across repeated calls (the
+    # stateful preprocessor must be reset per sample): --resume replays
+    # the identical data stream
+    b0b = s2.sample(0)
+    np.testing.assert_array_equal(b0["labels"], b0b["labels"])
+    np.testing.assert_allclose(b0["mel"], b0b["mel"], atol=1e-6)
+    b0c = s1.sample(0)
+    np.testing.assert_allclose(b0["mel"], b0c["mel"], atol=1e-6)
+    np.testing.assert_array_equal(b0["mel_lengths"], b0b["mel_lengths"])
