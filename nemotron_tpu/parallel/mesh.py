@@ -103,6 +103,18 @@ def state_shardings(state, mesh: Mesh,
     return jax.tree_util.tree_map(one, state)
 
 
+def shard_stream_major(tree, mesh: Mesh):
+    """Shard a pytree whose every leaf is stream-major ([S, ...]) over the
+    'data' axis (e.g. BeamState [S, K, ...] leaves -- state_shardings' rank
+    map is for [L, B, ...] encoder caches and would pick the wrong axis)."""
+
+    def one(leaf):
+        spec = ["data"] + [None] * (np.ndim(leaf) - 1)
+        return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(one, tree)
+
+
 def mel_sharding(mesh: Mesh):
     """[S, T, n_mels] mel chunks: shard streams."""
     return NamedSharding(mesh, P("data", None, None))

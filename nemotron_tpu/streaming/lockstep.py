@@ -43,14 +43,15 @@ from ..models import encoder as enc_mod
 from ..utils.text import tokens_to_text
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
-                   donate_argnums=(6, 7, 8, 9))
-def _fused_tick(cfg: ModelConfig, cc: CacheConfig, pcfg: PreprocessorConfig,
+def _dsp_encode(cfg: ModelConfig, cc: CacheConfig, pcfg: PreprocessorConfig,
                 buf_len: int, params, pcm_i16, front: FrontendState,
-                mel_buf, enc_state, dec_state, pos_heads, window, filterbank):
-    """One fused tick. All control flow is static: `buf_len` (mel frames
-    already buffered) and the PCM length determine how many chunk steps this
-    program contains (k = 0 or 1 at steady cadence)."""
+                mel_buf, enc_state, pos_heads, window, filterbank):
+    """Shared tick front half: on-device DSP, mel-ring insert/shift, and
+    the cache-aware encoder for every full chunk. All control flow is
+    static: `buf_len` (mel frames already buffered) and the PCM length
+    determine how many chunk steps the program contains (k = 0 or 1 at
+    steady cadence). Returns (list of enc_out, front, mel_buf, enc_state)
+    for the greedy/beam decode back halves."""
     S = pcm_i16.shape[0]
     mel, front = mel_frontend_step(pcm_i16, front, window, filterbank, pcfg)
     f = mel.shape[1]
@@ -61,25 +62,61 @@ def _fused_tick(cfg: ModelConfig, cc: CacheConfig, pcfg: PreprocessorConfig,
 
     chunk, shift = cc.chunk_mel_frames, cc.shift_mel_frames
     fill = buf_len + f
-    tokens_out = []
+    enc_outs = []
     while fill >= chunk:
-        chunk_mel = mel_buf[:, :chunk]
         enc_out, enc_state = enc_mod.encode_chunk(
-            params, cfg, cc, chunk_mel, enc_state, pos_heads)
-        toks, dec_state = dec_mod.greedy_decode(params, cfg, enc_out,
-                                                dec_state)
-        tokens_out.append(toks)
+            params, cfg, cc, mel_buf[:, :chunk], enc_state, pos_heads)
+        enc_outs.append(enc_out)
         mel_buf = jnp.concatenate(
             [mel_buf[:, shift:],
              jnp.zeros((S, shift, mel_buf.shape[2]), dtype)], axis=1)
         fill -= shift
+    return enc_outs, front, mel_buf, enc_state
 
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
+                   donate_argnums=(6, 7, 8, 9))
+def _fused_tick(cfg: ModelConfig, cc: CacheConfig, pcfg: PreprocessorConfig,
+                buf_len: int, params, pcm_i16, front: FrontendState,
+                mel_buf, enc_state, dec_state, pos_heads, window, filterbank):
+    """One fused greedy tick: DSP + encoder + greedy RNN-T decode."""
+    S = pcm_i16.shape[0]
+    enc_outs, front, mel_buf, enc_state = _dsp_encode(
+        cfg, cc, pcfg, buf_len, params, pcm_i16, front, mel_buf, enc_state,
+        pos_heads, window, filterbank)
+    tokens_out = []
+    for enc_out in enc_outs:
+        toks, dec_state = dec_mod.greedy_decode(params, cfg, enc_out,
+                                                dec_state)
+        tokens_out.append(toks)
     if tokens_out:
         tokens = jnp.stack(tokens_out)          # [k, S, valid_out, MAX]
     else:
         tokens = jnp.zeros((0, S, cc.valid_out_len, MAX_SYMBOLS_PER_STEP),
                            jnp.int32)
     return tokens, front, mel_buf, enc_state, dec_state
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5),
+                   donate_argnums=(8, 9, 10, 11))
+def _fused_tick_beam(cfg: ModelConfig, cc: CacheConfig,
+                     pcfg: PreprocessorConfig, buf_len: int,
+                     beam_size: int, expansions: int, params, pcm_i16,
+                     front: FrontendState, mel_buf, enc_state, beam_state,
+                     pos_heads, window, filterbank):
+    """One fused BEAM tick: same DSP/encoder front half, then the
+    on-device batched beam search (models/beam.py) chained over the tick's
+    chunks. No token tensor leaves the device -- transcripts are fetched
+    lazily from the beam state (LockstepEngine.refresh_transcripts)."""
+    from ..models import beam as beam_mod
+
+    enc_outs, front, mel_buf, enc_state = _dsp_encode(
+        cfg, cc, pcfg, buf_len, params, pcm_i16, front, mel_buf, enc_state,
+        pos_heads, window, filterbank)
+    for enc_out in enc_outs:
+        beam_state = beam_mod.beam_decode(params, cfg, enc_out, beam_state,
+                                          beam_size, expansions)
+    return front, mel_buf, enc_state, beam_state
 
 
 class LockstepEngine:
@@ -93,7 +130,16 @@ class LockstepEngine:
                  vocab: list[str] | None = None,
                  cache_config: CacheConfig | None = None,
                  n_streams: int = 256,
-                 compute_dtype=jnp.bfloat16, mesh=None):
+                 compute_dtype=jnp.bfloat16, mesh=None,
+                 beam_size: int = 1, beam_expansions: int | None = None,
+                 max_beam_tokens: int = 4096):
+        """beam_size > 1 switches every tick to the fused on-device beam
+        search (accuracy-sensitive decode at serving scale -- capability
+        beyond both the greedy-only reference and the greedy engines).
+        Beam transcripts are REVISABLE (the best hypothesis can change
+        between ticks), so tick() returns {} and transcripts are fetched
+        lazily: refresh_transcripts() / finalize(). Token timestamps are
+        not attributed in beam mode (frame index 0), as in StreamSession."""
         from ..params import cast_params
 
         self.cfg = cfg
@@ -103,6 +149,11 @@ class LockstepEngine:
         self.n_streams = n_streams
         self.dtype = compute_dtype
         self.mesh = mesh
+        self.beam_size = beam_size
+        self.beam_expansions = (beam_expansions
+                                if beam_expansions is not None
+                                else MAX_SYMBOLS_PER_STEP)
+        self.max_beam_tokens = max_beam_tokens
 
         self.params = cast_params(params, compute_dtype)
         self.pos_heads = enc_mod.precompute_pos_heads(
@@ -124,6 +175,13 @@ class LockstepEngine:
         cfg, cc, S = self.cfg, self.cc, self.n_streams
         self.enc_state = enc_mod.init_encoder_state(cfg, cc, S, self.dtype)
         self.dec_state = dec_mod.init_decoder_state(cfg, S, self.dtype)
+        self.beam_state = None
+        if self.beam_size > 1:
+            from ..models import beam as beam_mod
+
+            self.beam_state = beam_mod.init_beam_state(
+                cfg, S, self.beam_size, self.max_beam_tokens, self.dtype)
+        self._beam_dirty = False
         self.front = init_frontend_state(S, self.pcfg)
         # 9-frame zero-seeded overlap (reference src/nemo-stream.cpp:58-60)
         cap = cc.chunk_mel_frames + cc.shift_mel_frames + 1
@@ -134,6 +192,11 @@ class LockstepEngine:
 
             self.enc_state = shard_state(self.enc_state, self.mesh)
             self.dec_state = shard_state(self.dec_state, self.mesh)
+            if self.beam_state is not None:
+                from ..parallel.mesh import shard_stream_major
+
+                self.beam_state = shard_stream_major(self.beam_state,
+                                                     self.mesh)
             self.front = shard_state(self.front, self.mesh)
             self.mel_buf = jax.device_put(
                 self.mel_buf,
@@ -166,12 +229,24 @@ class LockstepEngine:
             f" ({self.buf_len}+{f} > {cap}); feed at most ~shift_samples"
             " per tick")
 
-        tokens, self.front, self.mel_buf, self.enc_state, self.dec_state = \
-            _fused_tick(self.cfg, self.cc, self.pcfg, self.buf_len,
-                        self.params, jnp.asarray(pcm_i16, jnp.int16),
-                        self.front, self.mel_buf, self.enc_state,
-                        self.dec_state, self.pos_heads, self.window,
-                        self.filterbank)
+        if self.beam_state is not None:
+            (self.front, self.mel_buf, self.enc_state,
+             self.beam_state) = _fused_tick_beam(
+                self.cfg, self.cc, self.pcfg, self.buf_len,
+                self.beam_size, self.beam_expansions, self.params,
+                jnp.asarray(pcm_i16, jnp.int16), self.front, self.mel_buf,
+                self.enc_state, self.beam_state, self.pos_heads,
+                self.window, self.filterbank)
+            tokens = None
+            self._beam_dirty = True
+        else:
+            (tokens, self.front, self.mel_buf, self.enc_state,
+             self.dec_state) = _fused_tick(
+                self.cfg, self.cc, self.pcfg, self.buf_len,
+                self.params, jnp.asarray(pcm_i16, jnp.int16),
+                self.front, self.mel_buf, self.enc_state,
+                self.dec_state, self.pos_heads, self.window,
+                self.filterbank)
         k = self._chunks_in(self.buf_len + f)
         self.buf_len = self.buf_len + f - k * self.cc.shift_mel_frames
         self.total_chunks += k
@@ -182,6 +257,8 @@ class LockstepEngine:
     def _collect(self, tokens, base: int) -> dict[int, str]:
         """Materialize a tick's tokens and fold them into transcripts."""
         out: dict[int, str] = {}
+        if tokens is None:     # beam mode: transcripts fetched lazily
+            return out
         tokens = np.asarray(tokens)
         for i in range(tokens.shape[0]):
             emitted = dec_mod.extract_emitted(
@@ -217,6 +294,25 @@ class LockstepEngine:
         prev, self._pending = self._pending, None
         return self._collect(*prev)
 
+    def refresh_transcripts(self) -> list[str]:
+        """Beam mode: rewrite transcripts/tokens from the CURRENT best
+        hypothesis (length-normalized selection, the serving default --
+        see models/beam.py best_hypothesis). ONE device call + one [S, U]
+        download, only when the beam advanced since the last refresh.
+        Greedy mode: transcripts are already incremental; no-op."""
+        if self.beam_state is not None and self._beam_dirty:
+            from ..models import beam as beam_mod
+
+            btok, blen, _ = beam_mod.best_hypothesis(self.beam_state,
+                                                     length_norm=True)
+            btok, blen = np.asarray(btok), np.asarray(blen)
+            for s in range(self.n_streams):
+                toks = [(int(t), 0) for t in btok[s, : blen[s]]]
+                self.tokens[s] = toks
+                self.transcripts[s] = tokens_to_text(toks, self.vocab)
+            self._beam_dirty = False
+        return list(self.transcripts)
+
     # -- checkpoint / resume --------------------------------------------------
 
     def save(self, path: str) -> None:
@@ -242,6 +338,11 @@ class LockstepEngine:
             "total_chunks": np.int64(self.total_chunks),
             "transcripts": np.asarray(self.transcripts, dtype=object),
         }
+        if self.beam_state is not None:
+            self.refresh_transcripts()
+            flat["transcripts"] = np.asarray(self.transcripts, dtype=object)
+            for k in ("h", "c", "prev_token", "scores", "tokens", "lengths"):
+                flat[f"beam/{k}"] = np.asarray(getattr(self.beam_state, k))
         for s in range(self.n_streams):
             flat[f"tokens/{s}"] = np.asarray(
                 self.tokens[s], np.int64).reshape(-1, 2)
@@ -264,6 +365,27 @@ class LockstepEngine:
             h=jnp.asarray(z["dec/h"], self.dtype),
             c=jnp.asarray(z["dec/c"], self.dtype),
             prev_token=jnp.asarray(z["dec/prev_token"], jnp.int32))
+        has_beam = "beam/h" in z.files
+        if (self.beam_state is not None) != has_beam:
+            raise ValueError(
+                "snapshot/engine beam-mode mismatch: snapshot "
+                f"{'carries' if has_beam else 'has no'} beam state, engine "
+                f"beam_size={self.beam_size}")
+        if has_beam:
+            from ..models import beam as beam_mod
+
+            if z["beam/h"].shape[1] != self.beam_size:
+                raise ValueError(
+                    f"snapshot beam width K={z['beam/h'].shape[1]} != "
+                    f"engine beam_size={self.beam_size}")
+            self.beam_state = beam_mod.BeamState(
+                h=jnp.asarray(z["beam/h"], self.dtype),
+                c=jnp.asarray(z["beam/c"], self.dtype),
+                prev_token=jnp.asarray(z["beam/prev_token"], jnp.int32),
+                scores=jnp.asarray(z["beam/scores"], jnp.float32),
+                tokens=jnp.asarray(z["beam/tokens"], jnp.int32),
+                lengths=jnp.asarray(z["beam/lengths"], jnp.int32))
+            self._beam_dirty = True
         self.front = FrontendState(
             last_sample=jnp.asarray(z["front/last_sample"], jnp.float32),
             residue=jnp.asarray(z["front/residue"], jnp.float32))
@@ -277,11 +399,14 @@ class LockstepEngine:
             for s in range(self.n_streams)]
         self._pending = None
         if self.mesh is not None:
-            from ..parallel.mesh import shard_state
+            from ..parallel.mesh import shard_state, shard_stream_major
 
             self.enc_state = shard_state(self.enc_state, self.mesh)
             self.dec_state = shard_state(self.dec_state, self.mesh)
             self.front = shard_state(self.front, self.mesh)
+            if self.beam_state is not None:
+                self.beam_state = shard_stream_major(self.beam_state,
+                                                     self.mesh)
 
     def finalize(self) -> list[str]:
         """Flush pending (non-overlap) mel frames with one zero-padded
@@ -294,4 +419,4 @@ class LockstepEngine:
             pad = np.zeros((self.n_streams,
                             max(need, 0) + self.pcfg.n_fft), np.int16)
             self.tick(pad)
-        return list(self.transcripts)
+        return self.refresh_transcripts()

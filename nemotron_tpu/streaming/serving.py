@@ -30,7 +30,7 @@ from ..models import encoder as enc_mod
 from ..params import ModelParams
 from ..frontend.preprocessor import StreamingPreprocessor
 from ..utils.text import tokens_to_text
-from .session import chunk_step_masked
+from .session import chunk_step_masked, chunk_step_masked_beam
 
 
 class _MelBuffer:
@@ -104,6 +104,25 @@ def _reset_slots(enc_state, dec_state, mask, blank_token):
     return enc_state, dec_state
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _reset_beam_slots(beam_state, mask, blank_token):
+    """Reset every masked slot's beam to the fresh-stream state (hypothesis
+    0 live at score 0, the rest empty) in one device call."""
+    from ..models.beam import NEG_INF, BeamState
+
+    K = beam_state.scores.shape[1]
+    fresh_scores = jnp.full((K,), NEG_INF, jnp.float32).at[0].set(0.0)
+    m2 = mask[:, None]
+    return BeamState(
+        h=jnp.where(mask[:, None, None, None], 0, beam_state.h),
+        c=jnp.where(mask[:, None, None, None], 0, beam_state.c),
+        prev_token=jnp.where(m2, blank_token, beam_state.prev_token),
+        scores=jnp.where(m2, fresh_scores[None], beam_state.scores),
+        tokens=jnp.where(mask[:, None, None], blank_token,
+                         beam_state.tokens),
+        lengths=jnp.where(m2, 0, beam_state.lengths))
+
+
 class _PcmBuffer:
     """Per-slot raw-PCM FIFO (device-DSP mode): O(1) appends, compacted
     only when a full DSP quantum is consumed."""
@@ -127,6 +146,45 @@ class _PcmBuffer:
         return out
 
 
+def _device_dsp_front(cc: CacheConfig, pcfg, pcm_i16, front_res, front_last,
+                      mel_buf, window, filterbank, dsp_mask, fresh_mask):
+    """Shared front half of the fused ragged device-DSP tick:
+    scale/pre-emph/frame/rFFT/mel for every DSP-advancing slot and the
+    two-offset masked mel-buffer insert. Frozen slots' DSP state and mel
+    buffer pass through unchanged. Returns (front_res, front_last,
+    mel_buf)."""
+    from ..frontend.device_frontend import FrontendState, mel_frontend_step
+
+    chunk = cc.chunk_mel_frames
+    dtype = mel_buf.dtype
+
+    state = FrontendState(last_sample=front_last, residue=front_res)
+    mel, new_state = mel_frontend_step(pcm_i16, state, window, filterbank,
+                                       pcfg)
+    front_res = jnp.where(dsp_mask[:, None], new_state.residue, front_res)
+    front_last = jnp.where(dsp_mask, new_state.last_sample, front_last)
+
+    mel = mel.astype(dtype)
+    fresh_off = cc.pre_encode_cache_size          # 9-frame zero seed
+    steady_off = chunk - 1                        # invariant: see _RCAP
+    buf_fresh = jax.lax.dynamic_update_slice_in_dim(
+        mel_buf, mel[:, 1:], fresh_off, axis=1)
+    buf_steady = jax.lax.dynamic_update_slice_in_dim(
+        mel_buf, mel, steady_off, axis=1)
+    m3 = (dsp_mask & fresh_mask)[:, None, None]
+    s3 = (dsp_mask & ~fresh_mask)[:, None, None]
+    mel_buf = jnp.where(m3, buf_fresh, jnp.where(s3, buf_steady, mel_buf))
+    return front_res, front_last, mel_buf
+
+
+def _mel_buf_shift(cc: CacheConfig, mel_buf, consume_mask):
+    S, _, M = mel_buf.shape
+    shifted = jnp.concatenate(
+        [mel_buf[:, cc.shift_mel_frames:],
+         jnp.zeros((S, cc.shift_mel_frames, M), mel_buf.dtype)], axis=1)
+    return jnp.where(consume_mask[:, None, None], shifted, mel_buf)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3),
                    donate_argnums=(5, 6, 7, 8, 9))
 def _device_dsp_tick(params, cfg: ModelConfig, cc: CacheConfig, pcfg,
@@ -146,40 +204,45 @@ def _device_dsp_tick(params, cfg: ModelConfig, cc: CacheConfig, pcfg,
     `consume_mask` (slot has a full chunk buffered after the insert).
     Frozen slots' DSP state, mel buffer, caches and decoder state all pass
     through unchanged."""
-    from ..frontend.device_frontend import FrontendState, mel_frontend_step
-
-    S = pcm_i16.shape[0]
-    chunk, shift = cc.chunk_mel_frames, cc.shift_mel_frames
-    dtype = mel_buf.dtype
-
-    state = FrontendState(last_sample=front_last, residue=front_res)
-    mel, new_state = mel_frontend_step(pcm_i16, state, window, filterbank,
-                                       pcfg)
-    front_res = jnp.where(dsp_mask[:, None], new_state.residue, front_res)
-    front_last = jnp.where(dsp_mask, new_state.last_sample, front_last)
-
-    mel = mel.astype(dtype)
-    fresh_off = cc.pre_encode_cache_size          # 9-frame zero seed
-    steady_off = chunk - 1                        # invariant: see _RCAP
-    buf_fresh = jax.lax.dynamic_update_slice_in_dim(
-        mel_buf, mel[:, 1:], fresh_off, axis=1)
-    buf_steady = jax.lax.dynamic_update_slice_in_dim(
-        mel_buf, mel, steady_off, axis=1)
-    m3 = (dsp_mask & fresh_mask)[:, None, None]
-    s3 = (dsp_mask & ~fresh_mask)[:, None, None]
-    mel_buf = jnp.where(m3, buf_fresh, jnp.where(s3, buf_steady, mel_buf))
-
+    front_res, front_last, mel_buf = _device_dsp_front(
+        cc, pcfg, pcm_i16, front_res, front_last, mel_buf, window,
+        filterbank, dsp_mask, fresh_mask)
     enc_out, enc_state = enc_mod.encode_chunk(
-        params, cfg, cc, mel_buf[:, :chunk], enc_state, pos_heads,
-        step_mask=consume_mask)
+        params, cfg, cc, mel_buf[:, :cc.chunk_mel_frames], enc_state,
+        pos_heads, step_mask=consume_mask)
     tokens, dec_state = dec_mod.greedy_decode(params, cfg, enc_out,
                                               dec_state,
                                               step_mask=consume_mask)
-    shifted = jnp.concatenate(
-        [mel_buf[:, shift:],
-         jnp.zeros((S, shift, mel_buf.shape[2]), dtype)], axis=1)
-    mel_buf = jnp.where(consume_mask[:, None, None], shifted, mel_buf)
+    mel_buf = _mel_buf_shift(cc, mel_buf, consume_mask)
     return tokens, front_res, front_last, mel_buf, enc_state, dec_state
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 14, 15),
+                   donate_argnums=(5, 6, 7, 8, 9))
+def _device_dsp_tick_beam(params, cfg: ModelConfig, cc: CacheConfig, pcfg,
+                          pcm_i16, front_res, front_last, mel_buf,
+                          enc_state, beam_state, pos_heads, window,
+                          filterbank, masks, beam_size: int,
+                          expansions: int):
+    """_device_dsp_tick with the on-device batched BEAM search as the
+    decode back half: frozen slots keep their entire beam untouched
+    (beam_decode's enc_lengths mechanism with a 0 frame limit). `masks` is
+    the (dsp, fresh, consume) triple."""
+    from ..models import beam as beam_mod
+
+    dsp_mask, fresh_mask, consume_mask = masks
+    front_res, front_last, mel_buf = _device_dsp_front(
+        cc, pcfg, pcm_i16, front_res, front_last, mel_buf, window,
+        filterbank, dsp_mask, fresh_mask)
+    enc_out, enc_state = enc_mod.encode_chunk(
+        params, cfg, cc, mel_buf[:, :cc.chunk_mel_frames], enc_state,
+        pos_heads, step_mask=consume_mask)
+    t_lim = jnp.where(consume_mask, enc_out.shape[1], 0).astype(jnp.int32)
+    beam_state = beam_mod.beam_decode(params, cfg, enc_out, beam_state,
+                                      beam_size, expansions,
+                                      enc_lengths=t_lim)
+    mel_buf = _mel_buf_shift(cc, mel_buf, consume_mask)
+    return front_res, front_last, mel_buf, enc_state, beam_state
 
 
 class ServingEngine:
@@ -187,13 +250,27 @@ class ServingEngine:
                  vocab: list[str] | None = None,
                  cache_config: CacheConfig | None = None,
                  n_slots: int = 64, mesh=None,
-                 compute_dtype=jnp.bfloat16, dsp: str = "auto"):
+                 compute_dtype=jnp.bfloat16, dsp: str = "auto",
+                 beam_size: int = 1, beam_expansions: int | None = None,
+                 max_beam_tokens: int = 4096):
+        """beam_size > 1 switches every tick's decode to the fused
+        on-device beam search (chunk_step_masked_beam): frozen slots keep
+        their entire beam untouched, so raggedness works exactly as in
+        greedy mode. Beam transcripts are REVISABLE (the best hypothesis
+        may change between ticks): step() returns {} and transcripts are
+        fetched lazily via refresh_transcripts() / finalize_stream()."""
+        from ..config import MAX_SYMBOLS_PER_STEP
+
         self.cfg = cfg
         self.cc = cache_config or CacheConfig(n_mels=cfg.n_mels)
         self.vocab = vocab or []
         self.n_slots = n_slots
         self.dtype = compute_dtype
         self.mesh = mesh
+        self.beam_size = beam_size
+        self.beam_expansions = (beam_expansions
+                                if beam_expansions is not None
+                                else MAX_SYMBOLS_PER_STEP)
 
         from ..params import cast_params
 
@@ -204,9 +281,16 @@ class ServingEngine:
                                                     compute_dtype)
         self.dec_state = dec_mod.init_decoder_state(cfg, n_slots,
                                                     compute_dtype)
+        self.beam_state = None
+        self._beam_dirty = False
+        if beam_size > 1:
+            from ..models import beam as beam_mod
+
+            self.beam_state = beam_mod.init_beam_state(
+                cfg, n_slots, beam_size, max_beam_tokens, compute_dtype)
         if mesh is not None:
             from ..parallel.mesh import (param_shardings, shard_params,
-                                         shard_state)
+                                         shard_state, shard_stream_major)
 
             self.params = shard_params(self.params, mesh)
             self.pos_heads = jax.device_put(
@@ -214,6 +298,8 @@ class ServingEngine:
                 param_shardings(self.pos_heads, mesh))
             self.enc_state = shard_state(self.enc_state, mesh)
             self.dec_state = shard_state(self.dec_state, mesh)
+            if self.beam_state is not None:
+                self.beam_state = shard_stream_major(self.beam_state, mesh)
 
         fb = np.asarray(params.preprocessor.filterbank)
         win = np.asarray(params.preprocessor.window)
@@ -381,6 +467,10 @@ class ServingEngine:
         self.enc_state, self.dec_state = _reset_slots(
             self.enc_state, self.dec_state, jnp.asarray(mask),
             jnp.int32(self.cfg.blank_token))
+        if self.beam_state is not None:
+            self.beam_state = _reset_beam_slots(
+                self.beam_state, jnp.asarray(mask),
+                jnp.int32(self.cfg.blank_token))
         for s in slots:
             s = int(s)
             self.active[s] = True
@@ -393,6 +483,8 @@ class ServingEngine:
         return [int(s) for s in slots]
 
     def remove_stream(self, slot: int) -> str:
+        if self.beam_state is not None:
+            self.refresh_transcripts()
         text = self.transcripts[slot]
         self.active[slot] = False
         self._clear_slot(slot)
@@ -435,6 +527,12 @@ class ServingEngine:
         self.enc_state, self.dec_state = _reset_slot(
             self.enc_state, self.dec_state, jnp.int32(slot),
             jnp.int32(self.cfg.blank_token))
+        if self.beam_state is not None:
+            mask = np.zeros(self.n_slots, bool)
+            mask[slot] = True
+            self.beam_state = _reset_beam_slots(
+                self.beam_state, jnp.asarray(mask),
+                jnp.int32(self.cfg.blank_token))
         self._dsp_reset(slot)
         self.mel_buffers[slot] = self._fresh_mel_buffer()
         self.tokens[slot] = []
@@ -519,30 +617,62 @@ class ServingEngine:
             chunk = jnp.asarray(chunk_np.astype(np.dtype(self.dtype)))
             mask = jnp.asarray(ready)
             t0 = time.perf_counter()
-            tokens, self.enc_state, self.dec_state = chunk_step_masked(
-                self.params, self.cfg, cc, chunk, self.enc_state,
-                self.dec_state, self.pos_heads, mask)
-            tokens = np.asarray(tokens)
+            if self.beam_state is not None:
+                self.enc_state, self.beam_state = chunk_step_masked_beam(
+                    self.params, self.cfg, cc, chunk, self.enc_state,
+                    self.beam_state, self.pos_heads, mask,
+                    self.beam_size, self.beam_expansions)
+                self._beam_dirty = True
+                tokens = None
+            else:
+                tokens, self.enc_state, self.dec_state = chunk_step_masked(
+                    self.params, self.cfg, cc, chunk, self.enc_state,
+                    self.dec_state, self.pos_heads, mask)
+                tokens = np.asarray(tokens)
             self.step_times.append(time.perf_counter() - t0)
 
             ready_slots = np.flatnonzero(ready)
             for slot in ready_slots:
                 self.mel_buffers[slot].drop(cc.shift_mel_frames)
-            # masked slots emit only blanks, so extracting over the whole
-            # [S, T, MAX] array is safe (and one vectorized pass instead of
-            # an S*T*MAX Python loop)
-            emitted = dec_mod.extract_emitted(
-                tokens, self.cfg.blank_token, self.frame_offsets)
-            for slot, toks in emitted.items():
-                self.tokens[slot].extend(toks)
-                text = tokens_to_text(toks, self.vocab)
-                self.transcripts[slot] += text
-                out[slot] = out.get(slot, "") + text
-            self.frame_offsets[ready_slots] += tokens.shape[1]
+            if tokens is None:
+                # beam mode: transcripts fetched lazily
+                # (refresh_transcripts); frame_offsets advance for stats
+                self.frame_offsets[ready_slots] += cc.valid_out_len
+            else:
+                # masked slots emit only blanks, so extracting over the
+                # whole [S, T, MAX] array is safe (and one vectorized pass
+                # instead of an S*T*MAX Python loop)
+                emitted = dec_mod.extract_emitted(
+                    tokens, self.cfg.blank_token, self.frame_offsets)
+                for slot, toks in emitted.items():
+                    self.tokens[slot].extend(toks)
+                    text = tokens_to_text(toks, self.vocab)
+                    self.transcripts[slot] += text
+                    out[slot] = out.get(slot, "") + text
+                self.frame_offsets[ready_slots] += tokens.shape[1]
             self.phase_counter = (self.phase_counter + 1) % self.n_seg
             self.slot_phase[ready] = self.phase_counter
             ready = self._ready()
         return out
+
+    def refresh_transcripts(self) -> list[str]:
+        """Beam mode: rewrite every ACTIVE slot's transcript/tokens from
+        the CURRENT best hypothesis (length-normalized selection,
+        models/beam.py best_hypothesis); ONE device call + one [S, U]
+        download, only when a beam advanced since the last refresh.
+        Greedy mode: transcripts are already incremental; no-op."""
+        if self.beam_state is not None and self._beam_dirty:
+            from ..models import beam as beam_mod
+
+            btok, blen, _ = beam_mod.best_hypothesis(self.beam_state,
+                                                     length_norm=True)
+            btok, blen = np.asarray(btok), np.asarray(blen)
+            for s in np.flatnonzero(self.active):
+                toks = [(int(t), 0) for t in btok[s, : blen[s]]]
+                self.tokens[s] = toks
+                self.transcripts[s] = tokens_to_text(toks, self.vocab)
+            self._beam_dirty = False
+        return list(self.transcripts)
 
     def _step_device(self) -> dict[int, str]:
         """Device-DSP engine tick(s): each call of the fused program gives
@@ -588,30 +718,44 @@ class ServingEngine:
             for s in np.flatnonzero(dsp):
                 pcm[s] = self.pcm_fifos[s].take(self._quantum)
             t0 = time.perf_counter()
-            (tokens, self.front_res, self.front_last, self.mel_buf_dev,
-             self.enc_state, self.dec_state) = _device_dsp_tick(
-                self.params, self.cfg, cc, self._pcfg, jnp.asarray(pcm),
-                self.front_res, self.front_last, self.mel_buf_dev,
-                self.enc_state, self.dec_state, self.pos_heads,
-                self._window, self._filterbank, jnp.asarray(dsp),
-                jnp.asarray(fresh), jnp.asarray(consume))
-            tokens = np.asarray(tokens)
+            if self.beam_state is not None:
+                (self.front_res, self.front_last, self.mel_buf_dev,
+                 self.enc_state, self.beam_state) = _device_dsp_tick_beam(
+                    self.params, self.cfg, cc, self._pcfg,
+                    jnp.asarray(pcm), self.front_res, self.front_last,
+                    self.mel_buf_dev, self.enc_state, self.beam_state,
+                    self.pos_heads, self._window, self._filterbank,
+                    (jnp.asarray(dsp), jnp.asarray(fresh),
+                     jnp.asarray(consume)),
+                    self.beam_size, self.beam_expansions)
+                self._beam_dirty = True
+                tokens = None
+            else:
+                (tokens, self.front_res, self.front_last, self.mel_buf_dev,
+                 self.enc_state, self.dec_state) = _device_dsp_tick(
+                    self.params, self.cfg, cc, self._pcfg, jnp.asarray(pcm),
+                    self.front_res, self.front_last, self.mel_buf_dev,
+                    self.enc_state, self.dec_state, self.pos_heads,
+                    self._window, self._filterbank, jnp.asarray(dsp),
+                    jnp.asarray(fresh), jnp.asarray(consume))
+                tokens = np.asarray(tokens)
             self.step_times.append(time.perf_counter() - t0)
 
             self.mel_fill = np.where(consume,
                                      post_fill - cc.shift_mel_frames,
                                      post_fill)
             self.fresh = self.fresh & ~dsp
-            emitted = dec_mod.extract_emitted(
-                tokens, self.cfg.blank_token, self.frame_offsets)
-            for slot, toks in emitted.items():
-                self.tokens[slot].extend(toks)
-                text = tokens_to_text(toks, self.vocab)
-                self.transcripts[slot] += text
-                out[slot] = out.get(slot, "") + text
+            if tokens is not None:
+                emitted = dec_mod.extract_emitted(
+                    tokens, self.cfg.blank_token, self.frame_offsets)
+                for slot, toks in emitted.items():
+                    self.tokens[slot].extend(toks)
+                    text = tokens_to_text(toks, self.vocab)
+                    self.transcripts[slot] += text
+                    out[slot] = out.get(slot, "") + text
             if consume.any():
                 self.frame_offsets[np.flatnonzero(consume)] += \
-                    tokens.shape[1]
+                    cc.valid_out_len
                 self.phase_counter = (self.phase_counter + 1) % self.n_seg
                 self.slot_phase[consume] = self.phase_counter
         return out
@@ -622,6 +766,8 @@ class ServingEngine:
         """Snapshot the whole engine: all slots' device state, DSP state,
         admission map, transcripts. Restoring into a fresh engine with the
         same n_slots resumes every active stream exactly."""
+        if self.beam_state is not None:
+            self.refresh_transcripts()
         flat = {
             "enc/k_cache": np.asarray(self.enc_state.k_cache),
             "enc/v_cache": np.asarray(self.enc_state.v_cache),
@@ -639,6 +785,9 @@ class ServingEngine:
             "phase_counter": np.int64(self.phase_counter),
             "slot_phase": self.slot_phase,
         }
+        if self.beam_state is not None:
+            for k in ("h", "c", "prev_token", "scores", "tokens", "lengths"):
+                flat[f"beam/{k}"] = np.asarray(getattr(self.beam_state, k))
         for s in range(self.n_slots):
             pp = self._dsp_state(s)
             flat[f"preproc/last_sample/{s}"] = pp["last_sample"]
@@ -678,11 +827,35 @@ class ServingEngine:
             h=jnp.asarray(z["dec/h"], self.dtype),
             c=jnp.asarray(z["dec/c"], self.dtype),
             prev_token=jnp.asarray(z["dec/prev_token"], jnp.int32))
+        has_beam = "beam/h" in z.files
+        if (self.beam_state is not None) != has_beam:
+            raise ValueError(
+                "snapshot/engine beam-mode mismatch: snapshot "
+                f"{'carries' if has_beam else 'has no'} beam state, engine "
+                f"beam_size={self.beam_size}")
+        if has_beam:
+            from ..models import beam as beam_mod
+
+            if z["beam/h"].shape[1] != self.beam_size:
+                raise ValueError(
+                    f"snapshot beam width K={z['beam/h'].shape[1]} != "
+                    f"engine beam_size={self.beam_size}")
+            self.beam_state = beam_mod.BeamState(
+                h=jnp.asarray(z["beam/h"], self.dtype),
+                c=jnp.asarray(z["beam/c"], self.dtype),
+                prev_token=jnp.asarray(z["beam/prev_token"], jnp.int32),
+                scores=jnp.asarray(z["beam/scores"], jnp.float32),
+                tokens=jnp.asarray(z["beam/tokens"], jnp.int32),
+                lengths=jnp.asarray(z["beam/lengths"], jnp.int32))
+            self._beam_dirty = True
         if self.mesh is not None:
-            from ..parallel.mesh import shard_state
+            from ..parallel.mesh import shard_state, shard_stream_major
 
             self.enc_state = shard_state(self.enc_state, self.mesh)
             self.dec_state = shard_state(self.dec_state, self.mesh)
+            if self.beam_state is not None:
+                self.beam_state = shard_stream_major(self.beam_state,
+                                                     self.mesh)
         self.active = z["active"].astype(bool)
         self.phase_counter = int(z["phase_counter"])
         self.slot_phase = z["slot_phase"].astype(np.int64)

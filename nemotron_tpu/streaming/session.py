@@ -207,6 +207,29 @@ def chunk_step_beam(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     return enc_state, beam_state
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 8, 9),
+                   donate_argnums=(4, 5))
+def chunk_step_masked_beam(params: ModelParams, cfg: ModelConfig,
+                           cc: CacheConfig, mel_chunk, enc_state,
+                           beam_state, pos_heads, step_mask,
+                           beam_size: int, expansions: int):
+    """chunk_step_beam for continuous batching: `step_mask` [S] bool marks
+    which slots advance; frozen slots keep caches AND their entire beam
+    (all K hypotheses) untouched -- carried by beam_decode's enc_lengths
+    mechanism with a 0 frame limit, so a masked slot's frames all pass
+    through."""
+    from ..models import beam as beam_mod
+
+    enc_out, enc_state = enc_mod.encode_chunk(params, cfg, cc, mel_chunk,
+                                              enc_state, pos_heads,
+                                              step_mask=step_mask)
+    t_lim = jnp.where(step_mask, enc_out.shape[1], 0).astype(jnp.int32)
+    beam_state = beam_mod.beam_decode(params, cfg, enc_out, beam_state,
+                                      beam_size, expansions,
+                                      enc_lengths=t_lim)
+    return enc_state, beam_state
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
 def chunk_step_captured(params: ModelParams, cfg: ModelConfig,
                         cc: CacheConfig, mel_chunk, enc_state, dec_state,

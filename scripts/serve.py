@@ -10,6 +10,8 @@ aggregate throughput and latency percentiles.
              [--lockstep]          # fused PCM->tokens LockstepEngine path
              [--dsp auto|native|numpy|device]   # engine host-DSP backend
                                    # (device = DSP fused into the step)
+             [--beam K]            # on-device beam search per tick
+                                   # (greedy-only in the reference)
 
 Streams are staggered (each starts at a different offset into the audio,
 wrapping around) so the engine exercises admission at different phases.
@@ -54,6 +56,7 @@ def main(argv: list[str]) -> int:
     R = opt("--right-context", 13, int)
     seconds = opt("--seconds", 10.0, float)
     quant_mode = opt("--quantize", None, str)
+    beam_k = opt("--beam", 1, int)
 
     import jax.numpy as jnp
 
@@ -106,7 +109,8 @@ def main(argv: list[str]) -> int:
         from nemotron_tpu.streaming.lockstep import LockstepEngine
 
         eng = LockstepEngine(params, cfg, vocab, cc, n_streams=n_streams,
-                             mesh=mesh, compute_dtype=jnp.bfloat16)
+                             mesh=mesh, compute_dtype=jnp.bfloat16,
+                             beam_size=beam_k)
         slots = list(range(n_streams))
         tick_times = []
         t0 = time.perf_counter()
@@ -128,7 +132,8 @@ def main(argv: list[str]) -> int:
     else:
         eng = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
                             mesh=mesh, compute_dtype=jnp.bfloat16,
-                            dsp=opt("--dsp", "auto", str))
+                            dsp=opt("--dsp", "auto", str),
+                            beam_size=beam_k)
         slots = eng.add_streams(n_streams)
         t0 = time.perf_counter()
         for _ in range(n_ticks):
@@ -148,6 +153,8 @@ def main(argv: list[str]) -> int:
         print(f"per-tick latency p50 {lat['p50']*1e3:.1f} ms  "
               f"p90 {lat['p90']*1e3:.1f} ms  p99 {lat['p99']*1e3:.1f} ms",
               file=sys.stderr)
+    if beam_k > 1:
+        eng.refresh_transcripts()
     for s in slots[:3]:
         print(f"[slot {s}] {eng.transcripts[s][:70]}")
     return 0

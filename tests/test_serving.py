@@ -851,3 +851,240 @@ def test_device_dsp_on_mesh(model_setup, cc):
         assert out_m == out_1
     for s in slots:
         assert eng_m.tokens[s] == eng_1.tokens[s]
+
+
+# -- beam decode in the serving engines (beyond-reference capability) --------
+
+
+def biased_params(model_setup):
+    """Params with one non-blank logit biased up so the beam keeps
+    non-empty hypotheses in play. NOTE: on random weights the RAW-best path
+    is always near-empty (every emission costs log-prob and the decoder
+    state barely moves the logits, so emitting never pays off the way it
+    does on trained weights) -- beam tests therefore assert full BEAM-STATE
+    equality (scores/tokens/lengths), which is non-vacuous regardless of
+    what the best hypothesis happens to be."""
+    from nemotron_tpu import params as P
+
+    arrays, _, cfg = model_setup
+    a2 = {k: np.array(v, copy=True) for k, v in arrays.items()}
+    a2["joint.joint_net.2.bias"][5] = 2.0
+    return P.params_from_arrays(a2, cfg)
+
+
+def assert_beams_equal(a, b, rows_a=None, rows_b=None, atol=1e-4):
+    """Full beam-state equivalence for (optionally) selected stream rows."""
+    sel = lambda x, rows: (np.asarray(x) if rows is None
+                           else np.asarray(x)[rows])
+    np.testing.assert_allclose(sel(a.scores, rows_a), sel(b.scores, rows_b),
+                               atol=atol)
+    np.testing.assert_array_equal(sel(a.lengths, rows_a),
+                                  sel(b.lengths, rows_b))
+    np.testing.assert_array_equal(sel(a.prev_token, rows_a),
+                                  sel(b.prev_token, rows_b))
+    U = min(np.asarray(a.tokens).shape[-1], np.asarray(b.tokens).shape[-1])
+    np.testing.assert_array_equal(sel(a.tokens, rows_a)[..., :U],
+                                  sel(b.tokens, rows_b)[..., :U])
+    # non-vacuous: the beam explored non-empty hypotheses
+    assert sel(a.lengths, rows_a).max() > 0
+
+
+def test_lockstep_beam_matches_session(model_setup, cc):
+    """LockstepEngine(beam_size=K): the fused DSP+encoder+BEAM tick equals
+    a host-frontend StreamSession with the same beam, including finalize."""
+    from nemotron_tpu.streaming.lockstep import LockstepEngine
+    from nemotron_tpu.streaming.session import StreamSession
+
+    _, _, cfg = model_setup
+    params = biased_params(model_setup)
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    S, n = 2, cc.shift_samples
+    rng = np.random.default_rng(21)
+    audio = (rng.standard_normal((S, 4 * n + n // 3)) * 8000).astype(np.int16)
+
+    eng = LockstepEngine(params, cfg, vocab, cc, n_streams=S,
+                         compute_dtype=jnp.float32, beam_size=2,
+                         max_beam_tokens=64)
+    for t in range(4):
+        assert eng.tick(audio[:, t * n:(t + 1) * n]) == {}  # lazy text
+    eng.tick(audio[:, 4 * n:])
+
+    sess = StreamSession(params, cfg, vocab, cc, n_streams=S,
+                         beam_size=2, max_beam_tokens=64)
+    sess.process(audio)
+    # pre-finalize: the fused tick advanced every stream's K-hypothesis
+    # beam identically to the host-frontend session
+    assert_beams_equal(eng.beam_state, sess.beam_state)
+    assert eng.refresh_transcripts() == list(sess.transcripts)
+
+    final_eng = eng.finalize()
+    final_sess = sess.finalize()
+    assert final_eng == final_sess
+    for s in range(S):
+        assert eng.tokens[s] == sess.get_tokens(s)
+
+
+def test_lockstep_beam_snapshot_resume(model_setup, cc, tmp_path):
+    """Beam-mode lockstep save/load resumes the beam exactly; beam/greedy
+    snapshot-engine mismatches raise."""
+    from nemotron_tpu.streaming.lockstep import LockstepEngine
+
+    _, _, cfg = model_setup
+    params = biased_params(model_setup)
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    S, n = 2, cc.shift_samples
+    rng = np.random.default_rng(23)
+    audio = (rng.standard_normal((S, 5 * n)) * 8000).astype(np.int16)
+
+    def make(k):
+        return LockstepEngine(params, cfg, vocab, cc, n_streams=S,
+                              compute_dtype=jnp.float32, beam_size=k,
+                              max_beam_tokens=64)
+
+    a = make(2)
+    for t in range(3):
+        a.tick(audio[:, t * n:(t + 1) * n])
+    ck = str(tmp_path / "beam.npz")
+    a.save(ck)
+
+    with pytest.raises(ValueError, match="mismatch"):
+        make(1).load(ck)
+    with pytest.raises(ValueError, match="beam_size=3"):
+        make(3).load(ck)
+
+    b = make(2)
+    b.load(ck)
+    for e in (a, b):
+        for t in range(3, 5):
+            e.tick(audio[:, t * n:(t + 1) * n])
+    assert a.finalize() == b.finalize()
+    assert a.tokens == b.tokens
+
+
+def test_serving_beam_matches_solo(model_setup, cc):
+    """ServingEngine(beam_size=K) host-DSP path: a slot served ragged in a
+    busy slab (late admission, skipped ticks) finalizes to exactly the solo
+    beam session's transcript; eviction/readmission leaves the beam clean."""
+    from nemotron_tpu.streaming.session import StreamSession
+
+    _, _, cfg = model_setup
+    params = biased_params(model_setup)
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    eng = ServingEngine(params, cfg, vocab, cc, n_slots=4,
+                        compute_dtype=jnp.float32, beam_size=2,
+                        max_beam_tokens=64)
+    n = cc.chunk_samples
+    s_a, s_b = eng.add_streams(2)
+    audio_a = np.concatenate([synth(n, 30 + t) for t in range(3)])
+    audio_b = np.concatenate([synth(n, 50 + t) for t in range(2)])
+    late = np.concatenate([synth(n, 70 + t) for t in range(2)])
+
+    s_late = None
+    for t in range(3):
+        feed = {s_a: audio_a[t * n:(t + 1) * n]}
+        if t < 2:
+            feed[s_b] = audio_b[t * n:(t + 1) * n]
+        if t == 1:
+            s_late = eng.add_stream()
+        if s_late is not None and t >= 1:
+            feed[s_late] = late[(t - 1) * n:t * n]
+        eng.feed_audio(feed)
+        assert eng.step() == {}  # beam text is fetched lazily
+
+    # pre-finalize: each ragged slot's K-hypothesis beam equals its solo
+    # session's beam (full-state equality -- non-vacuous even when the
+    # best hypothesis is empty on random weights)
+    sessions = {}
+    for s, audio in ((s_a, audio_a), (s_b, audio_b), (s_late, late)):
+        sess = StreamSession(params, cfg, vocab, cc, beam_size=2,
+                             max_beam_tokens=64)
+        sess.process(audio)
+        sessions[s] = sess
+        assert_beams_equal(eng.beam_state, sess.beam_state,
+                           rows_a=[s], rows_b=[0])
+
+    finals = {s: eng.finalize_stream(s) for s in (s_a, s_b, s_late)}
+    for s, sess in sessions.items():
+        want = sess.finalize()
+        assert finals[s] == want, (s, finals[s], want)
+
+    # a re-admitted slot starts from a fresh beam
+    s_new = eng.add_stream()
+    assert eng.transcripts[s_new] == ""
+    eng.feed_audio({s_new: audio_a[:n]})
+    eng.step()
+    sess = StreamSession(params, cfg, vocab, cc, beam_size=2,
+                         max_beam_tokens=64)
+    sess.process(audio_a[:n])
+    assert eng.refresh_transcripts()[s_new] == sess.get_transcript(0)
+
+
+def test_serving_beam_snapshot_resume(model_setup, cc, tmp_path):
+    """Beam-mode ServingEngine save/load resumes every slot's beam exactly;
+    beam/greedy snapshot mismatches raise."""
+    _, _, cfg = model_setup
+    params = biased_params(model_setup)
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+
+    def make(k):
+        return ServingEngine(params, cfg, vocab, cc, n_slots=3,
+                             compute_dtype=jnp.float32, beam_size=k,
+                             max_beam_tokens=64)
+
+    eng = make(2)
+    slots = eng.add_streams(2)
+    n = cc.chunk_samples
+    audio = {s: np.concatenate([synth(n, 80 + s + 10 * t)
+                                for t in range(4)]) for s in slots}
+    for t in range(2):
+        eng.feed_audio({s: audio[s][t * n:(t + 1) * n] for s in slots})
+        eng.step()
+    path = str(tmp_path / "beameng.npz")
+    eng.save(path)
+
+    with pytest.raises(ValueError, match="mismatch"):
+        make(1).load(path)
+
+    eng2 = make(2)
+    eng2.load(path)
+    for e in (eng, eng2):
+        for t in range(2, 4):
+            e.feed_audio({s: audio[s][t * n:(t + 1) * n] for s in slots})
+            e.step()
+    assert eng.refresh_transcripts() == eng2.refresh_transcripts()
+    assert eng.tokens == eng2.tokens
+
+
+def test_device_dsp_beam_matches_host_beam(model_setup, cc):
+    """dsp='device' beam mode == host-DSP beam mode chunk for chunk: fed
+    the same PCM schedule, both paths decode identical chunk sequences
+    (the device frontend is sample-exact with the host one) and must hold
+    identical beams. (Beam transcripts are revisable, so prefix comparison
+    -- the greedy device test's startswith -- would be meaningless here;
+    finalize differs by design: silence-PCM vs zero-mel padding.)"""
+    _, _, cfg = model_setup
+    params = biased_params(model_setup)
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+
+    def make(dsp):
+        return ServingEngine(params, cfg, vocab, cc, n_slots=2,
+                             compute_dtype=jnp.float32, dsp=dsp,
+                             beam_size=2, max_beam_tokens=64)
+
+    dev, host = make("device"), make("numpy")
+    n = dev.cc.shift_samples
+    audio = np.concatenate([synth(n, 33 + t) for t in range(5)])
+    s_d = dev.add_stream()
+    s_h = host.add_stream()
+    for t in range(5):
+        dev.feed_audio({s_d: audio[t * n:(t + 1) * n]})
+        dev.step()
+        host.feed_audio({s_h: audio[t * n:(t + 1) * n]})
+        host.step()
+    assert dev.frame_offsets[s_d] == host.frame_offsets[s_h]
+    assert dev.frame_offsets[s_d] > 0
+    assert_beams_equal(dev.beam_state, host.beam_state,
+                       rows_a=[s_d], rows_b=[s_h])
+    t_dev = dev.refresh_transcripts()[s_d]
+    t_host = host.refresh_transcripts()[s_h]
+    assert t_dev == t_host
