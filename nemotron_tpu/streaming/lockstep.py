@@ -209,6 +209,9 @@ class LockstepEngine:
         self.frame_offset = 0
         self.total_chunks = 0
         self._pending = None
+        # canonical tick size (samples): fixed by the FIRST tick and used
+        # to normalize ragged inputs afterwards (jit-signature reuse)
+        self._tick_samples: int | None = None
 
     def _chunks_in(self, fill: int) -> int:
         k = 0
@@ -274,9 +277,30 @@ class LockstepEngine:
 
     def tick(self, pcm_i16: np.ndarray) -> dict[int, str]:
         """Advance every stream by pcm_i16 [S, N] samples; returns new text
-        per stream. N is part of the compiled program's signature -- keep it
-        constant across ticks (e.g. cc.shift_samples) to reuse the cache."""
-        return self._collect(*self._issue(pcm_i16))
+        per stream.
+
+        The FIRST tick's N becomes the canonical tick size (part of the
+        compiled program's signature; cc.shift_samples is the natural
+        choice). Ragged later ticks are handled without the caller knowing
+        the jit-signature rule: a LARGER block is split into canonical
+        sub-ticks plus an exact-size remainder (so it can never overflow
+        the mel ring), and a SHORT block -- e.g. the tail of a recording
+        before finalize() -- is issued at its exact size. Sample-exact in
+        both cases; each distinct non-canonical size compiles one extra
+        program (a one-off, fine for tail audio; steady-state callers
+        should stick to one size)."""
+        S, n = pcm_i16.shape
+        if self._tick_samples is None:
+            self._tick_samples = n
+        T = self._tick_samples
+        if n <= T:
+            return self._collect(*self._issue(pcm_i16))
+        out: dict[int, str] = {}
+        for ofs in range(0, n, T):
+            for s, text in self._collect(
+                    *self._issue(pcm_i16[:, ofs:ofs + T])).items():
+                out[s] = out.get(s, "") + text
+        return out
 
     def tick_pipelined(self, pcm_i16: np.ndarray) -> dict[int, str]:
         """Depth-1 pipelined tick: dispatches this tick asynchronously and
@@ -410,7 +434,12 @@ class LockstepEngine:
 
     def finalize(self) -> list[str]:
         """Flush pending (non-overlap) mel frames with one zero-padded
-        chunk, as the session/reference finalize does."""
+        chunk, as the session/reference finalize does.
+
+        The pad is issued at its EXACT total size (ragged tick handles
+        the split), so the remainder piece compiles one differently-shaped
+        program at shutdown -- a deliberate, measured-irrelevant
+        recompile."""
         self.flush_pipeline()
         pending = self.buf_len - self.cc.pre_encode_cache_size
         if pending > 0:

@@ -141,12 +141,22 @@ class TonesSampler:
     def __init__(self, filterbank: np.ndarray, window: np.ndarray,
                  n_mels: int, n_tones: int, tones_per_utt: int, batch: int,
                  seed: int = 0,
-                 dur_range: tuple[float, float] = (0.20, 0.32)):
+                 dur_range: tuple[float, float] = (0.20, 0.32),
+                 tones_per_utt_min: int | None = None):
         from ..config import PreprocessorConfig
         from ..frontend.preprocessor import StreamingPreprocessor
 
         self.n_tones = n_tones
         self.tones_per_utt = tones_per_utt
+        # Variable utterance length (round-3 finding): with a FIXED count
+        # the prediction network learns "after exactly U tokens, always
+        # blank" and the model falls silent at U tokens on the continuous
+        # eval streams (measured: exactly 10/stream emitted over 60 s,
+        # TER 94%). Drawing U_i ~ Uniform[min, U] per utterance removes
+        # the count cue; label_lengths masks the unused label slots.
+        self.tones_per_utt_min = (tones_per_utt if tones_per_utt_min is None
+                                  else tones_per_utt_min)
+        assert 1 <= self.tones_per_utt_min <= tones_per_utt
         self.batch = batch
         self.dur_range = dur_range
         self.n_samples = int((dur_range[1] + GAP_RANGE[1]) * tones_per_utt
@@ -161,11 +171,17 @@ class TonesSampler:
         make_dataset."""
         rng = np.random.default_rng([self._seed, step])
         B, U = self.batch, self.tones_per_utt
+        u_lens = rng.integers(self.tones_per_utt_min, U + 1, B)
         labels = rng.integers(0, self.n_tones, (B, U))
         durs = rng.uniform(*self.dur_range, (B, U))
         gaps = rng.uniform(*GAP_RANGE, (B, U))
+        # zero out slots past each utterance's length: render stops there
+        # and the loss masks them via label_lengths
+        live = np.arange(U)[None, :] < u_lens[:, None]
+        durs = durs * live
+        gaps = gaps * live
         audio = np.stack([
-            render_tones(labels[i], durs[i], rng, self.n_tones,
+            render_tones(labels[i, :u_lens[i]], durs[i], rng, self.n_tones,
                          self.n_samples, gaps=gaps[i]) for i in range(B)])
         self._pre.reset()
         mel = self._pre.process(audio)
@@ -176,7 +192,7 @@ class TonesSampler:
             "labels": labels.astype(np.int32),
             "mel_lengths": np.array([enc_frames_of_mel(int(t))
                                      for t in mel_valid], np.int32),
-            "label_lengths": np.full(B, U, np.int32),
+            "label_lengths": u_lens.astype(np.int32),
         }
 
 

@@ -6,7 +6,7 @@ reference engine is inference-only).
              [--model-parallel M] [--remat] [--save out.gguf]
              [--checkpoint ck.npz] [--resume ck.npz] [--cpu]
              [--task memorize|tones] [--tones N] [--utt-tones U]
-             [--pool N] [--val N] [--prefetch K]
+             [--utt-tones-min M] [--pool N] [--val N] [--prefetch K]
              [--att-chunks 14,1] [--eval-every N] [--seed S]
 
 Two built-in data plumbings:
@@ -152,6 +152,11 @@ def main(argv: list[str]) -> int:
 
         n_tones = opt_val("--tones", 16, int)
         utt_tones = opt_val("--utt-tones", 10, int)
+        # variable utterance length (default [max(1, U//3), U]): a fixed
+        # count teaches the decoder to stop after exactly U tokens, which
+        # silences it on continuous serving streams (utils/tones.py)
+        utt_tones_min = opt_val("--utt-tones-min",
+                                max(1, utt_tones // 3), int)
         # --pool 0 (default) = FRESH audio every step. A fixed pool is kept
         # only for overfit/debug runs: the lattice teacher-forces label
         # prefixes, so a reused pool lets the prediction network identify
@@ -210,8 +215,13 @@ def main(argv: list[str]) -> int:
         end_value=lr * 0.1)
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
     opt_state = opt.init(params)
-    delay_pen = opt_val("--delay-penalty",
-                        0.05 if task == "tones" else 0.0, float)
+    # Default 0: measured on the tones task, lambda=0.05 stalls training at
+    # TER ~57% (the cumulative penalty over ~90 encoder frames, up to
+    # ~4.5 nats, exceeds a tone's log(n_tones)=2.8-nat information content,
+    # so emitting early random guesses beats waiting for audio); the same
+    # run with lambda=0 reaches TER 0%. Use small values (<=0.01) when
+    # trading latency for accuracy on real data.
+    delay_pen = opt_val("--delay-penalty", 0.0, float)
     step_fns = {c: make_train_step(cfg, opt, remat="--remat" in argv,
                                    att_chunk=c, delay_penalty=delay_pen)
                 for c in att_chunks}
@@ -227,7 +237,8 @@ def main(argv: list[str]) -> int:
         K = opt_val("--prefetch", 3, int)
         execs = [concurrent.futures.ThreadPoolExecutor(1) for _ in range(K)]
         samplers = [tones.TonesSampler(fb, win, cfg.n_mels, n_tones,
-                                       utt_tones, batch, seed=seed + 1)
+                                       utt_tones, batch, seed=seed + 1,
+                                       tones_per_utt_min=utt_tones_min)
                     for _ in range(K)]
         pending: dict = {}
 

@@ -667,6 +667,40 @@ def test_lockstep_pipelined_matches_tick(model_setup, cc):
     assert a.finalize() == b.finalize()
 
 
+def test_lockstep_ragged_tick(model_setup, cc):
+    """Ragged tick() inputs (VERDICT r2 item 10): after the first tick
+    fixes the canonical size, an OVERSIZE block is split into canonical
+    sub-ticks plus an exact remainder (never overflowing the mel ring)
+    and a SHORT tail block runs at its exact size -- both sample-exact
+    vs feeding the same audio in canonical pieces."""
+    from nemotron_tpu.streaming.lockstep import LockstepEngine
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    S, n = 2, cc.shift_samples
+    rng = np.random.default_rng(21)
+    total = 6 * n + n // 4            # ends on a ragged tail
+    audio = (rng.standard_normal((S, total)) * 8000).astype(np.int16)
+
+    a = LockstepEngine(params, cfg, vocab, cc, n_streams=S,
+                       compute_dtype=jnp.float32)
+    a.tick(audio[:, :n])              # canonical size := n
+    a.tick(audio[:, n:4 * n + n // 2])   # oversize: 3.5 canonical ticks
+    a.tick(audio[:, 4 * n + n // 2:])    # ragged short tail
+    final_a = a.finalize()
+
+    b = LockstepEngine(params, cfg, vocab, cc, n_streams=S,
+                       compute_dtype=jnp.float32)
+    for t in range(6):
+        b.tick(audio[:, t * n:(t + 1) * n])
+    b.tick(audio[:, 6 * n:])
+    final_b = b.finalize()
+
+    assert final_a == final_b
+    assert a.transcripts == b.transcripts
+    assert a.tokens == b.tokens
+
+
 def test_lockstep_snapshot_resume(model_setup, cc, tmp_path):
     """LockstepEngine save/load: a resumed engine continues exactly."""
     from nemotron_tpu.streaming.lockstep import LockstepEngine
