@@ -104,6 +104,37 @@ def measure(step, params, cfg, cc, pos_heads, batch, dtype,
             "rtt": rtt}
 
 
+def measure_device(step, params, cfg, cc, pos_heads, batch, dtype,
+                   n_steps=110):
+    """TRUE per-step latency percentiles from the device trace (VERDICT r2
+    item 3): trace `n_steps` state-threaded steps and read each XLA module
+    execution's duration off the TensorCore's own timeline
+    (utils/xplane.py). Unlike the host chain-means, these are per-STEP
+    times with real tails, immune to the ~30 ms tunnel RTT."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from nemotron_tpu.utils import xplane
+
+    enc_state, dec_state = build_state(cfg, cc, params, batch, dtype)
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal(
+        (batch, cc.chunk_mel_frames, cfg.n_mels), dtype=np.float32), dtype)
+    tokens, enc_state, dec_state = step(params, cfg, cc, mel, enc_state,
+                                        dec_state, pos_heads)
+    _sync(tokens)   # compile outside the trace
+    with tempfile.TemporaryDirectory(prefix="bench_xplane_") as d:
+        jax.profiler.start_trace(d)
+        for _ in range(n_steps):
+            tokens, enc_state, dec_state = step(
+                params, cfg, cc, mel, enc_state, dec_state, pos_heads)
+        _sync(tokens)
+        jax.profiler.stop_trace()
+        return xplane.step_percentiles(d, match="chunk_step")
+
+
 def main() -> int:
     quick = "--quick" in sys.argv
 
@@ -196,6 +227,24 @@ def main() -> int:
         (best_mode, best), best_stats = min(results.items(),
                                             key=lambda kv: kv[0][1])
 
+    # device-derived per-step percentiles for the winning config (real
+    # tails; the host stats above are chain-means through the tunnel)
+    dev = None
+    if best_stats is not None:
+        dev_params = {"bf16": params_bf16}.get(
+            best_mode, None if quick else params_w8a8)
+        dev_cc = cc if best_mode == "bf16" else cc8
+        try:
+            dev = measure_device(chunk_step, dev_params or params_bf16, cfg,
+                                 dev_cc, pos_heads, best, dtype,
+                                 n_steps=10 if quick else 110)
+            print(f"device trace: {dev['n_steps']} steps, "
+                  f"p50 {dev['p50_ms']:.1f} p90 {dev['p90_ms']:.1f} "
+                  f"p99 {dev['p99_ms']:.1f} ms", file=sys.stderr)
+        except Exception as e:
+            print(f"device trace failed ({type(e).__name__}: {e}); "
+                  "host stats only", file=sys.stderr)
+
     value = best
     out = {
         "metric": "realtime_streams_per_chip",
@@ -209,6 +258,10 @@ def main() -> int:
                                             best_stats["chain_len"])
                          ) if best_stats else None,
         "sync_rtt_ms": round(best_stats["rtt"] * 1e3, 2) if best_stats else None,
+        "device_p50_ms": round(dev["p50_ms"], 2) if dev else None,
+        "device_p90_ms": round(dev["p90_ms"], 2) if dev else None,
+        "device_p99_ms": round(dev["p99_ms"], 2) if dev else None,
+        "device_trace_steps": dev["n_steps"] if dev else None,
         "latency_budget_ms": LATENCY_BUDGET_S * 1e3,
         "chunk_audio_ms": cc.shift_mel_frames * 10,
         "mode": f"R=13 {best_mode} fused chunk step "
