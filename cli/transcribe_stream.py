@@ -7,7 +7,7 @@ src/transcribe_stream.cpp:27-36):
     transcribe_stream.py <model.gguf> <audio.pcm|.wav|-|--stdin> [chunk_ms]
                          [right_context] [--cpu|--tpu] [--timestamps]
                          [--profile=DIR] [--trace=DIR] [--quantize=q8_0|w8a8]
-                         [--kv-int8] [--rc-by-layer=13,6,1,0] [--beam=K]
+                         [--kv-int8|--kv-int4] [--rc-by-layer=13,6,1,0] [--beam=K]
 
   - input: raw s16le 16 kHz mono PCM file, or '-' / '--stdin' for stdin
   - chunk_ms is advisory (>=10 warning); the actual read size comes from the
@@ -86,6 +86,11 @@ def main(argv: list[str]) -> int:
 
         cc = dataclasses.replace(cc, kv_cache_int8=True)
         print("int8 K/V cache rings enabled", file=sys.stderr)
+    if "--kv-int4" in flags:
+        import dataclasses
+
+        cc = dataclasses.replace(cc, kv_cache_int8=False, kv_cache_int4=True)
+        print("int4 K/V cache rings enabled", file=sys.stderr)
     for f in flags:
         # NeMo per-layer-group right context (e.g. --rc-by-layer=13,6,1,0;
         # the reference's acknowledged limitation #2)

@@ -119,6 +119,27 @@ class CacheConfig:
     # scales are folded into the attention scores/weights so the big dots
     # read int8 directly. Opt-in: adds ~0.5% K/V quantization error.
     kv_cache_int8: bool = False
+    # int4 K/V cache rings: quarter of bf16 (half of int8) ring HBM traffic
+    # and per-stream state. Values are packed two-per-int8-byte across the
+    # jit boundary (the axon TPU backend cannot pass s4 jit arguments) and
+    # bitcast to native s4 inside the program; same per-(layer, stream,
+    # head, segment) scale machinery as int8, qmax 7. Opt-in; coarser than
+    # int8 -- gate with scripts/token_agreement.py before deploying.
+    kv_cache_int4: bool = False
+
+    def __post_init__(self):
+        if self.kv_cache_int8 and self.kv_cache_int4:
+            raise ValueError("kv_cache_int8 and kv_cache_int4 are "
+                             "mutually exclusive")
+
+    @property
+    def kv_quant_max(self) -> int | None:
+        """Quantized-ring clip level: 127 (int8), 7 (int4) or None."""
+        if self.kv_cache_int8:
+            return 127
+        if self.kv_cache_int4:
+            return 7
+        return None
 
     def rc_schedule(self, n_layers: int) -> list[int] | None:
         """att_right_context_by_layer expanded to one value per layer

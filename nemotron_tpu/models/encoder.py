@@ -73,10 +73,11 @@ def conformer_layer(lp: ConformerLayerParams, x, pos_heads, mask=None,
             pos_perm, mask, k_cols, v_cols, block_b=block_b,
             interpret=interpret)
     elif ring is not None:
-        k_ring, v_ring, pos_perm, k_cols, v_cols = ring
+        k_ring, v_ring, pos_perm, k_cols, v_cols, *packed = ring
         attn, new_k, new_v = rel_pos_mha_ring(
             lp, cur, pos_heads, n_heads, d_head, k_ring, v_ring,
-            pos_perm, mask, k_scale_cols=k_cols, v_scale_cols=v_cols)
+            pos_perm, mask, k_scale_cols=k_cols, v_scale_cols=v_cols,
+            packed_int4=bool(packed and packed[0]))
     else:
         attn, new_k, new_v = rel_pos_mha(lp, cur, pos_heads, n_heads, d_head,
                                          kv_cache=kv_cache, mask=mask)
@@ -178,9 +179,10 @@ class EncoderState:
     (src/nemo-stream.h:239)."""
 
     k_cache: Any      # [L, B, H, KV, Dh] ring (head-major; int8 if
-    v_cache: Any      #   cc.kv_cache_int8, else the compute dtype)
+    v_cache: Any      #   cc.kv_cache_int8; [L, B, H, KV, Dh/2] int8
+    #                     nibble-packed if cc.kv_cache_int4; else dtype)
     k_scale: Any      # [L, B, H, n_seg] f32 per-segment dequant scales
-    v_scale: Any      #   (ones / unused when the ring is not int8)
+    v_scale: Any      #   (ones / unused when the ring is not quantized)
     conv_cache: Any   # [L, B, K-1, D]
     valid_len: Any    # [B] int32 (valid cached frames, capped at C)
     phase: Any        # [B] int32 (next ring segment to write)
@@ -196,10 +198,15 @@ def init_encoder_state(cfg: ModelConfig, cc: CacheConfig, batch: int,
         f"latency modes)")
     H, DH = cfg.n_heads, cfg.d_head
     n_seg = kv // cc.chunk_enc_len
-    ring_dtype = jnp.int8 if cc.kv_cache_int8 else dtype
+    if cc.kv_cache_int4:
+        ring_dtype, d_ring = jnp.int8, DH // 2      # two nibbles per byte
+    elif cc.kv_cache_int8:
+        ring_dtype, d_ring = jnp.int8, DH
+    else:
+        ring_dtype, d_ring = dtype, DH
     return EncoderState(
-        k_cache=jnp.zeros((L, batch, H, kv, DH), ring_dtype),
-        v_cache=jnp.zeros((L, batch, H, kv, DH), ring_dtype),
+        k_cache=jnp.zeros((L, batch, H, kv, d_ring), ring_dtype),
+        v_cache=jnp.zeros((L, batch, H, kv, d_ring), ring_dtype),
         k_scale=jnp.ones((L, batch, H, n_seg), jnp.float32),
         v_scale=jnp.ones((L, batch, H, n_seg), jnp.float32),
         conv_cache=jnp.zeros((L, batch, cc.conv_cache_size, D), dtype),
@@ -327,10 +334,11 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     # invariant mask, so the pattern forces the XLA attention path
     rcs = cc.rc_schedule(cfg.n_layers)
     use_fused = (attn_impl.startswith("pallas") and B % block_b == 0
-                 and rcs is None)
+                 and rcs is None and not cc.kv_cache_int4)
     if attn_impl.startswith("pallas") and not use_fused:
         _warn_pallas_fallback(
             "per-layer right-context schedule set" if rcs is not None
+            else "int4 K/V rings" if cc.kv_cache_int4
             else f"batch {B} not divisible by block {block_b}")
     rc_arr = None if rcs is None else jnp.asarray(rcs, jnp.int32)
 
@@ -349,7 +357,7 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
             lmask = mask + jnp.where(d < -rc_l, jnp.float32(-1e9),
                                      jnp.float32(0.0))[None, None]
         cvc = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
-        if cc.kv_cache_int8:
+        if cc.kv_quant_max is not None:
             # per-segment dequant scales expanded to per-slot columns
             kcols = jnp.repeat(ks, Q, axis=-1)           # [B, H, kv]
             vcols = jnp.repeat(vs, Q, axis=-1)
@@ -366,7 +374,8 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
                 n_heads=cfg.n_heads, d_head=cfg.d_head)
         else:
             y, nk, nv, ncv = conformer_layer(
-                lp, h, ph, mask=lmask, ring=(kr, vr, pos_perm, kcols, vcols),
+                lp, h, ph, mask=lmask,
+                ring=(kr, vr, pos_perm, kcols, vcols, cc.kv_cache_int4),
                 conv_cache=cvc, n_heads=cfg.n_heads, d_head=cfg.d_head)
         cv_all = jax.lax.dynamic_update_index_in_dim(cv_all, ncv, l, 0)
         ys = (nk, nv, y) if capture else (nk, nv)
@@ -399,15 +408,28 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     k_new, v_new = ys[0], ys[1]                          # [L, B, H, Q, Dh]
 
     new_k_scale, new_v_scale = state.k_scale, state.v_scale
-    if cc.kv_cache_int8:
+    if cc.kv_quant_max is not None:
         # quantize the new segment per (layer, stream, head); the ring is
-        # int8, the CURRENT chunk attends at full precision inside the scan
+        # int8 (int4: nibble-packed int8), the CURRENT chunk attends at
+        # full precision inside the scan
+        qmax = cc.kv_quant_max
+
         def quant_seg(seg):
+            # per-(layer, stream, head, segment) scale for BOTH widths:
+            # per-slot scales were tried for int4 and measured identical
+            # (K/V are LayerNorm'd, so slot amaxes within a segment agree;
+            # the residual error is intrinsic int4 rounding, ~1/14 of
+            # amax per element) while costing 14x the scale state.
             amax = jnp.max(jnp.abs(seg).astype(jnp.float32), axis=(-2, -1))
-            sc = jnp.maximum(amax, 1e-12) / 127.0        # [L, B, H]
+            sc = jnp.maximum(amax, 1e-12) / qmax         # [L, B, H]
             q = jnp.clip(jnp.round(seg.astype(jnp.float32)
-                                   / sc[..., None, None]), -127, 127
+                                   / sc[..., None, None]), -qmax, qmax
                          ).astype(jnp.int8)
+            if cc.kv_cache_int4:
+                # nibble-pack: mirror image of rel_attention.unpack_int4
+                q = jax.lax.bitcast_convert_type(
+                    q.reshape(*q.shape[:-1], q.shape[-1] // 2, 2
+                              ).astype(jnp.int4), jnp.int8)
             return q, sc
 
         k_new, k_seg_scale = quant_seg(k_new)
@@ -423,7 +445,7 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
         k_new = jnp.where(m, k_new.astype(state.k_cache.dtype), old_k)
         v_new = jnp.where(m, v_new.astype(state.v_cache.dtype), old_v)
         ncv = jnp.where(m[..., 0], ncv, state.conv_cache)
-        if cc.kv_cache_int8:
+        if cc.kv_quant_max is not None:
             seg = phase_s  # scalar segment index
             old_ks = jax.lax.dynamic_slice_in_dim(state.k_scale, seg, 1, 3)
             old_vs = jax.lax.dynamic_slice_in_dim(state.v_scale, seg, 1, 3)
@@ -435,7 +457,7 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
         state.k_cache, k_new.astype(state.k_cache.dtype), off, axis=3)
     nv = jax.lax.dynamic_update_slice_in_dim(
         state.v_cache, v_new.astype(state.v_cache.dtype), off, axis=3)
-    if cc.kv_cache_int8:
+    if cc.kv_quant_max is not None:
         new_k_scale = jax.lax.dynamic_update_slice_in_dim(
             state.k_scale, k_seg_scale[..., None], phase_s, axis=3)
         new_v_scale = jax.lax.dynamic_update_slice_in_dim(

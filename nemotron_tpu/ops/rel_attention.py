@@ -132,9 +132,23 @@ def rel_pos_mha(lp, x, pos_heads, n_heads: int, d_head: int,
     return out, new_k_cache, new_v_cache
 
 
+def unpack_int4(p, dt):
+    """Packed-nibble ring slab [..., Dh/2] int8 -> [..., Dh] in `dt`.
+
+    Two s4 values per byte (the axon backend cannot pass s4 jit ARGUMENTS,
+    so rings cross the jit boundary as int8 and are bitcast to native s4
+    in-program; models/encoder.py packs with the mirror-image bitcast, so
+    the round trip is bit-exact)."""
+    import jax
+
+    nib = jax.lax.bitcast_convert_type(p, jnp.int4)     # [..., Dh/2, 2]
+    return nib.astype(dt).reshape(*p.shape[:-1], p.shape[-1] * 2)
+
+
 def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
                      k_ring, v_ring, pos_perm, mask,
-                     k_scale_cols=None, v_scale_cols=None):
+                     k_scale_cols=None, v_scale_cols=None,
+                     packed_int4: bool = False):
     """Relative-position MHA over a RING-buffered K/V cache.
 
     The streaming hot path. Instead of the reference's shift-window cache
@@ -180,9 +194,14 @@ def rel_pos_mha_ring(lp, x, pos_heads, n_heads: int, d_head: int,
     # int8 rings: the astype is a convert fused into the dot's operand load
     # (reads stay int8); dequant scales are applied to the SCORES (keys,
     # per column) and to the softmax WEIGHTS (values, per column) so no
-    # bf16 ring ever materializes in HBM
-    k_r = k_ring.astype(dt)
-    v_r = v_ring.astype(dt)
+    # bf16 ring ever materializes in HBM. int4 rings arrive nibble-packed
+    # and are expanded in-program (s4 -> dt convert).
+    if packed_int4:
+        k_r = unpack_int4(k_ring, dt)
+        v_r = unpack_int4(v_ring, dt)
+    else:
+        k_r = k_ring.astype(dt)
+        v_r = v_ring.astype(dt)
 
     q_u = q + lp.pos_bias_u.astype(dt)[None, :, None, :]
     q_v = q + lp.pos_bias_v.astype(dt)[None, :, None, :]

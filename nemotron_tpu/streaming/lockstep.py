@@ -376,7 +376,8 @@ class LockstepEngine:
         from ..frontend.device_frontend import FrontendState
 
         z = np.load(path, allow_pickle=True)
-        ring_dtype = jnp.int8 if self.cc.kv_cache_int8 else self.dtype
+        ring_dtype = (jnp.int8 if self.cc.kv_quant_max is not None
+                      else self.dtype)
         self.enc_state = enc_mod.EncoderState(
             k_cache=jnp.asarray(z["enc/k_cache"], ring_dtype),
             v_cache=jnp.asarray(z["enc/v_cache"], ring_dtype),

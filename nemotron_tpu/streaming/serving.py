@@ -814,7 +814,8 @@ class ServingEngine:
 
         z = np.load(path, allow_pickle=True)
         assert z["active"].shape == (self.n_slots,), "n_slots mismatch"
-        ring_dtype = (jnp.int8 if self.cc.kv_cache_int8 else self.dtype)
+        ring_dtype = (jnp.int8 if self.cc.kv_quant_max is not None
+                      else self.dtype)
         self.enc_state = EncoderState(
             k_cache=jnp.asarray(z["enc/k_cache"], ring_dtype),
             v_cache=jnp.asarray(z["enc/v_cache"], ring_dtype),

@@ -117,7 +117,7 @@ def _pinned_for(cfg, cc, masked, enc_state):
 
     if os.environ.get("NEMOTRON_TPU_PIN_LAYOUT", "0") != "1":
         return None
-    if cc.kv_cache_int8:
+    if cc.kv_quant_max is not None:
         return None
     sh = getattr(enc_state.k_cache, "sharding", None)
     if not isinstance(sh, SingleDeviceSharding):
@@ -469,7 +469,8 @@ class StreamSession:
         })
 
     def load_state_dict(self, st: dict) -> None:
-        ring_dtype = (jnp.int8 if self.cc.kv_cache_int8 else self.dtype)
+        ring_dtype = (jnp.int8 if self.cc.kv_quant_max is not None
+                      else self.dtype)
         self.enc_state = enc_mod.EncoderState(
             k_cache=jnp.asarray(st["enc/k_cache"], ring_dtype),
             v_cache=jnp.asarray(st["enc/v_cache"], ring_dtype),

@@ -81,6 +81,10 @@ def main() -> int:
             params_by_mode[m] = (
                 P.cast_params(P.quantize_model_params(base, "w8a8"), dtype),
                 dataclasses.replace(cc, kv_cache_int8=True))
+        elif m == "w8a8-int4kv":
+            params_by_mode[m] = (
+                P.cast_params(P.quantize_model_params(base, "w8a8"), dtype),
+                dataclasses.replace(cc, kv_cache_int4=True))
         else:
             raise SystemExit(f"unknown mode {m}")
 

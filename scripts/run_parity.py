@@ -168,7 +168,9 @@ def main(argv: list[str]) -> int:
                 ("q8_0", P.quantize_model_params(params, "q8_0"), cc),
                 ("w8a8", P.quantize_model_params(params, "w8a8"), cc),
                 ("w8a8+int8kv", P.quantize_model_params(params, "w8a8"),
-                 dataclasses.replace(cc, kv_cache_int8=True))):
+                 dataclasses.replace(cc, kv_cache_int8=True)),
+                ("w8a8+int4kv", P.quantize_model_params(params, "w8a8"),
+                 dataclasses.replace(cc, kv_cache_int4=True))):
             got = run_one(p, ccx, jnp.bfloat16)
             from token_agreement import levenshtein
 

@@ -4,7 +4,7 @@ concurrent streams replaying one or more PCM/WAV files, and report
 aggregate throughput and latency percentiles.
 
     serve.py <model.gguf> <audio.pcm|.wav> [--streams N] [--slots S]
-             [--right-context R] [--quantize w8a8] [--kv-int8]
+             [--right-context R] [--quantize w8a8] [--kv-int8|--kv-int4]
              [--rc-by-layer 13,6,1,0] [--seconds T] [--cpu]
              [--mesh N]            # shard slots over N (virtual) devices
              [--lockstep]          # fused PCM->tokens LockstepEngine path
@@ -73,6 +73,10 @@ def main(argv: list[str]) -> int:
         import dataclasses
 
         cc = dataclasses.replace(cc, kv_cache_int8=True)
+    if "--kv-int4" in argv:
+        import dataclasses
+
+        cc = dataclasses.replace(cc, kv_cache_int8=False, kv_cache_int4=True)
     rc_pat = opt("--rc-by-layer", None, str)
     if rc_pat:
         import dataclasses

@@ -107,6 +107,7 @@ def run_seed(args, cfg, results, seed, audio, truths, base, base_bf16,
     for mode in (int(m) for m in args.modes.split(",")):
         cc = CacheConfig(att_right_context=mode, n_mels=cfg.n_mels)
         cc8 = dataclasses.replace(cc, kv_cache_int8=True)
+        cc4 = dataclasses.replace(cc, kv_cache_int4=True)
         chunk = cc.chunk_samples
 
         ref = run_config(base, cfg, cc, jnp.float32, audio, chunk)
@@ -127,6 +128,7 @@ def run_seed(args, cfg, results, seed, audio, truths, base, base_bf16,
             "dense-bf16": (base_bf16, cc, jnp.bfloat16),
             "w8a8-bf16": (w8a8, cc, jnp.bfloat16),
             "w8a8-int8kv-bf16": (w8a8, cc8, jnp.bfloat16),
+            "w8a8-int4kv-bf16": (w8a8, cc4, jnp.bfloat16),
         }
         if args.configs:
             keep = set(args.configs.split(","))

@@ -178,6 +178,62 @@ def test_int8_kv_ring_accuracy(model_setup, oracle, rng):
         assert np.abs(a - b).max() / denom < 0.02, ci
 
 
+def test_int4_kv_ring_accuracy(model_setup, oracle, rng):
+    """cc.kv_cache_int4 (VERDICT r3 perf lever): nibble-packed rings stay
+    within ~10% of the exact ring across multiple chunks on the tiny gate
+    -- the intrinsic int4 rounding floor (qmax 7: up to ~1/14 of segment
+    amax per element; per-slot scales were measured identical because K/V
+    are LayerNorm'd) for half the bytes. End-task accuracy is gated by
+    scripts/token_agreement.py on trained weights, not this bound."""
+    import dataclasses
+
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=6, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    cc4 = dataclasses.replace(cc, kv_cache_int4=True)
+
+    pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc)
+    step = jax.jit(enc_mod.encode_chunk, static_argnums=(1, 2))
+    st = enc_mod.init_encoder_state(cfg, cc, 1)
+    st4 = enc_mod.init_encoder_state(cfg, cc4, 1)
+    assert st4.k_cache.dtype == jnp.int8
+    assert st4.k_cache.shape[-1] == cfg.d_head // 2      # packed
+
+    for ci in range(4):
+        mel = rng.standard_normal(
+            (1, cc.chunk_mel_frames, cfg.n_mels)).astype(np.float32)
+        out, st = step(params, cfg, cc, jnp.asarray(mel), st, pos_heads)
+        out4, st4 = step(params, cfg, cc4, jnp.asarray(mel), st4, pos_heads)
+        a, b = np.asarray(out), np.asarray(out4)
+        denom = np.abs(a).max() + 1e-9
+        assert np.abs(a - b).max() / denom < 0.10, ci
+
+
+def test_int4_pack_unpack_roundtrip(rng):
+    """The encoder's pack (bitcast s4 pairs -> s8) and the attention
+    unpack are exact mirror images for every representable value."""
+    from nemotron_tpu.ops.rel_attention import unpack_int4
+
+    q = jnp.asarray(rng.integers(-7, 8, (3, 2, 5, 16)), jnp.int8)
+    packed = jax.jit(lambda q: jax.lax.bitcast_convert_type(
+        q.reshape(*q.shape[:-1], q.shape[-1] // 2, 2).astype(jnp.int4),
+        jnp.int8))(q)
+    assert packed.shape == (3, 2, 5, 8) and packed.dtype == jnp.int8
+    back = jax.jit(lambda p: unpack_int4(p, jnp.float32))(packed)
+    np.testing.assert_array_equal(np.asarray(back),
+                                  np.asarray(q, np.float32))
+
+
+def test_int8_int4_mutually_exclusive():
+    import dataclasses
+
+    with pytest.raises(ValueError):
+        CacheConfig(kv_cache_int8=True, kv_cache_int4=True)
+    cc = CacheConfig(kv_cache_int8=True)
+    with pytest.raises(ValueError):
+        dataclasses.replace(cc, kv_cache_int4=True)
+
+
 def test_mixed_ring_phase_poisons_output(model_setup):
     """encode_chunk's lockstep-phase invariant: a direct caller passing
     non-uniform ring phases gets NaN-poisoned output (loud), not silently
