@@ -23,17 +23,35 @@ from .ops.lstm import lstm_step
 from .params import ModelParams
 
 
-def prediction_network(params: ModelParams, cfg: ModelConfig, labels):
+def prediction_network(params: ModelParams, cfg: ModelConfig, labels,
+                       history=None):
     """Run the LSTM prediction network over label prefixes.
 
     labels: [B, U] int32. Returns dec_out [B, U+1, H] where row u is the
     network's output after consuming labels[:u] (row 0 = start state fed
-    the blank token, matching greedy decode's init)."""
+    the blank token, matching greedy decode's init).
+
+    history [B, R] int32 (optional): WARM-UP labels consumed before the
+    utterance -- the returned rows condition on [blank, history, :u].
+    Why: a streaming decoder's LSTM state arrives mid-stream with an
+    arbitrary emission count, but vanilla teacher forcing always starts
+    from count 0, so the prediction network can learn the absolute token
+    count as a feature ("after U_max tokens, always blank") -- measured on
+    the tones task as PERFECT transcription for the first U_max tokens of
+    a continuous stream, then total silence. Varying R across steps makes
+    the count uninformative over the whole serving range. R is static
+    per call (one compiled program per distinct R)."""
     B, U = labels.shape
     dp = params.decoder
     start = jnp.full((B, 1), cfg.blank_token, jnp.int32)
-    tokens = jnp.concatenate([start, labels.astype(jnp.int32)], axis=1)
-    emb = jnp.asarray(dp.embedding)[tokens]                 # [B, U+1, H]
+    parts = [start]
+    R = 0
+    if history is not None and history.shape[1]:
+        R = history.shape[1]
+        parts.append(history.astype(jnp.int32))
+    parts.append(labels.astype(jnp.int32))
+    tokens = jnp.concatenate(parts, axis=1)                 # [B, 1+R+U]
+    emb = jnp.asarray(dp.embedding)[tokens]
 
     h = jnp.zeros((B, cfg.decoder_layers, cfg.decoder_dim), emb.dtype)
     c = jnp.zeros_like(h)
@@ -44,12 +62,14 @@ def prediction_network(params: ModelParams, cfg: ModelConfig, labels):
         return (h, c), out
 
     _, outs = jax.lax.scan(step, (h, c), jnp.swapaxes(emb, 0, 1))
-    return jnp.swapaxes(outs, 0, 1)                         # [B, U+1, H]
+    outs = jnp.swapaxes(outs, 0, 1)                         # [B, 1+R+U, H]
+    # row R = state after [blank, history] = conditioning for label 0
+    return outs[:, R:, :]                                   # [B, U+1, H]
 
 
 def transducer_logits(params: ModelParams, cfg: ModelConfig, mel, labels,
                       remat: bool = False, enc_lengths=None,
-                      att_chunk: int | None = None):
+                      att_chunk: int | None = None, history=None):
     """Full-lattice joint logits [B, T, U+1, V] for training.
 
     enc_lengths [B] (encoder frames): masks attention beyond each
@@ -63,7 +83,8 @@ def transducer_logits(params: ModelParams, cfg: ModelConfig, mel, labels,
     enc = encode_batch(params, cfg, mel, remat=remat,
                        enc_lengths=enc_lengths,
                        att_chunk=att_chunk)                  # [B, T, D]
-    dec = prediction_network(params, cfg, labels)           # [B, U+1, H]
+    dec = prediction_network(params, cfg, labels,
+                             history=history)               # [B, U+1, H]
     jp = params.joint
     enc_p = joint_project_enc(jp, enc)                      # [B, T, J]
     dec_p = dec @ jp.dec_w.astype(dec.dtype) + jp.dec_b.astype(dec.dtype)
@@ -79,11 +100,15 @@ def loss_fn(params: ModelParams, cfg: ModelConfig, batch,
             delay_penalty: float = 0.0):
     """Mean RNN-T loss over a batch dict with keys
     mel [B, Tm, n_mels], labels [B, U], mel_lengths [B] (in encoder
-    frames), label_lengths [B]. delay_penalty: see losses/rnnt.py."""
+    frames), label_lengths [B], and optionally history [B, R] decoder
+    warm-up labels (see prediction_network: breaks the absolute-count
+    shortcut so the model keeps transcribing on unbounded streams).
+    delay_penalty: see losses/rnnt.py."""
     logits = transducer_logits(params, cfg, batch["mel"], batch["labels"],
                                remat=remat,
                                enc_lengths=batch["mel_lengths"],
-                               att_chunk=att_chunk)
+                               att_chunk=att_chunk,
+                               history=batch.get("history"))
     losses = rnnt_loss(logits, batch["labels"], batch["mel_lengths"],
                        batch["label_lengths"], blank=cfg.blank_token,
                        delay_penalty=delay_penalty)

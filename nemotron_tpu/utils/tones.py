@@ -142,7 +142,8 @@ class TonesSampler:
                  n_mels: int, n_tones: int, tones_per_utt: int, batch: int,
                  seed: int = 0,
                  dur_range: tuple[float, float] = (0.20, 0.32),
-                 tones_per_utt_min: int | None = None):
+                 tones_per_utt_min: int | None = None,
+                 history_max: int = 0):
         from ..config import PreprocessorConfig
         from ..frontend.preprocessor import StreamingPreprocessor
 
@@ -157,6 +158,17 @@ class TonesSampler:
         self.tones_per_utt_min = (tones_per_utt if tones_per_utt_min is None
                                   else tones_per_utt_min)
         assert 1 <= self.tones_per_utt_min <= tones_per_utt
+        # Decoder-history warm-up (round-3 finding #2): variable utterance
+        # length alone only MOVES the count cliff to U_max -- the trained
+        # model transcribed a continuous stream perfectly for exactly
+        # U_max tokens, then fell silent forever (the LSTM prediction
+        # network learns absolute emission count). history_max > 0 adds
+        # R ~ {0, 64, ..., history_max} random warm-up labels per STEP
+        # (training.prediction_network consumes them before the utterance)
+        # so P(emit | count) is flat over the whole serving range. R is
+        # constant within a step (static shapes; one program per R).
+        self.history_max = history_max
+        assert history_max % 64 == 0, "history_max must be a multiple of 64"
         self.batch = batch
         self.dur_range = dur_range
         self.n_samples = int((dur_range[1] + GAP_RANGE[1]) * tones_per_utt
@@ -187,13 +199,19 @@ class TonesSampler:
         mel = self._pre.process(audio)
         sig = ((durs + gaps).sum(axis=1) * SAMPLE_RATE).astype(np.int64)
         mel_valid = np.minimum(sig // 160 + 1, mel.shape[1])
-        return {
+        out = {
             "mel": np.asarray(mel, np.float32),
             "labels": labels.astype(np.int32),
             "mel_lengths": np.array([enc_frames_of_mel(int(t))
                                      for t in mel_valid], np.int32),
             "label_lengths": u_lens.astype(np.int32),
         }
+        if self.history_max:
+            R = int(rng.integers(0, self.history_max // 64 + 1)) * 64
+            if R:
+                out["history"] = rng.integers(0, self.n_tones,
+                                              (B, R)).astype(np.int32)
+        return out
 
 
 def make_eval_streams(n_streams: int, seconds: float, n_tones: int,

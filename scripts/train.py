@@ -6,7 +6,8 @@ reference engine is inference-only).
              [--model-parallel M] [--remat] [--save out.gguf]
              [--checkpoint ck.npz] [--resume ck.npz] [--cpu]
              [--task memorize|tones] [--tones N] [--utt-tones U]
-             [--utt-tones-min M] [--pool N] [--val N] [--prefetch K]
+             [--utt-tones-min M] [--history-max R] [--pool N]
+             [--val N] [--prefetch K]
              [--att-chunks 14,1] [--eval-every N] [--seed S]
 
 Two built-in data plumbings:
@@ -157,6 +158,10 @@ def main(argv: list[str]) -> int:
         # silences it on continuous serving streams (utils/tones.py)
         utt_tones_min = opt_val("--utt-tones-min",
                                 max(1, utt_tones // 3), int)
+        # decoder warm-up history (utils/tones.py TonesSampler.history_max):
+        # without it the prediction network learns the absolute emission
+        # count and falls silent after U_max tokens on continuous streams
+        hist_max = opt_val("--history-max", 192, int)
         # --pool 0 (default) = FRESH audio every step. A fixed pool is kept
         # only for overfit/debug runs: the lattice teacher-forces label
         # prefixes, so a reused pool lets the prediction network identify
@@ -238,7 +243,8 @@ def main(argv: list[str]) -> int:
         execs = [concurrent.futures.ThreadPoolExecutor(1) for _ in range(K)]
         samplers = [tones.TonesSampler(fb, win, cfg.n_mels, n_tones,
                                        utt_tones, batch, seed=seed + 1,
-                                       tones_per_utt_min=utt_tones_min)
+                                       tones_per_utt_min=utt_tones_min,
+                                       history_max=hist_max)
                     for _ in range(K)]
         pending: dict = {}
 

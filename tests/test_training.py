@@ -243,3 +243,64 @@ def test_tones_sampler_fresh_and_deterministic():
     b0c = s1.sample(0)
     np.testing.assert_allclose(b0["mel"], b0c["mel"], atol=1e-6)
     np.testing.assert_array_equal(b0["mel_lengths"], b0b["mel_lengths"])
+
+
+def test_prediction_network_history_warmup(model_setup):
+    """Decoder-history warm-up (training.prediction_network history=):
+    row u of the output must equal running the plain network over
+    [history ++ labels] and reading row R+u -- i.e. the warm-up is exactly
+    'the decoder already consumed R labels', nothing else. R=0 / None are
+    identical. Why it exists: without it the prediction network learns
+    absolute emission count and goes silent after U_max tokens on
+    continuous serving streams (measured; see utils/tones.py)."""
+    from nemotron_tpu import training as T
+
+    _, params, cfg = model_setup
+    rng = np.random.default_rng(3)
+    B, U, R = 2, 4, 6
+    labels = jnp.asarray(rng.integers(0, cfg.vocab_size - 1, (B, U)),
+                         jnp.int32)
+    hist = jnp.asarray(rng.integers(0, cfg.vocab_size - 1, (B, R)),
+                       jnp.int32)
+
+    out = T.prediction_network(params, cfg, labels, history=hist)
+    assert out.shape[1] == U + 1
+
+    # reference: run WITHOUT history over the concatenated sequence
+    full = T.prediction_network(params, cfg,
+                                jnp.concatenate([hist, labels], axis=1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full[:, R:, :]),
+                               atol=1e-6)
+
+    # None == zero-width history
+    out0 = T.prediction_network(params, cfg, labels, history=None)
+    outz = T.prediction_network(params, cfg, labels,
+                                history=jnp.zeros((B, 0), jnp.int32))
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(outz))
+
+
+def test_tones_sampler_history():
+    """history_max: R is a multiple of 64 in [0, max], constant within a
+    step, deterministic in (seed, step), and hits several distinct values
+    across steps (the variability is the point)."""
+    from nemotron_tpu.frontend.preprocessor import mel_filterbank_slaney
+    from nemotron_tpu.utils.tones import TonesSampler
+
+    fb = mel_filterbank_slaney(32).astype(np.float32)
+    win = np.hanning(400).astype(np.float32)
+    s1 = TonesSampler(fb, win, n_mels=32, n_tones=8, tones_per_utt=3,
+                      batch=2, seed=11, dur_range=(0.10, 0.14),
+                      history_max=192)
+    s2 = TonesSampler(fb, win, n_mels=32, n_tones=8, tones_per_utt=3,
+                      batch=2, seed=11, dur_range=(0.10, 0.14),
+                      history_max=192)
+    widths = set()
+    for i in range(12):
+        b1, b2 = s1.sample(i), s2.sample(i)
+        w = b1.get("history", np.zeros((2, 0))).shape[1]
+        assert w % 64 == 0 and w <= 192
+        widths.add(w)
+        if w:
+            np.testing.assert_array_equal(b1["history"], b2["history"])
+            assert b1["history"].min() >= 0 and b1["history"].max() < 8
+    assert len(widths) >= 3
