@@ -49,7 +49,8 @@ def _warn_pallas_fallback(reason: str) -> None:
 
 def conformer_layer(lp: ConformerLayerParams, x, pos_heads, mask=None,
                     kv_cache=None, conv_cache=None, ring=None,
-                    ring_fused=None, *, n_heads: int, d_head: int):
+                    ring_fused=None, *, n_heads: int, d_head: int,
+                    ln_capture: dict | None = None):
     """One conformer layer (residual structure:
     reference src/nemo-ggml.cpp:768-813). Returns
     (y, new_k_cache, new_v_cache, new_conv_cache).
@@ -62,9 +63,13 @@ def conformer_layer(lp: ConformerLayerParams, x, pos_heads, mask=None,
     legacy shift-window path (kept for differential testing)."""
     r = x
     cur = layer_norm(r, lp.norm_ff1_w, lp.norm_ff1_b)
+    if ln_capture is not None:
+        ln_capture["norm_ff1"] = cur
     r = r + 0.5 * ffn(cur, lp.ffn1_w1, lp.ffn1_w2)
 
     cur = layer_norm(r, lp.norm_attn_w, lp.norm_attn_b)
+    if ln_capture is not None:
+        ln_capture["norm_attn"] = cur
     if ring_fused is not None:
         (l, k_all, v_all, pos_perm, k_cols, v_cols, block_b,
          interpret) = ring_fused
@@ -84,10 +89,14 @@ def conformer_layer(lp: ConformerLayerParams, x, pos_heads, mask=None,
     r = r + attn
 
     cur = layer_norm(r, lp.norm_conv_w, lp.norm_conv_b)
+    if ln_capture is not None:
+        ln_capture["norm_conv"] = cur
     conv, new_conv = conformer_conv_module(lp, cur, conv_cache)
     r = r + conv
 
     cur = layer_norm(r, lp.norm_ff2_w, lp.norm_ff2_b)
+    if ln_capture is not None:
+        ln_capture["norm_ff2"] = cur
     r = r + 0.5 * ffn(cur, lp.ffn2_w1, lp.ffn2_w2)
 
     return layer_norm(r, lp.norm_final_w, lp.norm_final_b), new_k, new_v, new_conv

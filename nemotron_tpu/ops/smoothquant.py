@@ -1,0 +1,139 @@
+"""SmoothQuant-style activation->weight difficulty migration for W8A8.
+
+The W8A8 serving path quantizes activations per token (ops/quant.py
+`qmm_w8a8`): one abs-max scale per row. A single outlier channel in a
+LayerNorm output therefore crushes the resolution of every other channel
+in that token. SmoothQuant (Xiao et al., 2022) migrates that difficulty
+into the weights, exploiting that the four quantized-matmul inputs in a
+conformer layer are LayerNorm outputs with per-channel affine params:
+
+    y = LN(x) * gamma + beta          (feeds W)
+    y @ W == (y / s) @ (s * W)        for any per-channel s > 0
+
+so dividing (gamma, beta) by s and multiplying the matmul weight ROWS by
+s is EXACT in float and changes only the int8 rounding behavior. With
+    s_j = amax_act_j^alpha / amax_w_j^(1-alpha)
+activation outliers shrink (easier per-token int8) while the weight
+columns absorb them (weights are quantized per output column and tolerate
+per-row rescaling well).
+
+Fold sites (see models/encoder.py `conformer_layer`):
+    norm_ff1  -> ffn1_w1
+    norm_attn -> attn_q_w, attn_k_w, attn_v_w   (ONE shared s: qmm_shared
+                 quantizes the activation once for all three)
+    norm_conv -> conv_pw1_w
+    norm_ff2  -> ffn2_w1
+
+NOT foldable (input is not a LayerNorm output): ffn*_w2 (SiLU output),
+attn_out_w (attention context), conv_pw2_w (SiLU output), attn_pos_w
+(positional encodings, not activations).
+
+Calibration runs the real batch encoder layer code (`conformer_layer`
+with `ln_capture`) over representative audio, so the statistics can never
+drift from the serving graph. The reference has no quantized-activation
+path at all (its Q8_0/Q4_0 are weight-only, dequantized in ggml mul_mat,
+/root/reference/src/nemo-ggml.cpp:187-247); this lever exists to defend
+the beyond-reference W8A8 throughput headline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (LN param prefix, matmul weights fed by that LN output)
+FOLD_SITES = (
+    ("norm_ff1", ("ffn1_w1",)),
+    ("norm_attn", ("attn_q_w", "attn_k_w", "attn_v_w")),
+    ("norm_conv", ("conv_pw1_w",)),
+    ("norm_ff2", ("ffn2_w1",)),
+)
+
+
+def calibrate_ln_amax(params, cfg, mel, att_chunk: int | None = None,
+                      att_left: int = 70) -> dict:
+    """Per-channel abs-max of every fold-site LayerNorm output.
+
+    Runs the batch encoder (optionally with streaming-equivalent chunked
+    attention, matching serving visibility) eagerly, one layer at a time,
+    capturing LN outputs via `conformer_layer(ln_capture=...)`.
+
+    params: DENSE (unquantized) model params. mel: [B, T, n_mels] f32.
+    Returns {site: np.ndarray [L, D]} of abs-max per layer per channel.
+    """
+    from ..models.encoder import conformer_layer
+    from ..ops.conv import conv_subsampling
+    from ..ops.rel_attention import pos_emb_descending, project_pos
+
+    x = conv_subsampling(params.subsampling, jnp.asarray(mel, jnp.float32))
+    Tp = x.shape[1]
+    pos = jnp.asarray(pos_emb_descending(Tp, cfg.d_model), dtype=x.dtype)
+    mask = None
+    if att_chunk is not None:
+        i = jnp.arange(Tp, dtype=jnp.int32)
+        start = (i // att_chunk) * att_chunk
+        j = jnp.arange(Tp, dtype=jnp.int32)
+        vis = ((j[None, :] < start[:, None] + att_chunk)
+               & (j[None, :] >= start[:, None] - att_left))
+        mask = jnp.where(vis, 0.0, jnp.float32(-1e9))[None, None]
+
+    L = cfg.n_layers
+    amax = {site: np.zeros((L, cfg.d_model), np.float32)
+            for site, _ in FOLD_SITES}
+    for l in range(L):
+        lp = jax.tree_util.tree_map(lambda a: a[l], params.layers)
+        pos_heads = project_pos(lp.attn_pos_w, pos, cfg.n_heads, cfg.d_head)
+        cap: dict = {}
+        x, _, _, _ = conformer_layer(lp, x, pos_heads, mask=mask,
+                                     n_heads=cfg.n_heads, d_head=cfg.d_head,
+                                     ln_capture=cap)
+        for site, _ in FOLD_SITES:
+            amax[site][l] = np.asarray(
+                jnp.max(jnp.abs(cap[site]), axis=(0, 1)), np.float32)
+    return amax
+
+
+def smooth_params(params, amax: dict, alpha: float = 0.5,
+                  s_clip: float = 100.0):
+    """Fold per-channel smoothing scales into the model (EXACT in float).
+
+    amax: output of `calibrate_ln_amax`. alpha: migration strength
+    (0 = no migration, 1 = all difficulty onto the weights; 0.5 is the
+    SmoothQuant default). Returns new DENSE params; quantize afterwards
+    with `params.quantize_model_params(..., mode='w8a8')`.
+    """
+    layers = params.layers
+    updates: dict = {}
+    for site, weight_names in FOLD_SITES:
+        ws = [np.asarray(getattr(layers, w), np.float32)
+              for w in weight_names]                     # each [L, D, out]
+        a = np.asarray(amax[site], np.float32)           # [L, D]
+        w_amax = np.max(np.abs(np.concatenate(ws, axis=-1)), axis=-1)
+        s = (np.maximum(a, 1e-5) ** alpha
+             / np.maximum(w_amax, 1e-5) ** (1.0 - alpha))
+        s = np.clip(s, 1.0 / s_clip, s_clip)             # [L, D]
+        g = np.asarray(getattr(layers, site + "_w"), np.float32)
+        b = np.asarray(getattr(layers, site + "_b"), np.float32)
+        updates[site + "_w"] = g / s
+        updates[site + "_b"] = b / s
+        for name, w in zip(weight_names, ws):
+            updates[name] = w * s[..., :, None]
+    return dataclasses.replace(
+        params, layers=dataclasses.replace(layers, **updates))
+
+
+def smooth_quantize(params, cfg, mel, alpha: float = 0.5,
+                    att_chunk: int | None = None):
+    """Calibrate + fold + W8A8-quantize in one call.
+
+    params must be dense f32. Returns W8A8 params whose f32 (pre-rounding)
+    function is identical to the input's.
+    """
+    from ..params import quantize_model_params
+
+    a = calibrate_ln_amax(params, cfg, mel, att_chunk=att_chunk)
+    return quantize_model_params(smooth_params(params, a, alpha=alpha),
+                                 mode="w8a8")

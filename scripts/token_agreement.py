@@ -87,8 +87,30 @@ def run_config(params, cfg, cc, dtype, audio, chunk_samples) -> list[list[int]]:
     return [[t for t, _f in sess.get_tokens(s)] for s in range(S)]
 
 
+def make_w8a8_sq(host_base, cfg, calib_audio, att_chunk=None):
+    """SmoothQuant-folded W8A8 params (ops/smoothquant.py), calibrated on a
+    held-out audio clip run through the real mel frontend."""
+    import jax.numpy as jnp
+
+    from nemotron_tpu import params as P
+    from nemotron_tpu.config import PreprocessorConfig
+    from nemotron_tpu.frontend.preprocessor import StreamingPreprocessor
+    from nemotron_tpu.ops.smoothquant import smooth_quantize
+
+    pre = StreamingPreprocessor(
+        np.asarray(host_base.preprocessor.filterbank),
+        np.asarray(host_base.preprocessor.window),
+        n_streams=calib_audio.shape[0],
+        cfg=PreprocessorConfig(n_mels=cfg.n_mels))
+    mel = pre.process(calib_audio)
+    return P.cast_params(
+        smooth_quantize(P.cast_params(host_base, jnp.float32), cfg, mel,
+                        att_chunk=att_chunk),
+        jnp.bfloat16)
+
+
 def run_seed(args, cfg, results, seed, audio, truths, base, base_bf16,
-             w8a8) -> None:
+             w8a8, w8a8_sq=None) -> None:
     """Evaluate every (latency mode x serving config) on one seed's audio.
 
     Agreement is vs the dense-f32 decode; when `truths` (ground-truth label
@@ -130,6 +152,9 @@ def run_seed(args, cfg, results, seed, audio, truths, base, base_bf16,
             "w8a8-int8kv-bf16": (w8a8, cc8, jnp.bfloat16),
             "w8a8-int4kv-bf16": (w8a8, cc4, jnp.bfloat16),
         }
+        if w8a8_sq is not None:
+            configs["w8a8-sq-bf16"] = (w8a8_sq, cc, jnp.bfloat16)
+            configs["w8a8-sq-int8kv-bf16"] = (w8a8_sq, cc8, jnp.bfloat16)
         if args.configs:
             keep = set(args.configs.split(","))
             configs = {k: v for k, v in configs.items() if k in keep}
@@ -225,8 +250,15 @@ def main() -> int:
             w8a8 = P.cast_params(
                 P.quantize_model_params(host_base, mode="w8a8"),
                 jnp.bfloat16)
+            if args.tones is not None:
+                cal_audio, _ = tones_mod.make_eval_streams(
+                    2, min(args.seconds, 20.0), args.tones, seed=999)
+            else:
+                cal_audio = np.stack([synth_audio(min(n, 320000), 990 + s)
+                                      for s in range(2)])
+            w8a8_sq = make_w8a8_sq(host_base, cfg, cal_audio)
             run_seed(args, cfg, results, seed, audio, truths, base,
-                     base_bf16, w8a8)
+                     base_bf16, w8a8, w8a8_sq)
             continue
         arrays = P.random_weight_arrays(cfg, seed=seed)
 
@@ -295,9 +327,12 @@ def main() -> int:
         base_bf16 = P.cast_params(host_base, jnp.bfloat16)
         w8a8 = P.cast_params(P.quantize_model_params(host_base, mode="w8a8"),
                              jnp.bfloat16)
+        cal_audio = np.stack([synth_audio(min(n, 320000), 990 + s)
+                              for s in range(2)])
+        w8a8_sq = make_w8a8_sq(host_base, cfg, cal_audio)
 
         run_seed(args, cfg, results, seed, audio, truths, base, base_bf16,
-                 w8a8)
+                 w8a8, w8a8_sq)
 
     summary = {}
     for k, v in results.items():
