@@ -6,7 +6,8 @@ src/transcribe_stream.cpp:27-36):
 
     transcribe_stream.py <model.gguf> <audio.pcm|.wav|-|--stdin> [chunk_ms]
                          [right_context] [--cpu|--tpu] [--timestamps]
-                         [--profile=DIR] [--trace=DIR] [--quantize=q8_0|w8a8]
+                         [--profile=DIR] [--trace=DIR]
+                         [--quantize=q8_0|w8a8|w8a8-sq] [--calib=FILE]
                          [--kv-int8|--kv-int4] [--rc-by-layer=13,6,1,0] [--beam=K]
 
   - input: raw s16le 16 kHz mono PCM file, or '-' / '--stdin' for stdin
@@ -71,14 +72,21 @@ def main(argv: list[str]) -> int:
         print(f"error: model file not found: {model_path}", file=sys.stderr)
         return 1
     try:
-        params, cfg, vocab = load_model(model_path)
+        # SmoothQuant needs the DENSE weights to fold scales into
+        params, cfg, vocab = load_model(
+            model_path, keep_quantized=quant_mode != "w8a8-sq")
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
-    if quant_mode:
+    if quant_mode and quant_mode != "w8a8-sq":
         from nemotron_tpu.params import quantize_model_params
 
-        params = quantize_model_params(params, mode=quant_mode)
+        try:
+            params = quantize_model_params(params, mode=quant_mode)
+        except KeyError:
+            print(f"error: unknown --quantize mode '{quant_mode}' "
+                  "(expected q8_0, w8a8 or w8a8-sq)", file=sys.stderr)
+            return 1
         print(f"runtime quantization: {quant_mode}", file=sys.stderr)
     cc = CacheConfig(att_right_context=right_context, n_mels=cfg.n_mels)
     if "--kv-int8" in flags:
@@ -105,6 +113,43 @@ def main(argv: list[str]) -> int:
                 print(f"error: {e}", file=sys.stderr)
                 return 1
             print(f"per-layer right context: {pat}", file=sys.stderr)
+    if quant_mode == "w8a8-sq":
+        # SmoothQuant: per-channel activation->weight migration folded into
+        # the LN affine params (exact in f32; ops/smoothquant.py), calibrated
+        # on audio, then W8A8-quantized. Calibrates on the input file's head
+        # unless --calib=FILE names a separate clip (required for stdin).
+        calib_path = None
+        for f in flags:
+            if f.startswith("--calib="):
+                calib_path = f.split("=", 1)[1]
+        if calib_path is None and audio_path not in ("-", "--stdin"):
+            calib_path = audio_path
+        if calib_path is None:
+            print("error: --quantize=w8a8-sq with stdin input needs "
+                  "--calib=FILE (a representative audio clip)",
+                  file=sys.stderr)
+            return 1
+        import numpy as np
+
+        from nemotron_tpu.config import PreprocessorConfig
+        from nemotron_tpu.frontend.preprocessor import StreamingPreprocessor
+        from nemotron_tpu.ops.smoothquant import smooth_quantize
+        from nemotron_tpu.utils.audio import read_audio_file
+
+        calib_audio = read_audio_file(calib_path)[: 20 * 16000]
+        pre = StreamingPreprocessor(
+            np.asarray(params.preprocessor.filterbank),
+            np.asarray(params.preprocessor.window), n_streams=1,
+            cfg=PreprocessorConfig(n_mels=cfg.n_mels))
+        mel = pre.process(calib_audio)
+        if mel.shape[1] == 0:
+            print(f"error: calibration clip {calib_path} too short",
+                  file=sys.stderr)
+            return 1
+        params = smooth_quantize(params, cfg, mel,
+                                 att_chunk=cc.chunk_enc_len)
+        print(f"runtime quantization: w8a8-sq (calibrated on "
+              f"{mel.shape[1]} mel frames of {calib_path})", file=sys.stderr)
     print(f"config: chunk={cc.chunk_mel_frames} mel frames "
           f"({cc.latency_ms} ms), shift={cc.shift_mel_frames}, "
           f"valid_out={cc.valid_out_len}, left_context={cc.att_left_context}",

@@ -98,3 +98,45 @@ def test_wav_decoding(tmp_path):
     p = str(tmp_path / "a.wav")
     open(p, "wb").write(wav_bytes(pcm))
     np.testing.assert_array_equal(read_audio_file(p), pcm)
+
+
+def test_stream_cli_w8a8_sq(model_file, tmp_path):
+    """--quantize=w8a8-sq: SmoothQuant calibration on the input clip, then
+    W8A8 decode; transcript must match the dense run on this easy fixture."""
+    path, cfg = model_file
+    rng = np.random.default_rng(2)
+    audio = (rng.standard_normal(17 * 160 * 4) * 8000).astype(np.int16)
+    pcm = tmp_path / "a.pcm"
+    audio.tofile(pcm)
+    dense = run_cli("transcribe_stream.py", [path, str(pcm), "170", "0",
+                                             "--cpu"])
+    sq = run_cli("transcribe_stream.py", [path, str(pcm), "170", "0",
+                                          "--cpu", "--quantize=w8a8-sq"])
+    assert sq.returncode == 0, sq.stderr.decode()
+    assert "w8a8-sq (calibrated on" in sq.stderr.decode()
+    assert sq.stdout == dense.stdout
+
+    # stdin without --calib must fail with a clean one-line error
+    r = run_cli("transcribe_stream.py", [path, "--stdin", "170", "0",
+                                         "--cpu", "--quantize=w8a8-sq"],
+                stdin=audio.tobytes())
+    assert r.returncode == 1
+    assert b"--calib" in r.stderr
+
+    # stdin WITH --calib works
+    r = run_cli("transcribe_stream.py", [path, "--stdin", "170", "0",
+                                         "--cpu", "--quantize=w8a8-sq",
+                                         f"--calib={pcm}"],
+                stdin=audio.tobytes())
+    assert r.returncode == 0, r.stderr.decode()
+
+
+def test_stream_cli_bad_quantize_mode(model_file, tmp_path):
+    path, cfg = model_file
+    audio = np.zeros(17 * 160, np.int16)
+    pcm = tmp_path / "a.pcm"
+    audio.tofile(pcm)
+    r = run_cli("transcribe_stream.py", [path, str(pcm), "170", "0",
+                                         "--cpu", "--quantize=bogus"])
+    assert r.returncode == 1
+    assert b"unknown --quantize mode" in r.stderr
