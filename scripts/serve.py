@@ -65,10 +65,32 @@ def main(argv: list[str]) -> int:
     from nemotron_tpu.streaming.serving import ServingEngine
     from nemotron_tpu.utils.audio import read_audio_file
 
-    params, cfg, vocab = load_model(args[0])
-    if quant_mode:
-        params = quantize_model_params(params, mode=quant_mode)
+    params, cfg, vocab = load_model(
+        args[0], keep_quantized=quant_mode != "w8a8-sq")
     cc = CacheConfig(att_right_context=R, n_mels=cfg.n_mels)
+    if quant_mode == "w8a8-sq":
+        # SmoothQuant: calibrate on the serving audio itself (exact fold in
+        # f32 + W8A8; ops/smoothquant.py)
+        from nemotron_tpu.config import PreprocessorConfig
+        from nemotron_tpu.frontend.preprocessor import StreamingPreprocessor
+        from nemotron_tpu.ops.smoothquant import smooth_quantize
+
+        pre = StreamingPreprocessor(
+            np.asarray(params.preprocessor.filterbank),
+            np.asarray(params.preprocessor.window), n_streams=1,
+            cfg=PreprocessorConfig(n_mels=cfg.n_mels))
+        mel = pre.process(read_audio_file(args[1])[: 20 * 16000])
+        params = smooth_quantize(params, cfg, mel,
+                                 att_chunk=cc.chunk_enc_len)
+        print(f"w8a8-sq: calibrated on {mel.shape[1]} mel frames",
+              file=sys.stderr)
+    elif quant_mode:
+        try:
+            params = quantize_model_params(params, mode=quant_mode)
+        except KeyError:
+            print(f"error: unknown --quantize mode '{quant_mode}'",
+                  file=sys.stderr)
+            return 1
     if "--kv-int8" in argv:
         import dataclasses
 

@@ -149,6 +149,20 @@ def test_serve_demo(tiny_gguf, tmp_path):
     assert "[slot 0]" in r.stdout
 
 
+def test_serve_demo_w8a8_sq(tiny_gguf, tmp_path):
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(24000) * 8000).astype("<i2")
+    audio = str(tmp_path / "q.pcm")
+    pcm.tofile(audio)
+    r = run_script("serve.py", tiny_gguf, audio, "--streams", "2",
+                   "--slots", "2", "--right-context", "1",
+                   "--seconds", "2", "--cpu", "--quantize", "w8a8-sq",
+                   timeout=400)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "w8a8-sq: calibrated on" in r.stderr
+    assert "aggregate real-time" in r.stderr
+
+
 def test_serve_demo_mesh(tiny_gguf, tmp_path):
     rng = np.random.default_rng(0)
     pcm = (rng.standard_normal(24000) * 8000).astype("<i2")
