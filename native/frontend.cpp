@@ -94,6 +94,11 @@ struct Frontend {
 
     std::vector<float> window;       // [n_fft] zero-padded
     std::vector<float> filterbank;   // [n_mels, n_freqs]
+    // Mel filters are triangles: ~1.5% of each row is nonzero. Per-row
+    // [k0, k1) nonzero bands skip the leading/trailing zeros -- bit-exact
+    // vs the dense accumulation (adding +0.0f is the identity) and ~10x
+    // less work in the serving hot loop.
+    std::vector<int> fb_k0, fb_k1;   // [n_mels]
     FFT fft;
 
     // per-stream state
@@ -135,6 +140,16 @@ void* nemo_frontend_create(int n_streams, int n_fft, int win_length, int hop,
     f->log_zero_guard = log_zero_guard;
     f->window.assign(window, window + n_fft);
     f->filterbank.assign(filterbank, filterbank + (size_t)n_mels * f->n_freqs);
+    f->fb_k0.assign(n_mels, 0);
+    f->fb_k1.assign(n_mels, 0);
+    for (int m = 0; m < n_mels; ++m) {
+        const float* fb = f->filterbank.data() + (size_t)m * f->n_freqs;
+        int k0 = 0, k1 = f->n_freqs;
+        while (k0 < k1 && fb[k0] == 0.0f) ++k0;
+        while (k1 > k0 && fb[k1 - 1] == 0.0f) --k1;
+        f->fb_k0[m] = k0;
+        f->fb_k1[m] = k1;
+    }
     f->fft.init(n_fft);
     f->last_sample.assign(n_streams, 0.0f);
     f->residue.resize(n_streams);
@@ -207,12 +222,14 @@ int process_stream(Frontend* f, int s, const int16_t* in, int n_samples,
         f->fft.run(re.data(), im.data());
         for (int k = 0; k < n_freqs; ++k)
             power[k] = re[k] * re[k] + im[k] * im[k];
-        // mel = log(fb @ power + guard)
+        // mel = log(fb @ power + guard), banded over each row's nonzero
+        // support (bit-exact vs dense: the skipped terms are +0.0f adds)
         float* row = mel_out + (size_t)t * n_mels;
         for (int m = 0; m < n_mels; ++m) {
             const float* fb = f->filterbank.data() + (size_t)m * n_freqs;
             float acc = 0.0f;
-            for (int k = 0; k < n_freqs; ++k) acc += fb[k] * power[k];
+            const int k1 = f->fb_k1[m];
+            for (int k = f->fb_k0[m]; k < k1; ++k) acc += fb[k] * power[k];
             row[m] = std::log(acc + f->log_zero_guard);
         }
     }
