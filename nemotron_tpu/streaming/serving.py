@@ -310,12 +310,18 @@ class ServingEngine:
         #             mel in one call, per-slot residue state in C++;
         #   numpy  -- per-slot framing, FFT/mel FLOPs batched across fed
         #             slots into one scipy/BLAS spectral call per tick.
-        # auto = native when the shared library builds/loads.
+        # auto = 'device' on an accelerator backend (measured: the ragged
+        # tick is real-time at 768 slots with on-device DSP while a host
+        # core doing hundreds of FFT streams is the bottleneck --
+        # docs/PERFORMANCE.md round-3 engine table), else 'native' when the
+        # shared library builds/loads (falling back to numpy).
         self.native_fe = None
         self.preprocs: list[StreamingPreprocessor] = []
         self.dsp_mode = None
         pcfg = PreprocessorConfig(n_mels=cfg.n_mels)
         self._pcfg = pcfg
+        if dsp == "auto" and jax.default_backend() != "cpu":
+            dsp = "device"
         if dsp == "device":
             # ON-DEVICE DSP (the lockstep fused tick, masked for ragged
             # rates): host stages raw i16 PCM per slot and the whole

@@ -209,6 +209,8 @@ def main() -> int:
         fn = {"lockstep": bench_lockstep,
               "lockstep-pipe": bench_lockstep_pipelined,
               "engine": bench_engine,
+              "engine-native": functools.partial(bench_engine,
+                                                 dsp="native"),
               "engine-numpy": functools.partial(bench_engine, dsp="numpy"),
               "engine-device": functools.partial(bench_engine,
                                                  dsp="device")}[mode]

@@ -1122,3 +1122,18 @@ def test_device_dsp_beam_matches_host_beam(model_setup, cc):
     t_dev = dev.refresh_transcripts()[s_d]
     t_host = host.refresh_transcripts()[s_h]
     assert t_dev == t_host
+
+
+def test_dsp_auto_resolution(model_setup, cc, monkeypatch):
+    """auto -> 'device' on accelerator backends, host DSP on CPU (the
+    measured round-3 default: docs/PERFORMANCE.md engine table)."""
+    # on the CPU test backend auto must stay a host-DSP mode
+    eng = make_engine(model_setup, cc)
+    assert eng.dsp_mode != "device"
+
+    # pretend we're on an accelerator: auto must pick the device path
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    _, params, cfg = model_setup
+    eng2 = ServingEngine(params, cfg, None, cc, n_slots=2,
+                         compute_dtype=jnp.float32)
+    assert eng2.dsp_mode == "device"
