@@ -8,8 +8,9 @@ aggregate throughput and latency percentiles.
              [--rc-by-layer 13,6,1,0] [--seconds T] [--cpu]
              [--mesh N]            # shard slots over N (virtual) devices
              [--lockstep]          # fused PCM->tokens LockstepEngine path
-             [--dsp auto|native|numpy|device]   # engine host-DSP backend
-                                   # (device = DSP fused into the step)
+             [--dsp auto|native|numpy|device]   # engine DSP backend
+                                   # (device = DSP fused into the step;
+                                   # auto = device on TPU, native on CPU)
              [--beam K]            # on-device beam search per tick
                                    # (greedy-only in the reference)
 
