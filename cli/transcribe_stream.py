@@ -7,7 +7,8 @@ src/transcribe_stream.cpp:27-36):
     transcribe_stream.py <model.gguf> <audio.pcm|.wav|-|--stdin> [chunk_ms]
                          [right_context] [--cpu|--tpu] [--timestamps]
                          [--profile=DIR] [--trace=DIR]
-                         [--quantize=q8_0|w8a8|w8a8-sq] [--calib=FILE]
+                         [--quantize=q8_0|w8a8|w8a8-sq|w8a8-sq-static]
+                         [--calib=FILE]
                          [--kv-int8|--kv-int4] [--rc-by-layer=13,6,1,0] [--beam=K]
 
   - input: raw s16le 16 kHz mono PCM file, or '-' / '--stdin' for stdin
@@ -71,21 +72,23 @@ def main(argv: list[str]) -> int:
     if not os.path.exists(model_path):
         print(f"error: model file not found: {model_path}", file=sys.stderr)
         return 1
+    sq_modes = ("w8a8-sq", "w8a8-sq-static")
     try:
         # SmoothQuant needs the DENSE weights to fold scales into
         params, cfg, vocab = load_model(
-            model_path, keep_quantized=quant_mode != "w8a8-sq")
+            model_path, keep_quantized=quant_mode not in sq_modes)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
-    if quant_mode and quant_mode != "w8a8-sq":
+    if quant_mode and quant_mode not in sq_modes:
         from nemotron_tpu.params import quantize_model_params
 
         try:
             params = quantize_model_params(params, mode=quant_mode)
         except KeyError:
             print(f"error: unknown --quantize mode '{quant_mode}' "
-                  "(expected q8_0, w8a8 or w8a8-sq)", file=sys.stderr)
+                  "(expected q8_0, w8a8, w8a8-sq or w8a8-sq-static)",
+                  file=sys.stderr)
             return 1
         print(f"runtime quantization: {quant_mode}", file=sys.stderr)
     cc = CacheConfig(att_right_context=right_context, n_mels=cfg.n_mels)
@@ -113,11 +116,13 @@ def main(argv: list[str]) -> int:
                 print(f"error: {e}", file=sys.stderr)
                 return 1
             print(f"per-layer right context: {pat}", file=sys.stderr)
-    if quant_mode == "w8a8-sq":
+    if quant_mode in sq_modes:
         # SmoothQuant: per-channel activation->weight migration folded into
         # the LN affine params (exact in f32; ops/smoothquant.py), calibrated
         # on audio, then W8A8-quantized. Calibrates on the input file's head
         # unless --calib=FILE names a separate clip (required for stdin).
+        # The -static variant additionally freezes the fold-site activation
+        # scales from the same calibration (no per-token abs-max at runtime).
         calib_path = None
         for f in flags:
             if f.startswith("--calib="):
@@ -125,7 +130,7 @@ def main(argv: list[str]) -> int:
         if calib_path is None and audio_path not in ("-", "--stdin"):
             calib_path = audio_path
         if calib_path is None:
-            print("error: --quantize=w8a8-sq with stdin input needs "
+            print(f"error: --quantize={quant_mode} with stdin input needs "
                   "--calib=FILE (a representative audio clip)",
                   file=sys.stderr)
             return 1
@@ -147,8 +152,9 @@ def main(argv: list[str]) -> int:
                   file=sys.stderr)
             return 1
         params = smooth_quantize(params, cfg, mel,
-                                 att_chunk=cc.chunk_enc_len)
-        print(f"runtime quantization: w8a8-sq (calibrated on "
+                                 att_chunk=cc.chunk_enc_len,
+                                 static_act=quant_mode.endswith("-static"))
+        print(f"runtime quantization: {quant_mode} (calibrated on "
               f"{mel.shape[1]} mel frames of {calib_path})", file=sys.stderr)
     print(f"config: chunk={cc.chunk_mel_frames} mel frames "
           f"({cc.latency_ms} ms), shift={cc.shift_mel_frames}, "

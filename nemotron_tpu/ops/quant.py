@@ -91,10 +91,19 @@ class QTensorW8A8:
     f32 scale per output column [.., out] (per-K-block scales cannot be
     folded out of an int8 accumulation). Activations are quantized
     per row (per token) on the fly; the int8 x int8 dot runs on the MXU's
-    double-rate int8 path (v5e: 394 TOPS vs 197 bf16 TFLOPS)."""
+    double-rate int8 path (v5e: 394 TOPS vs 197 bf16 TFLOPS).
+
+    act_scale (optional, [..] matching the leading weight dims): STATIC
+    per-tensor activation scale from calibration (ops/smoothquant.py).
+    When set, qmm skips the per-token abs-max reduction entirely -- the
+    quantize becomes a pure elementwise op XLA fuses into the activation's
+    producer, removing one full activation read per quantized matmul.
+    Out-of-calibration activations saturate at +-127 (standard static-int8
+    serving behavior; gate with the token-agreement harness)."""
 
     q: Any
     col_scale: Any
+    act_scale: Any = None
 
     @property
     def shape(self):
@@ -119,8 +128,22 @@ def qmm_w8a8(x, w: "QTensorW8A8"):
     """Dynamic-activation int8 matmul: per-row (token) activation scales,
     per-column weight scales, int32 MXU accumulation.
 
-    out = (x_q @ w_q) * x_scale[:, None] * col_scale[None, :]."""
+    out = (x_q @ w_q) * x_scale[:, None] * col_scale[None, :].
+
+    With a static act_scale the reduction disappears: the quantize is
+    elementwise (fused into x's producer) and the output rescale folds to
+    one constant [out] vector."""
     dt = x.dtype
+    if w.act_scale is not None:
+        s = jnp.asarray(w.act_scale, jnp.float32)           # scalar
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127
+                      ).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, w.q,
+            dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32)
+                * (s * w.col_scale.astype(jnp.float32))).astype(dt)
     ax = jnp.max(jnp.abs(x).astype(jnp.float32), axis=-1, keepdims=True)
     s = jnp.maximum(ax, 1e-12) / 127.0                      # [.., 1] f32
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127
@@ -143,6 +166,19 @@ def qmm_shared(x, ws: list):
     if not all(isinstance(w, QTensorW8A8) for w in ws):
         return [qmm(x, w) for w in ws]
     dt = x.dtype
+    if all(w.act_scale is not None for w in ws):
+        # static scales: identical by construction (one shared LN input,
+        # ops/smoothquant.py attaches the same per-site scale to all)
+        s = jnp.asarray(ws[0].act_scale, jnp.float32)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127
+                      ).astype(jnp.int8)
+        return [
+            (jax.lax.dot_general(
+                xq, w.q,
+                dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+             * (s * w.col_scale.astype(jnp.float32))).astype(dt)
+            for w in ws]
     ax = jnp.max(jnp.abs(x).astype(jnp.float32), axis=-1, keepdims=True)
     s = jnp.maximum(ax, 1e-12) / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127
@@ -192,6 +228,8 @@ def _w8a8_pallas_eligible(x, w: "QTensorW8A8") -> bool:
     import os
 
     if os.environ.get("NEMOTRON_TPU_PALLAS_W8A8") != "1":
+        return False
+    if w.act_scale is not None:   # kernel implements the dynamic path only
         return False
     if jax.default_backend() != "tpu":
         return False

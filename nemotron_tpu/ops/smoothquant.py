@@ -97,16 +97,19 @@ def calibrate_ln_amax(params, cfg, mel, att_chunk: int | None = None,
 
 
 def smooth_params(params, amax: dict, alpha: float = 0.5,
-                  s_clip: float = 100.0):
+                  s_clip: float = 100.0, return_scales: bool = False):
     """Fold per-channel smoothing scales into the model (EXACT in float).
 
     amax: output of `calibrate_ln_amax`. alpha: migration strength
     (0 = no migration, 1 = all difficulty onto the weights; 0.5 is the
     SmoothQuant default). Returns new DENSE params; quantize afterwards
     with `params.quantize_model_params(..., mode='w8a8')`.
+    With return_scales=True also returns {site: s [L, D]} (the LN outputs
+    of the folded model are the originals divided by s).
     """
     layers = params.layers
     updates: dict = {}
+    scales: dict = {}
     for site, weight_names in FOLD_SITES:
         ws = [np.asarray(getattr(layers, w), np.float32)
               for w in weight_names]                     # each [L, D, out]
@@ -115,25 +118,62 @@ def smooth_params(params, amax: dict, alpha: float = 0.5,
         s = (np.maximum(a, 1e-5) ** alpha
              / np.maximum(w_amax, 1e-5) ** (1.0 - alpha))
         s = np.clip(s, 1.0 / s_clip, s_clip)             # [L, D]
+        scales[site] = s
         g = np.asarray(getattr(layers, site + "_w"), np.float32)
         b = np.asarray(getattr(layers, site + "_b"), np.float32)
         updates[site + "_w"] = g / s
         updates[site + "_b"] = b / s
         for name, w in zip(weight_names, ws):
             updates[name] = w * s[..., :, None]
-    return dataclasses.replace(
+    out = dataclasses.replace(
         params, layers=dataclasses.replace(layers, **updates))
+    return (out, scales) if return_scales else out
+
+
+def attach_static_act_scales(qparams, amax: dict, fold_scales: dict,
+                             margin: float = 1.0):
+    """Attach STATIC per-tensor activation scales to the fold-site W8A8
+    weights (see QTensorW8A8.act_scale): removes the per-token abs-max
+    reduction from the serving step -- the quantize fuses into the LN.
+
+    The folded model's LN outputs are the calibrated ones divided by the
+    fold scales, so the static scale per (site, layer) is
+        max_j(amax[site][l, j] / s[site][l, j]) * margin / 127
+    exactly -- no second calibration pass. margin > 1 leaves headroom for
+    activations beyond the calibration set (beyond it, int8 saturates).
+    """
+    from ..ops.quant import QTensorW8A8
+
+    layers = qparams.layers
+    updates: dict = {}
+    for site, weight_names in FOLD_SITES:
+        folded_amax = np.asarray(amax[site], np.float32) / fold_scales[site]
+        a = np.max(folded_amax, axis=-1) * margin        # [L]
+        act_scale = np.maximum(a, 1e-8).astype(np.float32) / 127.0
+        for name in weight_names:
+            w = getattr(layers, name)
+            assert isinstance(w, QTensorW8A8), name
+            updates[name] = dataclasses.replace(w, act_scale=act_scale)
+    return dataclasses.replace(
+        qparams, layers=dataclasses.replace(layers, **updates))
 
 
 def smooth_quantize(params, cfg, mel, alpha: float = 0.5,
-                    att_chunk: int | None = None):
+                    att_chunk: int | None = None,
+                    static_act: bool = False, margin: float = 1.0):
     """Calibrate + fold + W8A8-quantize in one call.
 
     params must be dense f32. Returns W8A8 params whose f32 (pre-rounding)
-    function is identical to the input's.
+    function is identical to the input's. static_act=True additionally
+    attaches calibrated static activation scales to the fold-site weights
+    (mode 'w8a8-sq-static'): faster serving step, activations beyond the
+    calibration range saturate.
     """
     from ..params import quantize_model_params
 
     a = calibrate_ln_amax(params, cfg, mel, att_chunk=att_chunk)
-    return quantize_model_params(smooth_params(params, a, alpha=alpha),
-                                 mode="w8a8")
+    smoothed, s = smooth_params(params, a, alpha=alpha, return_scales=True)
+    qp = quantize_model_params(smoothed, mode="w8a8")
+    if static_act:
+        qp = attach_static_act_scales(qp, a, s, margin=margin)
+    return qp

@@ -611,8 +611,11 @@ def cast_params(params: ModelParams, dtype) -> ModelParams:
             return QTensor(q=jnp.asarray(x.q),
                            scale=jnp.asarray(x.scale, jnp.float32))
         if isinstance(x, QTensorW8A8):
-            return QTensorW8A8(q=jnp.asarray(x.q),
-                               col_scale=jnp.asarray(x.col_scale, jnp.float32))
+            return QTensorW8A8(
+                q=jnp.asarray(x.q),
+                col_scale=jnp.asarray(x.col_scale, jnp.float32),
+                act_scale=None if x.act_scale is None
+                else jnp.asarray(x.act_scale, jnp.float32))
         x = jnp.asarray(x)
         if jnp.issubdtype(x.dtype, jnp.floating):
             return x.astype(dtype)

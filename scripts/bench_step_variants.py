@@ -85,6 +85,28 @@ def main() -> int:
             params_by_mode[m] = (
                 P.cast_params(P.quantize_model_params(base, "w8a8"), dtype),
                 dataclasses.replace(cc, kv_cache_int4=True))
+        elif m in ("w8a8-static", "w8a8-static-int8kv"):
+            # static calibrated activation scales (no per-token abs-max):
+            # calibrate on synthetic audio through the real frontend
+            from nemotron_tpu.config import PreprocessorConfig
+            from nemotron_tpu.frontend.preprocessor import (
+                StreamingPreprocessor)
+            from nemotron_tpu.ops.smoothquant import smooth_quantize
+
+            pre = StreamingPreprocessor(
+                np.asarray(base.preprocessor.filterbank),
+                np.asarray(base.preprocessor.window), n_streams=2,
+                cfg=PreprocessorConfig(n_mels=cfg.n_mels))
+            calib = (np.random.default_rng(7)
+                     .standard_normal((2, 10 * 16000)) * 6000
+                     ).astype(np.int16)
+            mel = pre.process(calib)
+            sp = smooth_quantize(P.cast_params(base, jnp.float32), cfg, mel,
+                                 att_chunk=cc.chunk_enc_len,
+                                 static_act=True)
+            params_by_mode[m] = (
+                P.cast_params(sp, dtype),
+                dataclasses.replace(cc, kv_cache_int8="int8kv" in m))
         else:
             raise SystemExit(f"unknown mode {m}")
 

@@ -66,12 +66,14 @@ def main(argv: list[str]) -> int:
     from nemotron_tpu.streaming.serving import ServingEngine
     from nemotron_tpu.utils.audio import read_audio_file
 
+    sq_modes = ("w8a8-sq", "w8a8-sq-static")
     params, cfg, vocab = load_model(
-        args[0], keep_quantized=quant_mode != "w8a8-sq")
+        args[0], keep_quantized=quant_mode not in sq_modes)
     cc = CacheConfig(att_right_context=R, n_mels=cfg.n_mels)
-    if quant_mode == "w8a8-sq":
+    if quant_mode in sq_modes:
         # SmoothQuant: calibrate on the serving audio itself (exact fold in
-        # f32 + W8A8; ops/smoothquant.py)
+        # f32 + W8A8; ops/smoothquant.py). -static also freezes the
+        # fold-site activation scales (no per-token abs-max at runtime).
         from nemotron_tpu.config import PreprocessorConfig
         from nemotron_tpu.frontend.preprocessor import StreamingPreprocessor
         from nemotron_tpu.ops.smoothquant import smooth_quantize
@@ -82,8 +84,9 @@ def main(argv: list[str]) -> int:
             cfg=PreprocessorConfig(n_mels=cfg.n_mels))
         mel = pre.process(read_audio_file(args[1])[: 20 * 16000])
         params = smooth_quantize(params, cfg, mel,
-                                 att_chunk=cc.chunk_enc_len)
-        print(f"w8a8-sq: calibrated on {mel.shape[1]} mel frames",
+                                 att_chunk=cc.chunk_enc_len,
+                                 static_act=quant_mode.endswith("-static"))
+        print(f"{quant_mode}: calibrated on {mel.shape[1]} mel frames",
               file=sys.stderr)
     elif quant_mode:
         try:

@@ -87,9 +87,11 @@ def run_config(params, cfg, cc, dtype, audio, chunk_samples) -> list[list[int]]:
     return [[t for t, _f in sess.get_tokens(s)] for s in range(S)]
 
 
-def make_w8a8_sq(host_base, cfg, calib_audio, att_chunk=None):
+def make_w8a8_sq(host_base, cfg, calib_audio, att_chunk=None,
+                 static_act=False):
     """SmoothQuant-folded W8A8 params (ops/smoothquant.py), calibrated on a
-    held-out audio clip run through the real mel frontend."""
+    held-out audio clip run through the real mel frontend. static_act=True
+    additionally freezes the fold-site activation scales (w8a8-sq-static)."""
     import jax.numpy as jnp
 
     from nemotron_tpu import params as P
@@ -105,12 +107,12 @@ def make_w8a8_sq(host_base, cfg, calib_audio, att_chunk=None):
     mel = pre.process(calib_audio)
     return P.cast_params(
         smooth_quantize(P.cast_params(host_base, jnp.float32), cfg, mel,
-                        att_chunk=att_chunk),
+                        att_chunk=att_chunk, static_act=static_act),
         jnp.bfloat16)
 
 
 def run_seed(args, cfg, results, seed, audio, truths, base, base_bf16,
-             w8a8, w8a8_sq=None) -> None:
+             w8a8, w8a8_sq=None, w8a8_sq_static=None) -> None:
     """Evaluate every (latency mode x serving config) on one seed's audio.
 
     Agreement is vs the dense-f32 decode; when `truths` (ground-truth label
@@ -155,6 +157,11 @@ def run_seed(args, cfg, results, seed, audio, truths, base, base_bf16,
         if w8a8_sq is not None:
             configs["w8a8-sq-bf16"] = (w8a8_sq, cc, jnp.bfloat16)
             configs["w8a8-sq-int8kv-bf16"] = (w8a8_sq, cc8, jnp.bfloat16)
+        if w8a8_sq_static is not None:
+            configs["w8a8-sq-static-bf16"] = (w8a8_sq_static, cc,
+                                              jnp.bfloat16)
+            configs["w8a8-sq-static-int8kv-bf16"] = (w8a8_sq_static, cc8,
+                                                     jnp.bfloat16)
         if args.configs:
             keep = set(args.configs.split(","))
             configs = {k: v for k, v in configs.items() if k in keep}
@@ -257,8 +264,10 @@ def main() -> int:
                 cal_audio = np.stack([synth_audio(min(n, 320000), 990 + s)
                                       for s in range(2)])
             w8a8_sq = make_w8a8_sq(host_base, cfg, cal_audio)
+            w8a8_sq_static = make_w8a8_sq(host_base, cfg, cal_audio,
+                                          static_act=True)
             run_seed(args, cfg, results, seed, audio, truths, base,
-                     base_bf16, w8a8, w8a8_sq)
+                     base_bf16, w8a8, w8a8_sq, w8a8_sq_static)
             continue
         arrays = P.random_weight_arrays(cfg, seed=seed)
 

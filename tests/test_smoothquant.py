@@ -97,3 +97,76 @@ def test_smooth_quantize_streaming_session(model_setup, rng):
                          compute_dtype=jnp.bfloat16)
     sess.process(audio)
     sess.finalize()  # runs; decode path accepts the folded pytree
+
+
+def test_static_act_scales_semantics(model_setup, rng):
+    """qmm with a static act_scale computes exactly round(x/s)@q * s*col."""
+    from nemotron_tpu.ops.quant import (QTensorW8A8, qmm_w8a8,
+                                        quantize_tensor_w8a8)
+
+    w = rng.standard_normal((16, 8)).astype(np.float32)
+    qt = quantize_tensor_w8a8(w)
+    x = rng.standard_normal((4, 16)).astype(np.float32)
+    s = np.float32(np.max(np.abs(x)) / 127.0)
+    st = QTensorW8A8(q=qt.q, col_scale=qt.col_scale, act_scale=s)
+
+    got = np.asarray(qmm_w8a8(jnp.asarray(x), st))
+    xq = np.clip(np.round(x / s), -127, 127).astype(np.int8)
+    want = (xq.astype(np.int32) @ qt.q.astype(np.int32)).astype(np.float32)
+    want = want * (s * qt.col_scale[None, :])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # saturating beyond calibration: no overflow, finite output
+    big = np.asarray(qmm_w8a8(jnp.asarray(x * 1000.0), st))
+    assert np.all(np.isfinite(big))
+
+
+def test_static_matches_dynamic_closely(model_setup, rng):
+    """Static calibrated scales track the dynamic-per-token path: both are
+    int8 roundings of the same f32 function; on the calibration data the
+    static encoder must stay within a few dynamic-quant error units."""
+    from nemotron_tpu.ops.smoothquant import attach_static_act_scales
+
+    _, params, cfg = model_setup
+    mel = _mel(rng, cfg)
+    ref = np.asarray(encode_batch(params, cfg, jnp.asarray(mel)))
+
+    amax = calibrate_ln_amax(params, cfg, mel)
+    smoothed, s = smooth_params(params, amax, return_scales=True)
+    dyn = P.quantize_model_params(smoothed, mode="w8a8")
+    stat = attach_static_act_scales(dyn, amax, s)
+    for site, names in FOLD_SITES:
+        for n in names:
+            leaf = getattr(stat.layers, n)
+            assert leaf.act_scale is not None
+            assert leaf.act_scale.shape == (cfg.n_layers,)
+
+    err_dyn = np.max(np.abs(np.asarray(
+        encode_batch(dyn, cfg, jnp.asarray(mel))) - ref))
+    err_stat = np.max(np.abs(np.asarray(
+        encode_batch(stat, cfg, jnp.asarray(mel))) - ref))
+    assert np.isfinite(err_stat)
+    assert err_stat < 4.0 * max(err_dyn, 1e-6), (err_stat, err_dyn)
+
+
+def test_static_streaming_session_and_cast(model_setup, rng):
+    """smooth_quantize(static_act=True) survives cast_params and runs the
+    real streaming session end to end."""
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.streaming.session import StreamSession
+
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=1, n_mels=cfg.n_mels)
+    mel = _mel(rng, cfg)
+    sq = smooth_quantize(params, cfg, mel, att_chunk=cc.chunk_enc_len,
+                         static_act=True)
+    sq = P.cast_params(sq, jnp.bfloat16)   # act_scale survives the cast
+    leaf = sq.layers.ffn1_w1
+    assert leaf.act_scale is not None
+
+    audio = (rng.standard_normal((2, 4 * cc.chunk_samples))
+             * 8000).astype(np.int16)
+    sess = StreamSession(sq, cfg, None, cc, n_streams=2,
+                         compute_dtype=jnp.bfloat16)
+    sess.process(audio)
+    sess.finalize()
