@@ -58,42 +58,55 @@ def calibrate_ln_amax(params, cfg, mel, att_chunk: int | None = None,
     """Per-channel abs-max of every fold-site LayerNorm output.
 
     Runs the batch encoder (optionally with streaming-equivalent chunked
-    attention, matching serving visibility) eagerly, one layer at a time,
-    capturing LN outputs via `conformer_layer(ln_capture=...)`.
+    attention, matching serving visibility) as ONE jitted `lax.scan` over
+    the stacked layers, capturing LN outputs via
+    `conformer_layer(ln_capture=...)` and reducing them to abs-max inside
+    the scan body. A single compile: calibrating the full-size model takes
+    seconds, where an eager per-layer walk pays hundreds of tiny-op
+    compiles (~20 min through a tunneled TPU).
 
     params: DENSE (unquantized) model params. mel: [B, T, n_mels] f32.
     Returns {site: np.ndarray [L, D]} of abs-max per layer per channel.
     """
+    from functools import partial
+
     from ..models.encoder import conformer_layer
     from ..ops.conv import conv_subsampling
     from ..ops.rel_attention import pos_emb_descending, project_pos
 
-    x = conv_subsampling(params.subsampling, jnp.asarray(mel, jnp.float32))
-    Tp = x.shape[1]
-    pos = jnp.asarray(pos_emb_descending(Tp, cfg.d_model), dtype=x.dtype)
-    mask = None
-    if att_chunk is not None:
-        i = jnp.arange(Tp, dtype=jnp.int32)
-        start = (i // att_chunk) * att_chunk
-        j = jnp.arange(Tp, dtype=jnp.int32)
-        vis = ((j[None, :] < start[:, None] + att_chunk)
-               & (j[None, :] >= start[:, None] - att_left))
-        mask = jnp.where(vis, 0.0, jnp.float32(-1e9))[None, None]
+    sites = [site for site, _ in FOLD_SITES]
 
-    L = cfg.n_layers
-    amax = {site: np.zeros((L, cfg.d_model), np.float32)
-            for site, _ in FOLD_SITES}
-    for l in range(L):
-        lp = jax.tree_util.tree_map(lambda a: a[l], params.layers)
-        pos_heads = project_pos(lp.attn_pos_w, pos, cfg.n_heads, cfg.d_head)
-        cap: dict = {}
-        x, _, _, _ = conformer_layer(lp, x, pos_heads, mask=mask,
-                                     n_heads=cfg.n_heads, d_head=cfg.d_head,
-                                     ln_capture=cap)
-        for site, _ in FOLD_SITES:
-            amax[site][l] = np.asarray(
-                jnp.max(jnp.abs(cap[site]), axis=(0, 1)), np.float32)
-    return amax
+    @partial(jax.jit, static_argnames=())
+    def run(p, mel_in):
+        x = conv_subsampling(p.subsampling, mel_in)
+        Tp = x.shape[1]
+        pos = jnp.asarray(pos_emb_descending(Tp, cfg.d_model), dtype=x.dtype)
+        mask = None
+        if att_chunk is not None:
+            i = jnp.arange(Tp, dtype=jnp.int32)
+            start = (i // att_chunk) * att_chunk
+            j = jnp.arange(Tp, dtype=jnp.int32)
+            vis = ((j[None, :] < start[:, None] + att_chunk)
+                   & (j[None, :] >= start[:, None] - att_left))
+            mask = jnp.where(vis, 0.0, jnp.float32(-1e9))[None, None]
+
+        def body(h, lp):
+            pos_heads = project_pos(lp.attn_pos_w, pos,
+                                    cfg.n_heads, cfg.d_head)
+            cap: dict = {}
+            y, _, _, _ = conformer_layer(lp, h, pos_heads, mask=mask,
+                                         n_heads=cfg.n_heads,
+                                         d_head=cfg.d_head, ln_capture=cap)
+            a = jnp.stack([jnp.max(jnp.abs(cap[s]), axis=(0, 1))
+                           for s in sites])            # [n_sites, D]
+            return y, a
+
+        _, amax = jax.lax.scan(body, x, p.layers)      # [L, n_sites, D]
+        return amax
+
+    amax = np.asarray(run(params, jnp.asarray(mel, jnp.float32)),
+                      np.float32)
+    return {s: amax[:, i] for i, s in enumerate(sites)}
 
 
 def smooth_params(params, amax: dict, alpha: float = 0.5,
