@@ -8,6 +8,19 @@ explicit StreamState, static shapes, on-device decode loops, and a batched
 stream axis for many-stream serving sharded over a device mesh.
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # Honor JAX_PLATFORMS=cpu even under backend plugins that ignore the
+    # env var (the axon TPU plugin registers itself regardless): a
+    # subprocess spawned with JAX_PLATFORMS=cpu -- the test suite's
+    # hermeticity contract -- must never touch a real accelerator. Found
+    # the hard way: suite subprocess benches silently ran on the tunneled
+    # TPU, contending with concurrent jobs (the round-2 "timeout flake").
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from .config import (  # noqa: F401
     CacheConfig,
     LatencyMode,
