@@ -138,6 +138,28 @@ def measure_device(step, params, cfg, cc, pos_heads, batch, dtype,
 def main() -> int:
     quick = "--quick" in sys.argv
 
+    if not quick:
+        # Fail fast (not hang) if the tunneled TPU is unreachable: a wedged
+        # axon relay blocks PJRT init forever inside a C call, which no
+        # in-process timeout can interrupt -- probe from a bounded
+        # subprocess first. Observed once after an uncleanly killed client:
+        # the pool-side lease wedged for >1 h and every new client slept in
+        # the claim loop.
+        import subprocess
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=300, capture_output=True)
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print("bench: device backend unreachable (probe timed out) -- "
+                  "the axon relay/TPU lease is wedged; not a model "
+                  "regression. Retry once the tunnel recovers.",
+                  file=sys.stderr)
+            return 3
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
