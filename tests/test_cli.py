@@ -27,6 +27,9 @@ def model_file(tmp_path_factory):
 def run_cli(script, args, stdin=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
+    # hermetic: never let a test subprocess touch a real accelerator
+    # (nemotron_tpu forces this through plugins that ignore the env var)
+    env["JAX_PLATFORMS"] = "cpu"
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "cli", script), *args],
         input=stdin, capture_output=True, timeout=300, env=env)

@@ -114,6 +114,7 @@ def test_traced_session_dumps(model_setup, tmp_path):
         [sys.executable, os.path.join(os.path.dirname(__file__), "..",
                                       "scripts", "compare_tensors.py"),
          d1, d2],
-        capture_output=True, text=True, timeout=120)
+        capture_output=True, text=True, timeout=120,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"))
     assert out.returncode == 0, out.stderr
     assert "exact 100.0%" in out.stdout

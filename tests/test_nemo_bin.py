@@ -18,8 +18,10 @@ SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
 
 
 def run_script(name, *args, timeout=240):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")   # hermetic subprocess
     return subprocess.run([sys.executable, os.path.join(SCRIPTS, name), *args],
-                          capture_output=True, text=True, timeout=timeout)
+                          capture_output=True, text=True, timeout=timeout,
+                          env=env)
 
 
 def test_roundtrip_f32_f16(tmp_path):

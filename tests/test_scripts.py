@@ -11,8 +11,12 @@ SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
 
 
 def run_script(name, *args, timeout=240):
+    # hermetic: never let a test subprocess touch a real accelerator
+    # (nemotron_tpu forces this through plugins that ignore the env var)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
     return subprocess.run([sys.executable, os.path.join(SCRIPTS, name), *args],
-                          capture_output=True, text=True, timeout=timeout)
+                          capture_output=True, text=True, timeout=timeout,
+                          env=env)
 
 
 def test_convert_to_gguf_roundtrip(model_setup, tmp_path):
@@ -302,6 +306,7 @@ class ASRModel(nn.Module):
     env = dict(os.environ)
     env["PYTHONPATH"] = str(mock_root) + os.pathsep + env.get("PYTHONPATH",
                                                               "")
+    env["JAX_PLATFORMS"] = "cpu"   # hermetic subprocess
     r = subprocess.run(
         [sys.executable, os.path.join(SCRIPTS, "nemo_reference.py"),
          str(tmp_path / "fake.nemo"), audio,

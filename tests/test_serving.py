@@ -748,11 +748,13 @@ def test_serve_demo_lockstep(model_setup, tmp_path):
     pcm.tofile(audio)
     scripts = __import__("os").path.join(
         __import__("os").path.dirname(__file__), "..", "scripts")
+    _os = __import__("os")
     r = subprocess.run(
-        [_sys.executable, __import__("os").path.join(scripts, "serve.py"),
+        [_sys.executable, _os.path.join(scripts, "serve.py"),
          gguf_path, audio, "--streams", "2", "--right-context", "1",
          "--seconds", "2", "--cpu", "--lockstep"],
-        capture_output=True, text=True, timeout=400)
+        capture_output=True, text=True, timeout=400,
+        env=dict(_os.environ, JAX_PLATFORMS="cpu"))
     assert r.returncode == 0, r.stdout + r.stderr
     assert "aggregate real-time" in r.stderr
 
