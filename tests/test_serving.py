@@ -1139,3 +1139,43 @@ def test_dsp_auto_resolution(model_setup, cc, monkeypatch):
     eng2 = ServingEngine(params, cfg, None, cc, n_slots=2,
                          compute_dtype=jnp.float32)
     assert eng2.dsp_mode == "device"
+
+
+def test_static_act_scale_shards_and_runs(model_setup, rng):
+    """W8A8 weights with STATIC act_scale leaves shard over the mesh (the
+    [L] scale replicates) and the fused step matches the unsharded run."""
+    import jax.numpy as jnp
+
+    from nemotron_tpu import params as params_mod
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.models import decoder as dec_mod
+    from nemotron_tpu.models import encoder as enc_mod
+    from nemotron_tpu.ops.smoothquant import smooth_quantize
+    from nemotron_tpu.parallel.mesh import (make_mesh, mel_sharding,
+                                            param_shardings, shard_state)
+    from nemotron_tpu.streaming.session import chunk_step
+
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=1, n_mels=cfg.n_mels)
+    mel_cal = rng.standard_normal((2, 40, cfg.n_mels)).astype(np.float32)
+    sp = smooth_quantize(params, cfg, mel_cal, att_chunk=cc.chunk_enc_len,
+                         static_act=True)
+    assert sp.layers.ffn1_w1.act_scale is not None
+
+    mesh = make_mesh(8, model_parallel=2)
+    sp_sh = jax.device_put(sp, param_shardings(sp, mesh))
+    B = 8
+    ph = enc_mod.precompute_pos_heads(sp, cfg, cc)
+    ph_sh = jax.device_put(ph, param_shardings(ph, mesh))
+    mel = jnp.asarray(rng.standard_normal(
+        (B, cc.chunk_mel_frames, cfg.n_mels), dtype=np.float32))
+    t_sh, es_sh, _ = chunk_step(
+        sp_sh, cfg, cc, jax.device_put(mel, mel_sharding(mesh)),
+        shard_state(enc_mod.init_encoder_state(cfg, cc, B), mesh),
+        shard_state(dec_mod.init_decoder_state(cfg, B), mesh), ph_sh)
+    t, es, _ = chunk_step(sp, cfg, cc, mel,
+                          enc_mod.init_encoder_state(cfg, cc, B),
+                          dec_mod.init_decoder_state(cfg, B), ph)
+    np.testing.assert_array_equal(np.asarray(t_sh), np.asarray(t))
+    np.testing.assert_allclose(np.asarray(es_sh.k_cache),
+                               np.asarray(es.k_cache), atol=2e-5)
