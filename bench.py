@@ -146,13 +146,21 @@ def main() -> int:
         # the pool-side lease wedged for >1 h and every new client slept in
         # the claim loop.
         import subprocess
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=300, capture_output=True)
-            ok = r.returncode == 0
-        except subprocess.TimeoutExpired:
-            ok = False
+
+        ok = False
+        for attempt in range(3):
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    timeout=300, capture_output=True)
+                ok = r.returncode == 0
+            except subprocess.TimeoutExpired:
+                ok = False
+            if ok:
+                break
+            print(f"bench: device probe attempt {attempt + 1}/3 failed; "
+                  "retrying in 120 s", file=sys.stderr, flush=True)
+            time.sleep(120)
         if not ok:
             print("bench: device backend unreachable (probe timed out) -- "
                   "the axon relay/TPU lease is wedged; not a model "
