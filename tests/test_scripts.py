@@ -325,3 +325,25 @@ class ASRModel(nn.Module):
     for n in names:
         arr = read_dump(os.path.join(dump_dir, n))
         assert arr.shape == (6, 4) and np.isfinite(arr).all()
+
+
+def test_beam_quality(tmp_path):
+    """beam_quality.py over the committed trained fixture: greedy and
+    beam TERs come back sane (< 20% on a short stream) and beam never
+    hurts by more than noise."""
+    gguf = os.path.join(SCRIPTS, "..", "weights", "tones_tiny.gguf")
+    if not os.path.exists(gguf):
+        import pytest
+
+        pytest.skip("trained fixture not present")
+    out = str(tmp_path / "bq.json")
+    r = run_script("beam_quality.py", gguf, "--cpu", "--seconds", "10",
+                   "--streams", "2", "--seeds", "1", "--modes", "13",
+                   "--beam", "2", "--json", out, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    import json as _json
+
+    res = _json.load(open(out))
+    row = res["R13/seed0"]
+    assert row["greedy"] < 0.2 and row["beam2"] < 0.2
+    assert row["beam2"] <= row["greedy"] + 0.02
