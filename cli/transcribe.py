@@ -2,7 +2,7 @@
 """Batch (whole-file) transcription CLI (reference src/transcribe.cpp):
 
     transcribe.py <model.gguf> <audio.pcm|.wav> [more audio files...]
-                  [--cpu] [--timestamps] [--beam=K]
+                  [--cpu] [--timestamps] [--confidence] [--beam=K]
 
 Multiple audio files are transcribed in ONE batched encoder/decode pass
 (length-masked; the reference is batch=1). --beam=K decodes with the
@@ -48,10 +48,27 @@ def main(argv: list[str]) -> int:
     audios = [read_audio_file(a) for a in args[1:]]
     t0 = time.perf_counter()
     try:
-        texts = transcribe_batch(params, cfg, vocab,
-                                 audios if len(audios) > 1 else audios[0],
-                                 timestamp_words="--timestamps" in flags,
-                                 beam_size=beam)
+        if "--confidence" in flags:
+            # word-posterior annotations ({p=...}) from the greedy label
+            # loop's per-emission log softmax (greedy only)
+            from nemotron_tpu.utils.text import tokens_to_text
+
+            _, tls = transcribe_batch(
+                params, cfg, vocab,
+                audios if len(audios) > 1 else audios[0],
+                beam_size=beam, return_confidence=True)
+            if len(audios) == 1:
+                tls = [tls]
+            texts = [tokens_to_text(tl, vocab,
+                                    timestamp_words="--timestamps" in flags,
+                                    confidence_words=True) for tl in tls]
+            if len(audios) == 1:
+                texts = texts[0]
+        else:
+            texts = transcribe_batch(params, cfg, vocab,
+                                     audios if len(audios) > 1 else audios[0],
+                                     timestamp_words="--timestamps" in flags,
+                                     beam_size=beam)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -6,7 +6,7 @@ src/transcribe_stream.cpp:27-36):
 
     transcribe_stream.py <model.gguf> <audio.pcm|.wav|-|--stdin> [chunk_ms]
                          [right_context] [--cpu|--tpu] [--timestamps]
-                         [--profile=DIR] [--trace=DIR]
+                         [--confidence] [--profile=DIR] [--trace=DIR]
                          [--quantize=q8_0|w8a8|w8a8-sq|w8a8-sq-static]
                          [--calib=FILE]
                          [--kv-int8|--kv-int4] [--rc-by-layer=13,6,1,0] [--beam=K]
@@ -170,8 +170,12 @@ def main(argv: list[str]) -> int:
               "the best hypothesis may rewrite as chunks arrive)",
               file=sys.stderr)
     try:
+        # --confidence: annotate each word with {p=...}, its posterior from
+        # the on-device greedy label loop (exp of the min per-piece log
+        # softmax) -- a serving capability the reference lacks
         sess = StreamSession(params, cfg, vocab, cc, trace_dir=trace_dir,
                              timestamp_words="--timestamps" in flags,
+                             confidence_words="--confidence" in flags,
                              beam_size=beam)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

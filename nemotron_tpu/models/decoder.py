@@ -135,13 +135,19 @@ def greedy_decode_by_frame(params: ModelParams, cfg: ModelConfig, enc,
 
 def greedy_decode(params: ModelParams, cfg: ModelConfig, enc,
                   state: DecoderState, step_mask=None, enc_lengths=None,
-                  with_iters: bool = False):
+                  with_iters: bool = False, with_confidence: bool = False):
     """Frame-skipping batched greedy RNN-T, fully on-device.
 
     step_mask [B] bool (optional): streams marked False are skipped entirely
     this call -- no tokens, frozen state (continuous-batching support).
     enc_lengths [B] (optional): per-stream valid frame counts for padded
     multi-utterance batches; frames beyond a stream's length emit nothing.
+    with_confidence (static): additionally return per-emission log-posteriors
+    confs [B, T, MAX] f32 -- log softmax(joint logits)[emitted token] at the
+    emitting frame, 0.0 at blank-padded slots (a capability the reference
+    lacks; its label loop discards the logits after argmax,
+    src/nemo-stream.cpp:843-874). Adds one [B,T,V]x[B,T] row-select matmul +
+    logsumexp per emission iteration; the default path is unchanged.
 
     Semantically identical to the reference's per-frame label loop
     (src/nemo-ggml.cpp:1138-1246: blank freezes the LSTM state and advances
@@ -171,16 +177,18 @@ def greedy_decode(params: ModelParams, cfg: ModelConfig, enc,
         t_limit = jnp.minimum(enc_lengths.astype(jnp.int32), T)
     sym0 = jnp.zeros((B,), jnp.int32)                     # symbols this frame
     bidx = jnp.arange(B)
+    confs0 = (jnp.zeros((B, T * MAX), jnp.float32)
+              if with_confidence else None)
 
     def cond(carry):
-        it, _st, ptr, _sym, _tokens = carry
+        it, _st, ptr = carry[:3]
         # a stream is done once ptr reaches ITS OWN valid length (t_limit),
         # not the padded T -- otherwise ragged batches spin to the safety
         # bound re-evaluating the joint every iteration
         return jnp.logical_and(jnp.any(ptr < t_limit), it < T * MAX + T)
 
     def body(carry):
-        it, st, ptr, sym, tokens = carry
+        it, st, ptr, sym, tokens = carry[:5]
         emb = jnp.asarray(dp.embedding, enc_proj.dtype)[st.prev_token]
         dec_out, h2, c2 = lstm_step(dp, emb, st.h, st.c)   # [B, H]
         logits = joint_logits(params.joint, enc_proj, dec_out[:, None, :])
@@ -204,8 +212,23 @@ def greedy_decode(params: ModelParams, cfg: ModelConfig, enc,
 
         tok = best[bidx, first]                                # [B]
         slot = new_ptr * MAX + new_sym
-        tokens = tokens.at[bidx, jnp.clip(slot, 0, T * MAX - 1)].set(
-            jnp.where(emit, tok, tokens[bidx, jnp.clip(slot, 0, T * MAX - 1)]))
+        cslot = jnp.clip(slot, 0, T * MAX - 1)
+        tokens = tokens.at[bidx, cslot].set(
+            jnp.where(emit, tok, tokens[bidx, cslot]))
+        extra = ()
+        if with_confidence:
+            confs = carry[5]
+            # log-posterior of the emitted token: the argmax logit IS the
+            # row max, so conf = max(row) - logsumexp(row). The row at the
+            # emitting frame is selected with a one-hot matmul over T (a
+            # take_along_axis gather here lowers to per-element VPU work,
+            # the measured anti-pattern).
+            onehot = (t_idx == first[:, None]).astype(logits.dtype)  # [B,T]
+            row = jnp.einsum("btv,bt->bv", logits, onehot)           # f32
+            m = jnp.max(row, axis=-1)
+            conf = -jnp.log(jnp.sum(jnp.exp(row - m[:, None]), axis=-1))
+            extra = (confs.at[bidx, cslot].set(
+                jnp.where(emit, conf, confs[bidx, cslot])),)
 
         h = jnp.where(emit[:, None, None], h2, st.h)
         c = jnp.where(emit[:, None, None], c2, st.c)
@@ -217,16 +240,23 @@ def greedy_decode(params: ModelParams, cfg: ModelConfig, enc,
         new_ptr = jnp.where(hit_max, new_ptr + 1, new_ptr)
         new_sym = jnp.where(hit_max, 0, new_sym)
 
-        return (it + 1, DecoderState(h, c, prev), new_ptr, new_sym, tokens)
+        return (it + 1, DecoderState(h, c, prev), new_ptr, new_sym,
+                tokens) + extra
 
-    iters, state, _, _, tokens = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), state, ptr0, sym0, tokens0))
+    carry0 = (jnp.int32(0), state, ptr0, sym0, tokens0)
+    if with_confidence:
+        carry0 = carry0 + (confs0,)
+    out = jax.lax.while_loop(cond, body, carry0)
+    iters, state, _, _, tokens = out[:5]
+    res: tuple = (tokens.reshape(B, T, MAX), state)
     if with_iters:
-        return tokens.reshape(B, T, MAX), state, iters
-    return tokens.reshape(B, T, MAX), state
+        res = res + (iters,)
+    if with_confidence:
+        res = res + (out[5].reshape(B, T, MAX),)
+    return res
 
 
-def extract_emitted(tokens, blank: int, frame_offsets=None):
+def extract_emitted(tokens, blank: int, frame_offsets=None, confs=None):
     """Vectorized host-side token extraction for serving: [B, T, MAX] int32
     -> {stream: [(token, abs_frame), ...]} in emission order.
 
@@ -234,15 +264,19 @@ def extract_emitted(tokens, blank: int, frame_offsets=None):
     per engine tick) with one np.argwhere over the whole batch; only streams
     that actually emitted appear in the result. `frame_offsets` [B] offsets
     each stream's frame indices (cross-chunk timestamps, the reference's
-    frame_offset carry, src/nemo-ggml.cpp:1260-1429)."""
+    frame_offset carry, src/nemo-ggml.cpp:1260-1429). With `confs`
+    [B, T, MAX] f32 (greedy_decode's with_confidence output) entries become
+    (token, abs_frame, log_posterior) triples."""
     import numpy as np
 
     arr = np.asarray(tokens)
     nz = np.argwhere(arr != blank)
-    out: dict[int, list[tuple[int, int]]] = {}
+    out: dict[int, list[tuple]] = {}
     if nz.size == 0:
         return out
     vals = arr[nz[:, 0], nz[:, 1], nz[:, 2]]
+    cvals = (np.asarray(confs)[nz[:, 0], nz[:, 1], nz[:, 2]]
+             if confs is not None else None)
     b = nz[:, 0]
     # argwhere is lexicographic in (stream, frame, symbol) == emission order
     starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
@@ -250,8 +284,13 @@ def extract_emitted(tokens, blank: int, frame_offsets=None):
     for s0, e0 in zip(starts, ends):
         stream = int(b[s0])
         off = int(frame_offsets[stream]) if frame_offsets is not None else 0
-        out[stream] = [(int(v), off + int(t))
-                       for v, t in zip(vals[s0:e0], nz[s0:e0, 1])]
+        if cvals is None:
+            out[stream] = [(int(v), off + int(t))
+                           for v, t in zip(vals[s0:e0], nz[s0:e0, 1])]
+        else:
+            out[stream] = [(int(v), off + int(t), float(cf))
+                           for v, t, cf in zip(vals[s0:e0], nz[s0:e0, 1],
+                                               cvals[s0:e0])]
     return out
 
 

@@ -155,12 +155,16 @@ class OracleModel:
         return ops.linear(ops.relu(e + d), t["joint.joint_net.2.weight"],
                           t["joint.joint_net.2.bias"])
 
-    def greedy_decode(self, enc: np.ndarray, state: dict | None = None):
+    def greedy_decode(self, enc: np.ndarray, state: dict | None = None,
+                      with_confidence: bool = False):
         """Greedy RNN-T over encoder frames [T, D].
 
         Returns (tokens: list[(token, frame)], state). Blank freezes the LSTM
         state and advances to the next frame; at most MAX_SYMBOLS_PER_STEP
-        non-blanks per frame (reference src/nemo-ggml.cpp:1260-1429)."""
+        non-blanks per frame (reference src/nemo-ggml.cpp:1260-1429).
+        with_confidence appends each emission's log softmax posterior:
+        (token, frame, conf) -- the ground truth for greedy_decode's
+        with_confidence output."""
         cfg = self.cfg
         blank = cfg.blank_token
         if state is None:
@@ -170,7 +174,7 @@ class OracleModel:
                 "prev_token": blank,
                 "frame_offset": 0,
             }
-        tokens: list[tuple[int, int]] = []
+        tokens: list[tuple] = []
         h, c, prev = state["h"], state["c"], state["prev_token"]
         off = state["frame_offset"]
         for ti in range(enc.shape[0]):
@@ -180,7 +184,12 @@ class OracleModel:
                 best = int(np.argmax(logits))
                 if best == blank:
                     break
-                tokens.append((best, off + ti))
+                if with_confidence:
+                    m = float(logits.max())
+                    conf = -float(np.log(np.exp(logits - m).sum()))
+                    tokens.append((best, off + ti, conf))
+                else:
+                    tokens.append((best, off + ti))
                 prev = best
                 h, c = h_new, c_new
         state = {"h": h, "c": c, "prev_token": prev,

@@ -35,6 +35,20 @@ def _chunk_step_jit(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
+def _chunk_step_conf_jit(params: ModelParams, cfg: ModelConfig,
+                         cc: CacheConfig, mel_chunk, enc_state, dec_state,
+                         pos_heads):
+    """chunk_step + per-emission log-posteriors (greedy_decode's
+    with_confidence): returns (tokens, confs [S, valid_out, MAX] f32,
+    enc_state', dec_state')."""
+    enc_out, enc_state = enc_mod.encode_chunk(params, cfg, cc, mel_chunk,
+                                              enc_state, pos_heads)
+    tokens, dec_state, confs = dec_mod.greedy_decode(
+        params, cfg, enc_out, dec_state, with_confidence=True)
+    return tokens, confs, enc_state, dec_state
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
 def _chunk_step_masked_jit(params: ModelParams, cfg: ModelConfig,
                            cc: CacheConfig, mel_chunk, enc_state, dec_state,
                            pos_heads, step_mask):
@@ -256,7 +270,9 @@ class StreamSession:
                  timestamp_words: bool = False,
                  beam_size: int = 1,
                  beam_expansions: int | None = None,
-                 max_beam_tokens: int = 4096):
+                 max_beam_tokens: int = 4096,
+                 confidence: bool = False,
+                 confidence_words: bool = False):
         """trace_dir: when set, every chunk dumps named intermediates (mel,
         pre_encode_out, per-layer outputs, encoder_out, tokens) in the
         reference's binary dump format to that directory -- the analogue of
@@ -288,11 +304,22 @@ class StreamSession:
         self.beam_expansions = (beam_expansions if beam_expansions is not None
                                 else MAX_SYMBOLS_PER_STEP)
         self.max_beam_tokens = max_beam_tokens
+        # per-emission log-posteriors from the greedy label loop: tokens
+        # become (id, frame, conf) triples; confidence_words additionally
+        # annotates transcripts with {p=...} word posteriors
+        self.confidence = confidence or confidence_words
+        self.confidence_words = confidence_words
         if beam_size > 1:
             if timestamp_words:
                 raise ValueError("word timestamps require greedy decode")
             if trace_dir is not None:
                 raise ValueError("tracing supports greedy decode only")
+            if self.confidence:
+                raise ValueError("confidence requires greedy decode (beam "
+                                 "hypotheses carry whole-sequence scores)")
+        if self.confidence and trace_dir is not None:
+            raise ValueError("confidence and tracing are mutually exclusive "
+                             "(the traced step has no confidence output)")
         self.tracer = None
         if trace_dir is not None:
             from ..utils.dump import DumpTracer
@@ -388,9 +415,16 @@ class StreamSession:
                 self.frame_offset += cc.valid_out_len
                 self._refresh_beam_transcripts()
                 continue
+            confs = None
             if self.tracer is not None:
                 tokens, self.enc_state, self.dec_state = self._traced_step(
                     chunk)
+            elif self.confidence:
+                tokens, confs, self.enc_state, self.dec_state = (
+                    _chunk_step_conf_jit(self.params, self.cfg, cc, chunk,
+                                         self.enc_state, self.dec_state,
+                                         self.pos_heads))
+                confs = np.asarray(confs)
             else:
                 tokens, self.enc_state, self.dec_state = chunk_step(
                     self.params, self.cfg, cc, chunk, self.enc_state,
@@ -402,11 +436,13 @@ class StreamSession:
 
             emitted = dec_mod.extract_emitted(
                 tokens, self.cfg.blank_token,
-                np.full(self.n_streams, self.frame_offset, np.int64))
+                np.full(self.n_streams, self.frame_offset, np.int64),
+                confs=confs)
             for s, toks in emitted.items():
                 self.tokens[s].extend(toks)
                 text = tokens_to_text(toks, self.vocab,
-                                      timestamp_words=self.timestamp_words)
+                                      timestamp_words=self.timestamp_words,
+                                      confidence_words=self.confidence_words)
                 self.transcripts[s] += text
                 new_text[s] += text
             self.frame_offset += tokens.shape[1]
@@ -525,7 +561,12 @@ class StreamSession:
         flat["preproc/residue"] = st["preproc"]["residue"]
         flat["frame_offset"] = np.int64(st["frame_offset"])
         for s, toks in enumerate(st["tokens"]):
-            flat[f"tokens/{s}"] = np.asarray(toks, np.int64).reshape(-1, 2)
+            if self.confidence:   # (id, frame, log-posterior) triples
+                flat[f"tokens/{s}"] = np.asarray(
+                    toks, np.float64).reshape(-1, 3)
+            else:
+                flat[f"tokens/{s}"] = np.asarray(
+                    toks, np.int64).reshape(-1, 2)
         flat["transcripts"] = np.asarray(st["transcripts"], dtype=object)
         np.savez(path, **flat)
 
@@ -537,7 +578,8 @@ class StreamSession:
         st["preproc"] = {"last_sample": z["preproc/last_sample"],
                          "residue": z["preproc/residue"]}
         st["tokens"] = [
-            [tuple(int(x) for x in row) for row in z[f"tokens/{s}"]]
+            [(int(row[0]), int(row[1]), float(row[2])) if len(row) == 3
+             else (int(row[0]), int(row[1])) for row in z[f"tokens/{s}"]]
             for s in range(self.n_streams)]
         st["transcripts"] = [str(t) for t in z["transcripts"]]
         st["frame_offset"] = int(z["frame_offset"])
@@ -581,7 +623,8 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
                      timestamp_words: bool = False,
                      compute_dtype=jnp.float32,
                      beam_size: int = 1,
-                     beam_expansions: int | None = None) -> str:
+                     beam_expansions: int | None = None,
+                     return_confidence: bool = False):
     """Offline full-utterance transcription (the reference `transcribe` CLI
     path: src/transcribe.cpp + nemo_transcribe_audio,
     src/nemo-ggml.cpp:1585-1598). Unlike the reference there is no 164 s
@@ -590,7 +633,13 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
     beam_size > 1 switches the label search to the on-device batched beam
     (models/beam.py) -- a capability the reference lacks (greedy only).
     Word timestamps require greedy (beam hypotheses carry no frame
-    alignment)."""
+    alignment).
+
+    return_confidence (greedy only): returns (texts, token_lists) where each
+    token list holds (id, frame, log_posterior) triples from the on-device
+    label loop."""
+    if return_confidence and beam_size > 1:
+        raise ValueError("confidence requires greedy decode")
     fb = filterbank if filterbank is not None else np.asarray(
         params.preprocessor.filterbank)
     win = window if window is not None else np.asarray(
@@ -641,6 +690,20 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
         return (texts[0] if not isinstance(audio_i16, (list, tuple))
                 else texts)
     dec_state = dec_mod.init_decoder_state(cfg, len(mels), compute_dtype)
+    if return_confidence:
+        decode = functools.partial(dec_mod.greedy_decode,
+                                   with_confidence=True)
+        tokens, _, confs = jax.jit(decode, static_argnums=1)(
+            params, cfg, enc, dec_state, enc_lengths=enc_lengths)
+        emitted = dec_mod.extract_emitted(np.asarray(tokens),
+                                          cfg.blank_token,
+                                          confs=np.asarray(confs))
+        token_lists = [emitted.get(i, []) for i in range(len(mels))]
+        texts = [tokens_to_text(tl, vocab, timestamp_words=timestamp_words)
+                 for tl in token_lists]
+        single = not isinstance(audio_i16, (list, tuple))
+        return ((texts[0], token_lists[0]) if single
+                else (texts, token_lists))
     tokens, _ = jax.jit(dec_mod.greedy_decode, static_argnums=1)(
         params, cfg, enc, dec_state, enc_lengths=enc_lengths)
     texts = [

@@ -9,11 +9,20 @@ SP_SPACE = "▁"  # ▁
 SECONDS_PER_FRAME = 1280.0 / 16000.0
 
 
-def tokens_to_text(tokens: list[tuple[int, int]], vocab: list[str],
-                   timestamp_words: bool = False) -> str:
-    """tokens: list of (token_id, frame_index)."""
+def tokens_to_text(tokens: list[tuple], vocab: list[str],
+                   timestamp_words: bool = False,
+                   confidence_words: bool = False) -> str:
+    """tokens: list of (token_id, frame_index[, log_posterior]).
+
+    confidence_words annotates each word start with `{p=0.93}` -- the word's
+    posterior = exp(min log-posterior over its pieces seen so far) from
+    greedy_decode's with_confidence output (min over pieces is the standard
+    conservative word-confidence aggregate). Like {sec} timestamps, the
+    annotation reflects the pieces visible at emission time; a word split
+    across streaming chunks is scored from its first chunk's pieces."""
     out = []
-    for token_id, frame in tokens:
+    for i, tok in enumerate(tokens):
+        token_id, frame = tok[0], tok[1]
         if not (0 <= token_id < len(vocab)):
             continue
         piece = vocab[token_id]
@@ -21,6 +30,20 @@ def tokens_to_text(tokens: list[tuple[int, int]], vocab: list[str],
             out.append(" ")
             if timestamp_words:
                 out.append(f"{{{frame * SECONDS_PER_FRAME:.2f}}}")
+            if confidence_words:
+                # min log-posterior over this word's pieces (to the next
+                # word start or end of the visible token list)
+                lp = None
+                for t2 in tokens[i:]:
+                    if t2 is not tok and (0 <= t2[0] < len(vocab)
+                                          and vocab[t2[0]].startswith(SP_SPACE)):
+                        break
+                    if len(t2) > 2:
+                        lp = t2[2] if lp is None else min(lp, t2[2])
+                if lp is not None:
+                    import math
+
+                    out.append(f"{{p={math.exp(lp):.2f}}}")
             out.append(piece[len(SP_SPACE):])
         else:
             out.append(piece)

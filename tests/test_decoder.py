@@ -201,3 +201,61 @@ def test_extract_emitted_matches_naive_loop(rng):
                 if toks[b, t, i] != blank]
         assert got.get(b, []) == want
     assert 3 not in got
+
+
+def test_greedy_confidence_vs_oracle(model_setup, oracle, rng):
+    """with_confidence: tokens unchanged and each emission's log-posterior
+    matches the numpy oracle's log softmax of the joint logits, including
+    across a chunk boundary (state carry)."""
+    _, params, cfg = model_setup
+    T1, T2 = 8, 5
+    enc1 = (rng.standard_normal((T1, cfg.d_model)) * 3).astype(np.float32)
+    enc2 = (rng.standard_normal((T2, cfg.d_model)) * 3).astype(np.float32)
+
+    want1, ostate = oracle.greedy_decode(enc1, with_confidence=True)
+    want2, ostate = oracle.greedy_decode(enc2, ostate, with_confidence=True)
+
+    import functools
+
+    decode = jax.jit(functools.partial(dec_mod.greedy_decode,
+                                       with_confidence=True),
+                     static_argnums=1)
+    st = dec_mod.init_decoder_state(cfg, batch=1)
+    toks1, st, conf1 = decode(params, cfg, jnp.asarray(enc1)[None], st)
+    toks2, st, conf2 = decode(params, cfg, jnp.asarray(enc2)[None], st)
+
+    got1 = dec_mod.extract_emitted(np.asarray(toks1), cfg.blank_token,
+                                   confs=np.asarray(conf1)).get(0, [])
+    got2 = dec_mod.extract_emitted(np.asarray(toks2), cfg.blank_token,
+                                   confs=np.asarray(conf2)).get(0, [])
+    assert len(got1) + len(got2) > 0
+    off = ostate["frame_offset"] - T2
+    for got, want, shift in ((got1, want1, 0), (got2, want2, off)):
+        assert [(t, f) for t, f, _c in got] == \
+               [(t, f - shift) for t, f, _c in want]
+        for (_t, _f, c_got), (_t2, _f2, c_want) in zip(got, want):
+            assert c_got <= 1e-6  # a log-probability
+            np.testing.assert_allclose(c_got, c_want, atol=1e-4)
+
+
+def test_greedy_confidence_does_not_perturb_tokens(model_setup, rng):
+    """The with_confidence path must emit the exact same tokens and end
+    state as the default path (confidence is observability, not decoding)."""
+    import functools
+
+    _, params, cfg = model_setup
+    B, T = 3, 9
+    enc = jnp.asarray((rng.standard_normal((B, T, cfg.d_model)) * 3),
+                      jnp.float32)
+    st0 = dec_mod.init_decoder_state(cfg, batch=B)
+    tok_a, st_a = jax.jit(dec_mod.greedy_decode, static_argnums=1)(
+        params, cfg, enc, st0)
+    tok_b, st_b, confs = jax.jit(
+        functools.partial(dec_mod.greedy_decode, with_confidence=True),
+        static_argnums=1)(params, cfg, enc, st0)
+    np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_b))
+    np.testing.assert_array_equal(np.asarray(st_a.prev_token),
+                                  np.asarray(st_b.prev_token))
+    arr, c = np.asarray(tok_b), np.asarray(confs)
+    assert np.all(c[arr == cfg.blank_token] == 0.0)   # blank slots untouched
+    assert np.all(c[arr != cfg.blank_token] <= 1e-6)  # log-probs

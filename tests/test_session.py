@@ -269,3 +269,80 @@ def test_transcribe_batch_with_state_carryover(model_setup, rng):
     # prev_token carried: state differs from a fresh one if tokens emitted
     if toks1:
         assert int(st.prev_token[0]) == toks1[-1][0]
+
+
+def test_session_confidence(model_setup, vocab, rng, tmp_path):
+    """confidence=True: same (token, frame) stream as a plain session, every
+    emission carries a log-posterior <= 0 matching the oracle, the {p=...}
+    word annotations render, and save/load round-trips the triples."""
+    _, params, cfg = model_setup
+    arrays = model_setup[0]
+    cc = CacheConfig(att_right_context=0, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    fb = mel_filterbank_slaney(n_mels=cfg.n_mels)
+    win = hann_window(400)
+    plain = StreamSession(params, cfg, vocab, cc, filterbank=fb, window=win)
+    conf = StreamSession(params, cfg, vocab, cc, filterbank=fb, window=win,
+                         confidence=True)
+    annot = StreamSession(params, cfg, vocab, cc, filterbank=fb, window=win,
+                          confidence_words=True)
+    ostream = OracleStream(OracleModel(arrays, cfg), cc)
+
+    total = cc.chunk_mel_frames * 3
+    mel = (rng.standard_normal((total, cfg.n_mels)) * 2).astype(np.float32)
+    plain.process_mel(mel[None])
+    conf.process_mel(mel[None])
+    annot.process_mel(mel[None])
+    want_oracle = ostream.process_mel(mel)
+
+    ptoks = plain.get_tokens(0)
+    assert ptoks == want_oracle  # baseline still oracle-exact
+    ctoks = conf.get_tokens(0)
+    assert len(ptoks) > 0, "test needs emissions to be meaningful"
+    assert [(t, f) for t, f, _c in ctoks] == ptoks
+    assert all(c <= 1e-6 for _t, _f, c in ctoks)
+    assert plain.get_transcript(0) == conf.get_transcript(0)
+    # annotated transcript carries word posteriors
+    if any(vocab[t].startswith("▁") for t, _f, _c in ctoks
+           if 0 <= t < len(vocab)):
+        assert "{p=" in annot.get_transcript(0)
+
+    # save/load round-trips the (id, frame, conf) triples
+    p = str(tmp_path / "conf_sess.npz")
+    conf.save(p)
+    conf2 = StreamSession(params, cfg, vocab, cc, filterbank=fb, window=win,
+                          confidence=True)
+    conf2.load(p)
+    assert conf2.get_tokens(0) == ctoks
+
+    # continuing after resume stays consistent with the uninterrupted session
+    more = (rng.standard_normal((cc.chunk_mel_frames, cfg.n_mels)) * 2
+            ).astype(np.float32)
+    conf.process_mel(more[None])
+    conf2.process_mel(more[None])
+    assert conf2.get_tokens(0) == conf.get_tokens(0)
+
+
+def test_session_confidence_beam_rejected(model_setup, vocab):
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=0, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    with pytest.raises(ValueError):
+        StreamSession(params, cfg, vocab, cc, beam_size=2, confidence=True)
+
+
+def test_transcribe_batch_confidence(model_setup, rng):
+    """transcribe_batch(return_confidence=True): same text, triples with
+    log-posteriors."""
+    from nemotron_tpu.streaming.session import transcribe_batch
+
+    _, params, cfg = model_setup
+    fb = mel_filterbank_slaney(n_mels=cfg.n_mels)
+    win = hann_window(400)
+    vv = [f"x{i}" for i in range(cfg.vocab_size)]
+    audio = (rng.standard_normal(16000) * 3000).astype(np.int16)
+    text = transcribe_batch(params, cfg, vv, audio, filterbank=fb, window=win)
+    text_c, toks = transcribe_batch(params, cfg, vv, audio, filterbank=fb,
+                                    window=win, return_confidence=True)
+    assert text_c == text
+    assert all(len(t) == 3 and t[2] <= 1e-6 for t in toks)
