@@ -74,27 +74,41 @@ def _dsp_encode(cfg: ModelConfig, cc: CacheConfig, pcfg: PreprocessorConfig,
     return enc_outs, front, mel_buf, enc_state
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
-                   donate_argnums=(6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
+                   donate_argnums=(7, 8, 9, 10))
 def _fused_tick(cfg: ModelConfig, cc: CacheConfig, pcfg: PreprocessorConfig,
-                buf_len: int, params, pcm_i16, front: FrontendState,
-                mel_buf, enc_state, dec_state, pos_heads, window, filterbank):
-    """One fused greedy tick: DSP + encoder + greedy RNN-T decode."""
+                buf_len: int, confidence: bool, params, pcm_i16,
+                front: FrontendState, mel_buf, enc_state, dec_state,
+                pos_heads, window, filterbank):
+    """One fused greedy tick: DSP + encoder + greedy RNN-T decode.
+    `confidence` (static) additionally returns per-emission log-posteriors
+    [k, S, valid_out, MAX] f32 (None otherwise; the compiled program is
+    unchanged when off)."""
     S = pcm_i16.shape[0]
     enc_outs, front, mel_buf, enc_state = _dsp_encode(
         cfg, cc, pcfg, buf_len, params, pcm_i16, front, mel_buf, enc_state,
         pos_heads, window, filterbank)
     tokens_out = []
+    confs_out = []
     for enc_out in enc_outs:
-        toks, dec_state = dec_mod.greedy_decode(params, cfg, enc_out,
-                                                dec_state)
+        if confidence:
+            toks, dec_state, confs = dec_mod.greedy_decode(
+                params, cfg, enc_out, dec_state, with_confidence=True)
+            confs_out.append(confs)
+        else:
+            toks, dec_state = dec_mod.greedy_decode(params, cfg, enc_out,
+                                                    dec_state)
         tokens_out.append(toks)
     if tokens_out:
         tokens = jnp.stack(tokens_out)          # [k, S, valid_out, MAX]
     else:
         tokens = jnp.zeros((0, S, cc.valid_out_len, MAX_SYMBOLS_PER_STEP),
                            jnp.int32)
-    return tokens, front, mel_buf, enc_state, dec_state
+    confs = None
+    if confidence:
+        confs = (jnp.stack(confs_out) if confs_out
+                 else jnp.zeros(tokens.shape, jnp.float32))
+    return tokens, confs, front, mel_buf, enc_state, dec_state
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5),
@@ -132,7 +146,8 @@ class LockstepEngine:
                  n_streams: int = 256,
                  compute_dtype=jnp.bfloat16, mesh=None,
                  beam_size: int = 1, beam_expansions: int | None = None,
-                 max_beam_tokens: int = 4096):
+                 max_beam_tokens: int = 4096,
+                 confidence: bool = False):
         """beam_size > 1 switches every tick to the fused on-device beam
         search (accuracy-sensitive decode at serving scale -- capability
         beyond both the greedy-only reference and the greedy engines).
@@ -154,6 +169,11 @@ class LockstepEngine:
                                 if beam_expansions is not None
                                 else MAX_SYMBOLS_PER_STEP)
         self.max_beam_tokens = max_beam_tokens
+        # per-emission log-posteriors: engine tokens become (id, frame,
+        # conf) triples; +[k,S,valid_out,MAX] f32 per tick of download
+        self.confidence = confidence
+        if confidence and beam_size > 1:
+            raise ValueError("confidence requires greedy decode")
 
         self.params = cast_params(params, compute_dtype)
         self.pos_heads = enc_mod.precompute_pos_heads(
@@ -240,13 +260,13 @@ class LockstepEngine:
                 jnp.asarray(pcm_i16, jnp.int16), self.front, self.mel_buf,
                 self.enc_state, self.beam_state, self.pos_heads,
                 self.window, self.filterbank)
-            tokens = None
+            tokens = confs = None
             self._beam_dirty = True
         else:
-            (tokens, self.front, self.mel_buf, self.enc_state,
+            (tokens, confs, self.front, self.mel_buf, self.enc_state,
              self.dec_state) = _fused_tick(
                 self.cfg, self.cc, self.pcfg, self.buf_len,
-                self.params, jnp.asarray(pcm_i16, jnp.int16),
+                self.confidence, self.params, jnp.asarray(pcm_i16, jnp.int16),
                 self.front, self.mel_buf, self.enc_state,
                 self.dec_state, self.pos_heads, self.window,
                 self.filterbank)
@@ -255,19 +275,22 @@ class LockstepEngine:
         self.total_chunks += k
         base = self.frame_offset
         self.frame_offset += k * self.cc.valid_out_len
-        return tokens, base
+        return tokens, confs, base
 
-    def _collect(self, tokens, base: int) -> dict[int, str]:
+    def _collect(self, tokens, confs, base: int) -> dict[int, str]:
         """Materialize a tick's tokens and fold them into transcripts."""
         out: dict[int, str] = {}
         if tokens is None:     # beam mode: transcripts fetched lazily
             return out
         tokens = np.asarray(tokens)
+        if confs is not None:
+            confs = np.asarray(confs)
         for i in range(tokens.shape[0]):
             emitted = dec_mod.extract_emitted(
                 tokens[i], self.cfg.blank_token,
                 np.full(self.n_streams,
-                        base + i * self.cc.valid_out_len, np.int64))
+                        base + i * self.cc.valid_out_len, np.int64),
+                confs=confs[i] if confs is not None else None)
             for s, toks in emitted.items():
                 self.tokens[s].extend(toks)
                 text = tokens_to_text(toks, self.vocab)
@@ -368,8 +391,12 @@ class LockstepEngine:
             for k in ("h", "c", "prev_token", "scores", "tokens", "lengths"):
                 flat[f"beam/{k}"] = np.asarray(getattr(self.beam_state, k))
         for s in range(self.n_streams):
-            flat[f"tokens/{s}"] = np.asarray(
-                self.tokens[s], np.int64).reshape(-1, 2)
+            if self.confidence:   # (id, frame, log-posterior) triples
+                flat[f"tokens/{s}"] = np.asarray(
+                    self.tokens[s], np.float64).reshape(-1, 3)
+            else:
+                flat[f"tokens/{s}"] = np.asarray(
+                    self.tokens[s], np.int64).reshape(-1, 2)
         np.savez(path, **flat)
 
     def load(self, path: str) -> None:
@@ -420,7 +447,8 @@ class LockstepEngine:
         self.total_chunks = int(z["total_chunks"])
         self.transcripts = [str(t) for t in z["transcripts"]]
         self.tokens = [
-            [tuple(int(x) for x in row) for row in z[f"tokens/{s}"]]
+            [(int(row[0]), int(row[1]), float(row[2])) if len(row) == 3
+             else (int(row[0]), int(row[1])) for row in z[f"tokens/{s}"]]
             for s in range(self.n_streams)]
         self._pending = None
         if self.mesh is not None:

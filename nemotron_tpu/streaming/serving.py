@@ -30,7 +30,8 @@ from ..models import encoder as enc_mod
 from ..params import ModelParams
 from ..frontend.preprocessor import StreamingPreprocessor
 from ..utils.text import tokens_to_text
-from .session import chunk_step_masked, chunk_step_masked_beam
+from .session import (chunk_step_masked, chunk_step_masked_beam,
+                      _chunk_step_masked_conf_jit)
 
 
 class _MelBuffer:
@@ -185,12 +186,13 @@ def _mel_buf_shift(cc: CacheConfig, mel_buf, consume_mask):
     return jnp.where(consume_mask[:, None, None], shifted, mel_buf)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3),
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 16),
                    donate_argnums=(5, 6, 7, 8, 9))
 def _device_dsp_tick(params, cfg: ModelConfig, cc: CacheConfig, pcfg,
                      pcm_i16, front_res, front_last, mel_buf, enc_state,
                      dec_state, pos_heads, window, filterbank,
-                     dsp_mask, fresh_mask, consume_mask):
+                     dsp_mask, fresh_mask, consume_mask,
+                     confidence: bool = False):
     """One fused ragged tick with ON-DEVICE DSP (the ServingEngine analogue
     of the lockstep fused tick): scale/pre-emph/frame/rFFT/mel for every
     DSP-advancing slot, two-offset mel-buffer insert, then ONE masked
@@ -210,11 +212,17 @@ def _device_dsp_tick(params, cfg: ModelConfig, cc: CacheConfig, pcfg,
     enc_out, enc_state = enc_mod.encode_chunk(
         params, cfg, cc, mel_buf[:, :cc.chunk_mel_frames], enc_state,
         pos_heads, step_mask=consume_mask)
-    tokens, dec_state = dec_mod.greedy_decode(params, cfg, enc_out,
-                                              dec_state,
-                                              step_mask=consume_mask)
+    confs = None
+    if confidence:
+        tokens, dec_state, confs = dec_mod.greedy_decode(
+            params, cfg, enc_out, dec_state, step_mask=consume_mask,
+            with_confidence=True)
+    else:
+        tokens, dec_state = dec_mod.greedy_decode(params, cfg, enc_out,
+                                                  dec_state,
+                                                  step_mask=consume_mask)
     mel_buf = _mel_buf_shift(cc, mel_buf, consume_mask)
-    return tokens, front_res, front_last, mel_buf, enc_state, dec_state
+    return tokens, confs, front_res, front_last, mel_buf, enc_state, dec_state
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 14, 15),
@@ -252,7 +260,8 @@ class ServingEngine:
                  n_slots: int = 64, mesh=None,
                  compute_dtype=jnp.bfloat16, dsp: str = "auto",
                  beam_size: int = 1, beam_expansions: int | None = None,
-                 max_beam_tokens: int = 4096):
+                 max_beam_tokens: int = 4096,
+                 confidence: bool = False):
         """beam_size > 1 switches every tick's decode to the fused
         on-device beam search (chunk_step_masked_beam): frozen slots keep
         their entire beam untouched, so raggedness works exactly as in
@@ -271,6 +280,11 @@ class ServingEngine:
         self.beam_expansions = (beam_expansions
                                 if beam_expansions is not None
                                 else MAX_SYMBOLS_PER_STEP)
+        # per-emission log-posteriors: slot tokens become (id, frame, conf)
+        # triples; +[S,valid_out,MAX] f32 per tick of download
+        self.confidence = confidence
+        if confidence and beam_size > 1:
+            raise ValueError("confidence requires greedy decode")
 
         from ..params import cast_params
 
@@ -629,8 +643,15 @@ class ServingEngine:
                     self.beam_state, self.pos_heads, mask,
                     self.beam_size, self.beam_expansions)
                 self._beam_dirty = True
-                tokens = None
+                tokens = confs = None
+            elif self.confidence:
+                tokens, confs, self.enc_state, self.dec_state = (
+                    _chunk_step_masked_conf_jit(
+                        self.params, self.cfg, cc, chunk, self.enc_state,
+                        self.dec_state, self.pos_heads, mask))
+                tokens, confs = np.asarray(tokens), np.asarray(confs)
             else:
+                confs = None
                 tokens, self.enc_state, self.dec_state = chunk_step_masked(
                     self.params, self.cfg, cc, chunk, self.enc_state,
                     self.dec_state, self.pos_heads, mask)
@@ -649,7 +670,8 @@ class ServingEngine:
                 # whole [S, T, MAX] array is safe (and one vectorized pass
                 # instead of an S*T*MAX Python loop)
                 emitted = dec_mod.extract_emitted(
-                    tokens, self.cfg.blank_token, self.frame_offsets)
+                    tokens, self.cfg.blank_token, self.frame_offsets,
+                    confs=confs)
                 for slot, toks in emitted.items():
                     self.tokens[slot].extend(toks)
                     text = tokens_to_text(toks, self.vocab)
@@ -735,16 +757,20 @@ class ServingEngine:
                      jnp.asarray(consume)),
                     self.beam_size, self.beam_expansions)
                 self._beam_dirty = True
-                tokens = None
+                tokens = confs = None
             else:
-                (tokens, self.front_res, self.front_last, self.mel_buf_dev,
-                 self.enc_state, self.dec_state) = _device_dsp_tick(
+                (tokens, confs, self.front_res, self.front_last,
+                 self.mel_buf_dev, self.enc_state,
+                 self.dec_state) = _device_dsp_tick(
                     self.params, self.cfg, cc, self._pcfg, jnp.asarray(pcm),
                     self.front_res, self.front_last, self.mel_buf_dev,
                     self.enc_state, self.dec_state, self.pos_heads,
                     self._window, self._filterbank, jnp.asarray(dsp),
-                    jnp.asarray(fresh), jnp.asarray(consume))
+                    jnp.asarray(fresh), jnp.asarray(consume),
+                    self.confidence)
                 tokens = np.asarray(tokens)
+                if confs is not None:
+                    confs = np.asarray(confs)
             self.step_times.append(time.perf_counter() - t0)
 
             self.mel_fill = np.where(consume,
@@ -753,7 +779,8 @@ class ServingEngine:
             self.fresh = self.fresh & ~dsp
             if tokens is not None:
                 emitted = dec_mod.extract_emitted(
-                    tokens, self.cfg.blank_token, self.frame_offsets)
+                    tokens, self.cfg.blank_token, self.frame_offsets,
+                    confs=confs)
                 for slot, toks in emitted.items():
                     self.tokens[slot].extend(toks)
                     text = tokens_to_text(toks, self.vocab)
@@ -799,8 +826,12 @@ class ServingEngine:
             flat[f"preproc/last_sample/{s}"] = pp["last_sample"]
             flat[f"preproc/residue/{s}"] = pp["residue"]
             flat[f"mel_buffer/{s}"] = self.mel_buffers[s].compact()
-            flat[f"tokens/{s}"] = np.asarray(
-                self.tokens[s], np.int64).reshape(-1, 2)
+            if self.confidence:   # (id, frame, log-posterior) triples
+                flat[f"tokens/{s}"] = np.asarray(
+                    self.tokens[s], np.float64).reshape(-1, 3)
+            else:
+                flat[f"tokens/{s}"] = np.asarray(
+                    self.tokens[s], np.int64).reshape(-1, 2)
         if self.dsp_mode == "device":
             flat["devdsp/mel_buf"] = np.asarray(self.mel_buf_dev, np.float32)
             flat["devdsp/mel_fill"] = self.mel_fill
@@ -869,7 +900,8 @@ class ServingEngine:
         self.frame_offsets = z["frame_offsets"].astype(np.int64)
         self.transcripts = [str(t) for t in z["transcripts"]]
         self.tokens = [
-            [tuple(int(x) for x in row) for row in z[f"tokens/{s}"]]
+            [(int(row[0]), int(row[1]), float(row[2])) if len(row) == 3
+             else (int(row[0]), int(row[1])) for row in z[f"tokens/{s}"]]
             for s in range(self.n_slots)]
         self.mel_buffers = [
             _MelBuffer(np.asarray(z[f"mel_buffer/{s}"], np.float32).copy())

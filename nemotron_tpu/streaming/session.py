@@ -49,6 +49,20 @@ def _chunk_step_conf_jit(params: ModelParams, cfg: ModelConfig,
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
+def _chunk_step_masked_conf_jit(params: ModelParams, cfg: ModelConfig,
+                                cc: CacheConfig, mel_chunk, enc_state,
+                                dec_state, pos_heads, step_mask):
+    """chunk_step_masked + per-emission log-posteriors (continuous-batching
+    serving with confidence): returns (tokens, confs, enc_state', dec_state')."""
+    enc_out, enc_state = enc_mod.encode_chunk(
+        params, cfg, cc, mel_chunk, enc_state, pos_heads, step_mask=step_mask)
+    tokens, dec_state, confs = dec_mod.greedy_decode(
+        params, cfg, enc_out, dec_state, step_mask=step_mask,
+        with_confidence=True)
+    return tokens, confs, enc_state, dec_state
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
 def _chunk_step_masked_jit(params: ModelParams, cfg: ModelConfig,
                            cc: CacheConfig, mel_chunk, enc_state, dec_state,
                            pos_heads, step_mask):

@@ -12,6 +12,7 @@ aggregate throughput and latency percentiles.
                                    # (device = DSP fused into the step;
                                    # auto = device on TPU, native on CPU)
              [--beam K]            # on-device beam search per tick
+             [--confidence]        # per-token log-posteriors (greedy)
                                    # (greedy-only in the reference)
 
 Streams are staggered (each starts at a different offset into the audio,
@@ -140,7 +141,8 @@ def main(argv: list[str]) -> int:
 
         eng = LockstepEngine(params, cfg, vocab, cc, n_streams=n_streams,
                              mesh=mesh, compute_dtype=jnp.bfloat16,
-                             beam_size=beam_k)
+                             beam_size=beam_k,
+                             confidence="--confidence" in argv)
         slots = list(range(n_streams))
         tick_times = []
         t0 = time.perf_counter()
@@ -163,7 +165,8 @@ def main(argv: list[str]) -> int:
         eng = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
                             mesh=mesh, compute_dtype=jnp.bfloat16,
                             dsp=opt("--dsp", "auto", str),
-                            beam_size=beam_k)
+                            beam_size=beam_k,
+                            confidence="--confidence" in argv)
         slots = eng.add_streams(n_streams)
         t0 = time.perf_counter()
         for _ in range(n_ticks):

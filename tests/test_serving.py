@@ -1179,3 +1179,107 @@ def test_static_act_scale_shards_and_runs(model_setup, rng):
     np.testing.assert_array_equal(np.asarray(t_sh), np.asarray(t))
     np.testing.assert_allclose(np.asarray(es_sh.k_cache),
                                np.asarray(es.k_cache), atol=2e-5)
+
+
+def test_lockstep_confidence_matches_session(model_setup, cc):
+    """LockstepEngine(confidence=True): identical (id, frame) stream to the
+    plain engine, triples matching StreamSession(confidence=True) exactly,
+    log-posteriors <= 0."""
+    from nemotron_tpu.streaming.lockstep import LockstepEngine
+    from nemotron_tpu.streaming.session import StreamSession
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    S, n = 2, cc.shift_samples
+    rng = np.random.default_rng(11)
+    audio = (rng.standard_normal((S, 3 * n)) * 8000).astype(np.int16)
+
+    eng = LockstepEngine(params, cfg, vocab, cc, n_streams=S,
+                         compute_dtype=jnp.float32, confidence=True)
+    for t in range(3):
+        eng.tick(audio[:, t * n:(t + 1) * n])
+
+    sess = StreamSession(params, cfg, vocab, cc, n_streams=S,
+                         confidence=True)
+    sess.process(audio)
+    assert any(eng.tokens[s] for s in range(S))
+    for s in range(S):
+        got = eng.tokens[s]
+        want = sess.get_tokens(s)
+        assert [(t, f) for t, f, _c in got] == [(t, f) for t, f, _c in want]
+        assert all(c <= 1e-6 for _t, _f, c in got)
+        np.testing.assert_allclose([c for *_x, c in got],
+                                   [c for *_x, c in want], atol=1e-5)
+    assert eng.transcripts == sess.transcripts
+
+    with pytest.raises(ValueError):
+        LockstepEngine(params, cfg, vocab, cc, n_streams=S, beam_size=2,
+                       confidence=True)
+
+
+def test_engine_confidence_matches_session(model_setup, cc):
+    """ServingEngine(confidence=True), host DSP: triples equal the solo
+    confidence session even with a busy neighbor slot."""
+    from nemotron_tpu.streaming.session import StreamSession
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    eng = ServingEngine(params, cfg, vocab, cc, n_slots=3,
+                        compute_dtype=jnp.float32, confidence=True)
+    slots = [eng.add_stream() for _ in range(2)]
+    n = cc.chunk_samples
+    audio = {s: np.concatenate([synth(n, 60 + s), synth(n, 70 + s)])
+             for s in slots}
+    for tick in range(2):
+        eng.feed_audio({s: audio[s][tick * n:(tick + 1) * n]
+                        for s in slots})
+        eng.step()
+
+    for s in slots:
+        sess = StreamSession(params, cfg, vocab, cc, confidence=True)
+        sess.process(audio[s])
+        got, want = eng.tokens[s], sess.get_tokens(0)
+        # (id, frame) exact; confs to float tolerance (the engine's masked
+        # program and the solo program fuse the f32 logsumexp differently)
+        assert [(t, f) for t, f, _c in got] == [(t, f) for t, f, _c in want]
+        np.testing.assert_allclose([c for *_x, c in got],
+                                   [c for *_x, c in want], atol=1e-5)
+        assert all(c <= 1e-6 for _t, _f, c in got)
+    assert any(eng.tokens[s] for s in slots)
+
+    with pytest.raises(ValueError):
+        ServingEngine(params, cfg, vocab, cc, beam_size=2, confidence=True)
+
+
+def test_device_dsp_confidence(model_setup, cc, tmp_path):
+    """dsp='device' with confidence: same (id, frame) stream as the plain
+    device-DSP engine, valid log-posteriors, and snapshot/resume keeps the
+    triples."""
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    n = cc.shift_samples
+    audio = np.concatenate([synth(n, 90 + i) for i in range(4)])
+
+    def run(confidence):
+        eng = ServingEngine(params, cfg, vocab, cc, n_slots=2,
+                            compute_dtype=jnp.float32, dsp="device",
+                            confidence=confidence)
+        s = eng.add_stream()
+        for t in range(4):
+            eng.feed_audio({s: audio[t * n:(t + 1) * n]})
+            eng.step()
+        return eng, s
+
+    plain, sp = run(False)
+    conf, sc = run(True)
+    assert plain.tokens[sp] == [(t, f) for t, f, _c in conf.tokens[sc]]
+    assert all(c <= 1e-6 for _t, _f, c in conf.tokens[sc])
+    assert len(conf.tokens[sc]) > 0
+
+    p = str(tmp_path / "devconf.npz")
+    conf.save(p)
+    eng2 = ServingEngine(params, cfg, vocab, cc, n_slots=2,
+                         compute_dtype=jnp.float32, dsp="device",
+                         confidence=True)
+    eng2.load(p)
+    assert eng2.tokens[sc] == conf.tokens[sc]
