@@ -1,0 +1,332 @@
+"""Network streaming ASR server over the continuous-batching ServingEngine.
+
+The reference is a single-process CLI (src/transcribe_stream.cpp:52-198);
+its serving story ends at stdin/stdout. This module adds the deployment
+piece a production operator needs: an asyncio TCP server that multiplexes
+many client audio streams onto one ServingEngine slab, so one fused device
+tick serves every connection that has a full chunk buffered (true
+continuous batching over the network).
+
+Wire protocol -- length-prefixed frames, binary-safe, big-endian:
+
+    frame := type:u8  length:u32  payload[length]
+
+client -> server:
+    0x01 START  JSON options (may be empty / "{}"): reserve a slot.
+    0x02 AUDIO  raw s16le 16 kHz mono PCM.
+    0x03 END    finalize: flush buffered audio, emit FINAL, free the slot.
+    0x04 STATS  request engine statistics.
+
+server -> client:
+    0x80 READY   {"slot": n, "chunk_samples": c, "sample_rate": 16000, ...}
+    0x81 PARTIAL {"text": t, "replace": r}   incremental transcript; in
+                 beam mode hypotheses are revisable, so the full current
+                 transcript is resent with replace=true
+    0x82 FINAL   {"text": full, "tokens": [[id, frame(, logp)], ...]}
+    0x83 ERROR   {"error": msg}
+    0x84 STATS   engine.stats() JSON
+
+A connection returns to the idle state after FINAL and may START again.
+All engine calls are serialized behind one lock and executed off the event
+loop (JAX dispatch blocks); the ticker coroutine batches every
+connection's staged audio into one feed_audio + step per interval.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import struct
+import time
+
+import numpy as np
+
+# frame types
+T_START = 0x01
+T_AUDIO = 0x02
+T_END = 0x03
+T_STATS = 0x04
+T_READY = 0x80
+T_PARTIAL = 0x81
+T_FINAL = 0x82
+T_ERROR = 0x83
+T_STATS_R = 0x84
+
+_HDR = struct.Struct("!BI")
+MAX_FRAME_BYTES = 1 << 24  # 16 MiB; a frame is at most ~8 min of PCM
+# Stage at most this much un-ticked audio per slot before erroring the
+# client (a stuck engine otherwise buffers unboundedly).
+MAX_PENDING_SECONDS = 300.0
+
+
+def pack_frame(ftype: int, payload: bytes = b"") -> bytes:
+    return _HDR.pack(ftype, len(payload)) + payload
+
+
+def pack_json(ftype: int, obj: dict) -> bytes:
+    # numpy scalars (token ids, latency stats) are not JSON-native
+    payload = json.dumps(
+        obj, default=lambda o: o.item() if hasattr(o, "item") else str(o))
+    return pack_frame(ftype, payload.encode("utf-8"))
+
+
+async def read_frame(reader: asyncio.StreamReader) -> tuple[int, bytes]:
+    hdr = await reader.readexactly(_HDR.size)
+    ftype, length = _HDR.unpack(hdr)
+    if length > MAX_FRAME_BYTES:
+        raise ValueError(f"frame of {length} bytes exceeds the "
+                         f"{MAX_FRAME_BYTES}-byte limit")
+    payload = await reader.readexactly(length) if length else b""
+    return ftype, payload
+
+
+class _Conn:
+    """Per-connection state."""
+
+    __slots__ = ("writer", "slot", "sent_len", "last_text", "pending")
+
+    def __init__(self, writer: asyncio.StreamWriter):
+        self.writer = writer
+        self.slot: int | None = None
+        self.sent_len = 0          # chars of transcript already pushed
+        self.last_text = ""        # beam mode: last full transcript sent
+        self.pending = 0           # staged-but-unticked samples
+
+
+class ASRServer:
+    """TCP streaming ASR server around one ServingEngine.
+
+    tick_interval: seconds between engine ticks; defaults to a quarter of
+    the chunk's audio duration (the engine masks slots that don't have a
+    full chunk yet, so ticking early only costs a no-op check).
+    """
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
+                 tick_interval: float | None = None):
+        self.engine = engine
+        self.host = host
+        self.port = port
+        if tick_interval is None:
+            tick_interval = max(
+                0.01, engine.cc.chunk_samples / 16000.0 / 4.0)
+        self.tick_interval = tick_interval
+        self._lock = asyncio.Lock()        # serializes every engine call
+        self._conns: dict[int, _Conn] = {}  # slot -> connection
+        self._staged: dict[int, list[np.ndarray]] = {}  # slot -> pcm parts
+        self._server: asyncio.base_events.Server | None = None
+        self._ticker: asyncio.Task | None = None
+        self.started_at = time.time()
+        self.connections_total = 0
+
+    # -- lifecycle ---------------------------------------------------------
+
+    async def start(self) -> None:
+        self._server = await asyncio.start_server(
+            self._handle_conn, self.host, self.port)
+        self.port = self._server.sockets[0].getsockname()[1]
+        self._ticker = asyncio.get_running_loop().create_task(
+            self._tick_loop())
+
+    async def stop(self) -> None:
+        if self._ticker is not None:
+            self._ticker.cancel()
+            try:
+                await self._ticker
+            except asyncio.CancelledError:
+                pass
+        if self._server is not None:
+            self._server.close()
+            await self._server.wait_closed()
+        for conn in list(self._conns.values()):
+            conn.writer.close()
+        self._conns.clear()
+        self._staged.clear()
+
+    async def serve_forever(self) -> None:
+        await self.start()
+        assert self._server is not None
+        async with self._server:
+            await self._server.serve_forever()
+
+    # -- engine access (always under lock, off the event loop) -------------
+
+    async def _engine_call(self, fn, *args, **kw):
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(None, lambda: fn(*args, **kw))
+
+    # -- the ticker ---------------------------------------------------------
+
+    async def _tick_loop(self) -> None:
+        while True:
+            await asyncio.sleep(self.tick_interval)
+            try:
+                await self._tick_once()
+            except asyncio.CancelledError:
+                raise
+            except Exception as e:  # noqa: BLE001 -- keep the server alive
+                # an engine failure poisons every stream: surface it to all
+                # clients rather than dying silently
+                for conn in list(self._conns.values()):
+                    self._send(conn.writer,
+                               pack_json(T_ERROR, {"error": repr(e)}))
+
+    async def _tick_once(self) -> None:
+        async with self._lock:
+            staged, self._staged = self._staged, {}
+            if staged:
+                feed = {s: np.concatenate(parts) if len(parts) > 1
+                        else parts[0] for s, parts in staged.items()}
+                await self._engine_call(self.engine.feed_audio, feed)
+                for s in feed:
+                    if s in self._conns:
+                        self._conns[s].pending = 0
+            elif not any(c.slot is not None for c in self._conns.values()):
+                return
+            await self._engine_call(self.engine.step)
+            await self._push_partials()
+
+    async def _push_partials(self) -> None:
+        """Push transcript growth to every connected slot. Reads the
+        engine's accumulated transcripts (rather than step()'s return
+        value) so text emitted by internal flushes is never lost."""
+        eng = self.engine
+        if eng.beam_state is not None:
+            await self._engine_call(eng.refresh_transcripts)
+        for slot, conn in list(self._conns.items()):
+            if conn.slot is None:
+                continue
+            full = eng.transcripts[slot]
+            if eng.beam_state is not None:
+                if full != conn.last_text:
+                    conn.last_text = full
+                    self._send(conn.writer, pack_json(
+                        T_PARTIAL, {"text": full, "replace": True}))
+            elif len(full) > conn.sent_len:
+                delta = full[conn.sent_len:]
+                conn.sent_len = len(full)
+                self._send(conn.writer, pack_json(
+                    T_PARTIAL, {"text": delta, "replace": False}))
+
+    # -- per-connection protocol -------------------------------------------
+
+    def _send(self, writer: asyncio.StreamWriter, data: bytes) -> None:
+        if not writer.is_closing():
+            writer.write(data)
+
+    async def _handle_conn(self, reader: asyncio.StreamReader,
+                           writer: asyncio.StreamWriter) -> None:
+        self.connections_total += 1
+        conn = _Conn(writer)
+        try:
+            while True:
+                try:
+                    ftype, payload = await read_frame(reader)
+                except (asyncio.IncompleteReadError, ConnectionError):
+                    break
+                if ftype == T_START:
+                    await self._on_start(conn, payload)
+                elif ftype == T_AUDIO:
+                    await self._on_audio(conn, payload)
+                elif ftype == T_END:
+                    await self._on_end(conn)
+                elif ftype == T_STATS:
+                    st = await self._engine_call(self.engine.stats)
+                    self._send(writer, pack_json(T_STATS_R, st))
+                else:
+                    self._send(writer, pack_json(
+                        T_ERROR, {"error": f"unknown frame type {ftype}"}))
+                await writer.drain()
+        except ValueError as e:
+            self._send(writer, pack_json(T_ERROR, {"error": str(e)}))
+        finally:
+            # drop the slot of a connection that vanished mid-stream
+            if conn.slot is not None:
+                async with self._lock:
+                    slot, conn.slot = conn.slot, None
+                    self._conns.pop(slot, None)
+                    self._staged.pop(slot, None)
+                    if self.engine.active[slot]:
+                        await self._engine_call(
+                            self.engine.remove_stream, slot)
+            writer.close()
+
+    async def _on_start(self, conn: _Conn, payload: bytes) -> None:
+        if conn.slot is not None:
+            self._send(conn.writer, pack_json(
+                T_ERROR, {"error": "stream already started"}))
+            return
+        if payload:
+            try:
+                json.loads(payload.decode("utf-8"))  # reserved for options
+            except (UnicodeDecodeError, json.JSONDecodeError):
+                self._send(conn.writer, pack_json(
+                    T_ERROR, {"error": "START payload is not JSON"}))
+                return
+        async with self._lock:
+            try:
+                slot = await self._engine_call(self.engine.add_stream)
+            except RuntimeError as e:          # slab full
+                self._send(conn.writer, pack_json(T_ERROR,
+                                                  {"error": str(e)}))
+                return
+            conn.slot = slot
+            conn.sent_len = 0
+            conn.last_text = ""
+            conn.pending = 0
+            self._conns[slot] = conn
+        cc = self.engine.cc
+        self._send(conn.writer, pack_json(T_READY, {
+            "slot": slot,
+            "sample_rate": 16000,
+            "chunk_samples": cc.chunk_samples,
+            "shift_samples": cc.shift_samples,
+            "beam": self.engine.beam_size,
+            "confidence": bool(self.engine.confidence),
+        }))
+
+    async def _on_audio(self, conn: _Conn, payload: bytes) -> None:
+        if conn.slot is None:
+            self._send(conn.writer, pack_json(
+                T_ERROR, {"error": "AUDIO before START"}))
+            return
+        if len(payload) % 2:
+            self._send(conn.writer, pack_json(
+                T_ERROR, {"error": "odd-length PCM payload (s16le)"}))
+            return
+        pcm = np.frombuffer(payload, np.int16)
+        conn.pending += pcm.size
+        if conn.pending > MAX_PENDING_SECONDS * 16000:
+            self._send(conn.writer, pack_json(T_ERROR, {
+                "error": f"over {MAX_PENDING_SECONDS:.0f} s of audio "
+                         "staged and unprocessed; slow down"}))
+            return
+        self._staged.setdefault(conn.slot, []).append(pcm)
+
+    async def _on_end(self, conn: _Conn) -> None:
+        if conn.slot is None:
+            self._send(conn.writer, pack_json(
+                T_ERROR, {"error": "END before START"}))
+            return
+        async with self._lock:
+            slot, conn.slot = conn.slot, None
+            self._conns.pop(slot, None)
+            parts = self._staged.pop(slot, None)
+            if parts:
+                feed = {slot: np.concatenate(parts) if len(parts) > 1
+                        else parts[0]}
+                await self._engine_call(self.engine.feed_audio, feed)
+            text, toks = await self._engine_call(
+                self.engine.finalize_stream, slot, return_tokens=True)
+            # finalize's internal steps may have advanced OTHER slots too
+            await self._push_partials()
+        self._send(conn.writer, pack_json(T_FINAL, {
+            "text": text,
+            "tokens": [list(t) for t in toks],
+        }))
+
+    def stats(self) -> dict:
+        st = dict(self.engine.stats())
+        st["connections"] = len(self._conns)
+        st["connections_total"] = self.connections_total
+        st["uptime_s"] = time.time() - self.started_at
+        return st

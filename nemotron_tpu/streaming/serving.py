@@ -389,6 +389,9 @@ class ServingEngine:
                 StreamingPreprocessor(fb, win, n_streams=1, cfg=pcfg,
                                       backend="numpy")
                 for _ in range(n_slots)]
+        if self.dsp_mode is None:  # resolved host-DSP label (observability)
+            self.dsp_mode = "native" if self.native_fe is not None \
+                else "numpy"
 
         if self.dsp_mode == "device":
             cap = self.cc.chunk_mel_frames + self.cc.shift_mel_frames - 1
@@ -416,6 +419,9 @@ class ServingEngine:
         self.transcripts = [""] * n_slots
         self.frame_offsets = np.zeros(n_slots, np.int64)
         self.step_times: list[float] = []
+        # lifetime counters: evicted slots' work stays in stats()
+        self.frames_retired = 0
+        self.tokens_retired = 0
         # ring lockstep bookkeeping: all advancing slots write at the same
         # global ring phase; a slot that skipped ticks is realigned (ring
         # roll) on resume so its semantics stay exact (encoder.realign_ring)
@@ -502,15 +508,20 @@ class ServingEngine:
             self.slot_phase[s] = 0
         return [int(s) for s in slots]
 
-    def remove_stream(self, slot: int) -> str:
+    def remove_stream(self, slot: int, return_tokens: bool = False):
+        """Evict the slot and return its transcript. return_tokens=True
+        returns (text, tokens) instead -- tokens are (id, frame[, logp])
+        tuples, captured before the slot is cleared (the network server
+        ships them in its FINAL event)."""
         if self.beam_state is not None:
             self.refresh_transcripts()
         text = self.transcripts[slot]
+        toks = list(self.tokens[slot])
         self.active[slot] = False
         self._clear_slot(slot)
-        return text
+        return (text, toks) if return_tokens else text
 
-    def finalize_stream(self, slot: int) -> str:
+    def finalize_stream(self, slot: int, return_tokens: bool = False):
         """Flush the slot's pending audio: drain any fully buffered chunks
         first, then zero-pad the trailing partial chunk (the
         session-finalize semantics), then evict and return the final
@@ -531,7 +542,7 @@ class ServingEngine:
                 if need > 0:
                     fifo.append(np.zeros(need, np.int16))
                 self.step()
-            return self.remove_stream(slot)
+            return self.remove_stream(slot, return_tokens)
         if self.mel_buffers[slot].count >= self.cc.chunk_mel_frames:
             self.step()  # drain full chunks before padding the tail
         pending = self.mel_buffers[slot].count - self.cc.pre_encode_cache_size
@@ -541,7 +552,7 @@ class ServingEngine:
                 self.mel_buffers[slot].append(
                     np.zeros((pad, self.cfg.n_mels), np.float32))
             self.step()
-        return self.remove_stream(slot)
+        return self.remove_stream(slot, return_tokens)
 
     def _clear_slot(self, slot: int) -> None:
         self.enc_state, self.dec_state = _reset_slot(
@@ -555,6 +566,8 @@ class ServingEngine:
                 jnp.int32(self.cfg.blank_token))
         self._dsp_reset(slot)
         self.mel_buffers[slot] = self._fresh_mel_buffer()
+        self.frames_retired += int(self.frame_offsets[slot])
+        self.tokens_retired += len(self.tokens[slot])
         self.tokens[slot] = []
         self.transcripts[slot] = ""
         self.frame_offsets[slot] = 0
@@ -946,7 +959,8 @@ class ServingEngine:
         # (subsampling * hop / rate), not hardcoded defaults
         frame_s = (self.cc.subsampling_factor * self.cc.hop_length
                    / self.cc.sample_rate)
-        audio_s = float(self.frame_offsets.sum()) * frame_s
+        audio_s = (float(self.frame_offsets.sum())
+                   + self.frames_retired) * frame_s
         compute_s = float(np.sum(self.step_times))
         return {
             "active_slots": int(self.active.sum()),
@@ -956,5 +970,6 @@ class ServingEngine:
             "compute_seconds": compute_s,
             "aggregate_rtf": compute_s / audio_s if audio_s else 0.0,
             "latency": self.latency_percentiles(),
-            "tokens_emitted": int(sum(len(t) for t in self.tokens)),
+            "tokens_emitted": (int(sum(len(t) for t in self.tokens))
+                               + self.tokens_retired),
         }

@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Stream an audio file (or stdin) to a running asr_server.py and print
+the incremental transcript -- the reference CLI's UX
+(src/transcribe_stream.cpp:143-191) over the network.
+
+    asr_client.py <host:port> <audio.pcm|audio.wav|-> [--rate real|max]
+                  [--block-ms MS] [--stats]
+
+--rate real paces the upload at real time (one block per block's worth of
+wall clock), max streams as fast as the socket takes it. Incremental text
+goes to stdout as it arrives; the summary goes to stderr.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str]) -> int:
+    args = [a for a in argv[1:] if not a.startswith("--")]
+    if len(args) < 2:
+        print(__doc__, file=sys.stderr)
+        return 1
+
+    def opt(name, default, cast):
+        if name not in argv:
+            return default
+        raw = argv[argv.index(name) + 1]
+        try:
+            return cast(raw)
+        except ValueError:
+            print(f"error: invalid value for {name}: {raw!r}",
+                  file=sys.stderr)
+            raise SystemExit(1)
+
+    try:
+        host, port = args[0].rsplit(":", 1)
+        port = int(port)
+    except ValueError:
+        print(f"error: bad address {args[0]!r} (want host:port)",
+              file=sys.stderr)
+        return 1
+    rate = opt("--rate", "real", str)
+    block_ms = opt("--block-ms", 100.0, float)
+
+    from nemotron_tpu.client import ASRClient
+    from nemotron_tpu.utils.audio import read_audio_bytes, read_audio_file
+
+    if args[1] == "-":
+        audio = read_audio_bytes(sys.stdin.buffer.read())
+    else:
+        audio = read_audio_file(args[1])
+
+    client = ASRClient(host, port)
+    info = client.start()
+    print(f"connected: slot={info['slot']} "
+          f"chunk={info['chunk_samples']} samples", file=sys.stderr)
+
+    block = max(1, int(16000 * block_ms / 1000.0))
+    printed = ""
+
+    def show() -> None:
+        nonlocal printed
+        t = client.transcript
+        if t.startswith(printed):
+            sys.stdout.write(t[len(printed):])
+        else:                      # beam revision: reprint on a fresh line
+            sys.stdout.write("\n" + t)
+        printed = t
+        sys.stdout.flush()
+
+    t0 = time.time()
+    for i in range(0, len(audio), block):
+        client.send_audio(audio[i:i + block])
+        show()
+        if rate == "real":
+            target = t0 + (i + block) / 16000.0
+            delay = target - time.time()
+            if delay > 0:
+                time.sleep(delay)
+    final = client.end()
+    show()
+    sys.stdout.write("\n")
+    wall = time.time() - t0
+    if "--stats" in argv:
+        st = client.stats()
+        print(f"server stats: {st}", file=sys.stderr)
+    print(f"audio {len(audio) / 16000.0:.1f} s in {wall:.1f} s wall; "
+          f"{len(final['tokens'])} tokens", file=sys.stderr)
+    client.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Streaming ASR TCP server: many network clients, one ServingEngine slab.
+
+    asr_server.py <model.gguf> [--host H] [--port P] [--slots S]
+                  [--right-context R] [--rc-by-layer 13,6,1,0]
+                  [--quantize q8_0|w8a8] [--kv-int8|--kv-int4]
+                  [--dsp auto|native|numpy|device] [--beam K]
+                  [--confidence] [--tick-ms T] [--cpu]
+                  [--stats-every SECONDS]
+
+Protocol: see nemotron_tpu/server.py (length-prefixed frames; s16le 16 kHz
+mono PCM in, JSON transcript events out). Drive it with
+scripts/asr_client.py or nemotron_tpu.client.ASRClient.
+
+stdout stays quiet (transcripts belong to the clients); configuration and
+periodic stats go to stderr, mirroring the reference CLI's stream
+discipline (src/transcribe_stream.cpp:93-98).
+"""
+
+import asyncio
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str]) -> int:
+    args = [a for a in argv[1:] if not a.startswith("--")]
+    if len(args) < 1:
+        print(__doc__, file=sys.stderr)
+        return 1
+
+    def opt(name, default, cast):
+        if name not in argv:
+            return default
+        raw = argv[argv.index(name) + 1]
+        try:
+            return cast(raw)
+        except ValueError:
+            print(f"error: invalid value for {name}: {raw!r}",
+                  file=sys.stderr)
+            raise SystemExit(1)
+
+    if "--cpu" in argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    host = opt("--host", "127.0.0.1", str)
+    port = opt("--port", 8765, int)
+    n_slots = opt("--slots", 64, int)
+    R = opt("--right-context", 13, int)
+    beam_k = opt("--beam", 1, int)
+    dsp = opt("--dsp", "auto", str)
+    tick_ms = opt("--tick-ms", 0.0, float)
+    stats_every = opt("--stats-every", 30.0, float)
+    quant_mode = opt("--quantize", None, str)
+
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.params import load_model, quantize_model_params
+    from nemotron_tpu.server import ASRServer
+    from nemotron_tpu.streaming.serving import ServingEngine
+
+    params, cfg, vocab = load_model(args[0])
+    if quant_mode:
+        try:
+            params = quantize_model_params(params, mode=quant_mode)
+        except KeyError:
+            print(f"error: unknown --quantize mode '{quant_mode}'",
+                  file=sys.stderr)
+            return 1
+    cc = CacheConfig(att_right_context=R, n_mels=cfg.n_mels)
+    import dataclasses
+
+    if "--kv-int8" in argv:
+        cc = dataclasses.replace(cc, kv_cache_int8=True)
+    if "--kv-int4" in argv:
+        cc = dataclasses.replace(cc, kv_cache_int8=False, kv_cache_int4=True)
+    rc_pat = opt("--rc-by-layer", None, str)
+    if rc_pat:
+        try:
+            cc = dataclasses.replace(
+                cc, att_right_context_by_layer=tuple(
+                    int(v) for v in rc_pat.split(",")))
+            cc.rc_schedule(cfg.n_layers)  # validate early
+        except ValueError as e:
+            print(f"error: bad --rc-by-layer pattern {rc_pat!r}: {e}",
+                  file=sys.stderr)
+            return 1
+
+    engine = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
+                           dsp=dsp, beam_size=beam_k,
+                           confidence="--confidence" in argv)
+    server = ASRServer(engine, host=host, port=port,
+                       tick_interval=tick_ms / 1000.0 if tick_ms else None)
+
+    async def run():
+        await server.start()
+        print(f"listening on {server.host}:{server.port}  "
+              f"slots={n_slots} R={R} dsp={engine.dsp_mode} "
+              f"beam={beam_k} tick={server.tick_interval * 1000:.0f}ms",
+              file=sys.stderr, flush=True)
+        last = time.time()
+        try:
+            while True:
+                await asyncio.sleep(1.0)
+                if stats_every and time.time() - last >= stats_every:
+                    last = time.time()
+                    st = server.stats()
+                    print(f"stats: conns={st['connections']} "
+                          f"total={st['connections_total']} "
+                          f"active_slots={st['active_slots']} "
+                          f"steps={st['engine_steps']} "
+                          f"rtf={st['aggregate_rtf']:.4f}",
+                          file=sys.stderr, flush=True)
+        finally:
+            await server.stop()
+
+    try:
+        asyncio.run(run())
+    except KeyboardInterrupt:
+        print("shutting down", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

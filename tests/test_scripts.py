@@ -347,3 +347,44 @@ def test_beam_quality(tmp_path):
     row = res["R13/seed0"]
     assert row["greedy"] < 0.2 and row["beam2"] < 0.2
     assert row["beam2"] <= row["greedy"] + 0.02
+
+
+def test_asr_server_client_roundtrip(tmp_path):
+    """asr_server.py + asr_client.py over loopback TCP on the trained
+    fixture: the streamed transcript's token labels must match the tone
+    truth (the network path is the trained model's real serving surface).
+    In-process protocol coverage lives in tests/test_server.py; this is
+    the operator-facing script pair."""
+    gguf = os.path.join(SCRIPTS, "..", "weights", "tones_tiny.gguf")
+    if not os.path.exists(gguf):
+        import pytest
+
+        pytest.skip("trained fixture not present")
+
+    from nemotron_tpu.utils.tones import make_eval_streams
+
+    audio, truths = make_eval_streams(1, 6.0, 16, seed=3)
+    pcm = str(tmp_path / "tones.pcm")
+    audio[0].tofile(pcm)
+
+    port = 20000 + os.getpid() % 20000
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    srv = subprocess.Popen(
+        [sys.executable, os.path.join(SCRIPTS, "asr_server.py"), gguf,
+         "--cpu", "--port", str(port), "--slots", "2", "--stats-every", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+    try:
+        line = srv.stderr.readline()  # blocks until the server is bound
+        assert "listening" in line, line
+        r = run_script("asr_client.py", f"127.0.0.1:{port}", pcm,
+                       "--rate", "max", timeout=600)
+        assert r.returncode == 0, r.stdout + r.stderr
+        # vocab pieces are "▁T<label>": recover the label sequence
+        got = [int(w[1:]) for w in r.stdout.split() if w.startswith("T")]
+        want = truths[0]
+        # a final tone cut at the window boundary may add one trailing token
+        assert got[: len(want)] == want, (got, want)
+        assert len(got) <= len(want) + 1
+    finally:
+        srv.terminate()
+        srv.wait(30)

@@ -1,0 +1,229 @@
+"""Network ASR server tests: ASRServer + ASRClient over loopback TCP on
+the CPU tiny model (hermetic: ephemeral ports, in-process asyncio loop).
+
+The gate is server-path == direct-engine-path: the same audio through the
+wire protocol must produce the exact transcript/tokens the ServingEngine
+produces when driven in-process (engine == solo session is already gated
+by tests/test_serving.py)."""
+
+import asyncio
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from nemotron_tpu.client import ASRClient, ASRServerError
+from nemotron_tpu.config import CacheConfig
+from nemotron_tpu.server import ASRServer
+from nemotron_tpu.streaming.serving import ServingEngine
+
+
+@pytest.fixture()
+def cc(model_setup):
+    _, _, cfg = model_setup
+    return CacheConfig(att_right_context=1, att_left_context=12,
+                       n_mels=cfg.n_mels)
+
+
+def make_engine(model_setup, cc, n_slots=4, **kw):
+    import jax.numpy as jnp
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    return ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
+                         compute_dtype=jnp.float32, **kw)
+
+
+def synth(n, seed):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(n) * 8000).astype(np.int16)
+
+
+class _Server:
+    """Run an ASRServer on its own event loop in a daemon thread."""
+
+    def __init__(self, engine, tick_interval=0.02):
+        self.loop = asyncio.new_event_loop()
+        self.srv = ASRServer(engine, port=0, tick_interval=tick_interval)
+        started = threading.Event()
+
+        def run():
+            asyncio.set_event_loop(self.loop)
+            self.loop.run_until_complete(self.srv.start())
+            started.set()
+            self.loop.run_forever()
+
+        self.thread = threading.Thread(target=run, daemon=True)
+        self.thread.start()
+        assert started.wait(60), "server failed to start"
+
+    @property
+    def addr(self):
+        return "127.0.0.1", self.srv.port
+
+    def stop(self):
+        asyncio.run_coroutine_threadsafe(self.srv.stop(),
+                                         self.loop).result(60)
+        self.loop.call_soon_threadsafe(self.loop.stop)
+        self.thread.join(30)
+
+
+@pytest.fixture()
+def server_factory(model_setup, cc):
+    servers = []
+
+    def make(**engine_kw):
+        eng = make_engine(model_setup, cc, **engine_kw)
+        s = _Server(eng)
+        servers.append(s)
+        return s
+
+    yield make
+    for s in servers:
+        s.stop()
+
+
+def _reference_final(model_setup, cc, audio, chunk, **engine_kw):
+    """The same audio through a directly-driven engine."""
+    eng = make_engine(model_setup, cc, **engine_kw)
+    slot = eng.add_stream()
+    for i in range(0, len(audio), chunk):
+        eng.feed_audio({slot: audio[i:i + chunk]})
+        eng.step()
+    return eng.finalize_stream(slot, return_tokens=True)
+
+
+def test_roundtrip_matches_engine(model_setup, cc, server_factory):
+    s = server_factory()
+    n = cc.chunk_samples
+    audio = np.concatenate([synth(n, 1), synth(n, 2), synth(n // 3, 3)])
+
+    with ASRClient(*s.addr) as client:
+        info = client.start()
+        assert info["sample_rate"] == 16000
+        assert info["chunk_samples"] == n
+        # stream in blocks unrelated to the chunk size
+        blk = 1000
+        for i in range(0, len(audio), blk):
+            client.send_audio(audio[i:i + blk])
+        final = client.end()
+
+    want_text, want_toks = _reference_final(model_setup, cc, audio, n)
+    assert final["text"] == want_text
+    assert [tuple(t) for t in final["tokens"]] == want_toks
+    # incremental partials accumulated to the same transcript
+    assert client.transcript == want_text
+
+
+def test_concurrent_clients_isolated(model_setup, cc, server_factory):
+    s = server_factory()
+    n = cc.chunk_samples
+    audios = {k: np.concatenate([synth(n, 10 + k), synth(n, 20 + k)])
+              for k in range(3)}
+
+    clients = {k: ASRClient(*s.addr) for k in audios}
+    for c in clients.values():
+        c.start()
+    # interleave uploads so ticks see multiple slots at once
+    for i in range(0, 2 * n, n // 2):
+        for k, c in clients.items():
+            c.send_audio(audios[k][i:i + n // 2])
+    finals = {k: c.end() for k, c in clients.items()}
+    for c in clients.values():
+        c.close()
+
+    for k, audio in audios.items():
+        want_text, _ = _reference_final(model_setup, cc, audio, n)
+        assert finals[k]["text"] == want_text, f"client {k} diverged"
+
+
+def test_server_full_and_reuse(model_setup, cc, server_factory):
+    s = server_factory(n_slots=2)
+    a = ASRClient(*s.addr)
+    b = ASRClient(*s.addr)
+    a.start()
+    b.start()
+    c = ASRClient(*s.addr)
+    with pytest.raises(ASRServerError, match="free"):
+        c.start()
+    # finishing a stream frees its slot for the waiting client
+    a.send_audio(synth(cc.chunk_samples, 0))
+    a.end()
+    c.start()
+    for cl in (a, b, c):
+        cl.close()
+
+
+def test_protocol_errors(model_setup, cc, server_factory):
+    s = server_factory()
+    with ASRClient(*s.addr) as c:
+        c._send(2, b"\x00\x01")  # AUDIO before START
+        with pytest.raises(ASRServerError, match="before START"):
+            c._wait_for(0x82)
+    with ASRClient(*s.addr) as c:
+        c.start()
+        c._send(2, b"\x00")  # odd-length PCM
+        with pytest.raises(ASRServerError, match="odd-length"):
+            c._wait_for(0x82)
+
+
+def test_stats_roundtrip(model_setup, cc, server_factory):
+    s = server_factory()
+    with ASRClient(*s.addr) as c:
+        c.start()
+        c.send_audio(synth(cc.chunk_samples, 5))
+        st = c.stats()
+        assert st["n_slots"] == 4
+        assert st["active_slots"] >= 1
+        c.end()
+
+
+def test_disconnect_frees_slot(model_setup, cc, server_factory):
+    s = server_factory(n_slots=2)
+    c = ASRClient(*s.addr)
+    c.start()
+    c.send_audio(synth(cc.chunk_samples // 2, 7))
+    c.close()  # vanish mid-stream, no END
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if s.srv.engine.active.sum() == 0:
+            break
+        time.sleep(0.05)
+    assert s.srv.engine.active.sum() == 0, "slot not reclaimed"
+
+
+def test_confidence_final_tokens(model_setup, cc, server_factory):
+    s = server_factory(confidence=True)
+    n = cc.chunk_samples
+    audio = np.concatenate([synth(n, 30), synth(n, 31)])
+    with ASRClient(*s.addr) as c:
+        info = c.start()
+        assert info["confidence"] is True
+        c.send_audio(audio)
+        final = c.end()
+    want_text, want_toks = _reference_final(
+        model_setup, cc, audio, n, confidence=True)
+    assert final["text"] == want_text
+    got = [tuple(t) for t in final["tokens"]]
+    assert len(got) == len(want_toks)
+    for g, w in zip(got, want_toks):
+        assert g[:2] == w[:2]
+        assert g[2] == pytest.approx(w[2])  # log-posterior survives JSON
+        assert g[2] <= 0.0
+
+
+def test_beam_replace_events(model_setup, cc, server_factory):
+    s = server_factory(beam_size=2)
+    n = cc.chunk_samples
+    audio = np.concatenate([synth(n, 40), synth(n, 41)])
+    with ASRClient(*s.addr) as c:
+        info = c.start()
+        assert info["beam"] == 2
+        c.send_audio(audio)
+        final = c.end()
+        partials = [obj for t, obj in c.events if t == 0x81]
+    want_text, _ = _reference_final(model_setup, cc, audio, n, beam_size=2)
+    assert final["text"] == want_text
+    assert all(p["replace"] for p in partials)  # beam text is revisable
+    assert c.transcript == want_text
