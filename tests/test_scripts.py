@@ -388,3 +388,16 @@ def test_asr_server_client_roundtrip(tmp_path):
     finally:
         srv.terminate()
         srv.wait(30)
+
+
+def test_bench_cohorts_quick():
+    """bench_cohorts.py --quick in both modes: sane JSON, true headroom."""
+    import json as _json
+
+    for extra in ([], ["--e2e"]):
+        r = run_script("bench_cohorts.py", "--quick", "--rounds", "2",
+                       *extra, timeout=600)
+        assert r.returncode == 0, r.stdout + r.stderr
+        res = _json.loads(r.stdout.strip().splitlines()[-1])
+        assert res["streams_total"] == res["cohorts"] * res["batch"]
+        assert res["round_p50_ms"] > 0
