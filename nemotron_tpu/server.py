@@ -209,9 +209,17 @@ class ASRServer:
 
     # -- per-connection protocol -------------------------------------------
 
+    # a client that stops reading otherwise grows the write buffer without
+    # bound while its slot keeps emitting partials
+    MAX_WRITE_BUFFER = 8 << 20
+
     def _send(self, writer: asyncio.StreamWriter, data: bytes) -> None:
-        if not writer.is_closing():
-            writer.write(data)
+        if writer.is_closing():
+            return
+        if writer.transport.get_write_buffer_size() > self.MAX_WRITE_BUFFER:
+            writer.close()      # slow consumer: drop; cleanup frees the slot
+            return
+        writer.write(data)
 
     async def _handle_conn(self, reader: asyncio.StreamReader,
                            writer: asyncio.StreamWriter) -> None:
