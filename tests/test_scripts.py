@@ -401,3 +401,21 @@ def test_bench_cohorts_quick():
         res = _json.loads(r.stdout.strip().splitlines()[-1])
         assert res["streams_total"] == res["cohorts"] * res["batch"]
         assert res["round_p50_ms"] > 0
+
+
+def test_bench_batch_quick():
+    """bench_batch.py --quick: one JSON line per scenario with sane fields
+    (the offline batch-mode RTF benchmark, the reference's own headline
+    scenario)."""
+    import json as _json
+
+    r = run_script("bench_batch.py", "--quick", timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
+    assert len(lines) == 2
+    for ln in lines:
+        res = _json.loads(ln)
+        assert res["metric"] == "batch_transcribe"
+        assert res["device_s"] > 0
+        assert res["rtf_end_to_end"] >= res["rtf_device"] > 0
+        assert res["audio_s"] == res["batch"] * res["utterance_s"]
