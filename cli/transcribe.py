@@ -3,11 +3,14 @@
 
     transcribe.py <model.gguf> <audio.pcm|.wav> [more audio files...]
                   [--cpu] [--timestamps] [--confidence] [--beam=K]
+                  [--nbest=N]
 
 Multiple audio files are transcribed in ONE batched encoder/decode pass
 (length-masked; the reference is batch=1). --beam=K decodes with the
 on-device batched RNN-T beam search (greedy when omitted; the reference
-is greedy-only).
+is greedy-only). --nbest=N prints the N best beam hypotheses per file
+with their total log-probs, best first (implies --beam=N when --beam is
+omitted; N must be <= K).
 """
 
 import os
@@ -42,12 +45,37 @@ def main(argv: list[str]) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
     beam = 1
-    for f in flags:
-        if f.startswith("--beam="):
-            beam = int(f.split("=", 1)[1])
+    nbest = None
+    try:
+        for f in flags:
+            if f.startswith("--beam="):
+                beam = int(f.split("=", 1)[1])
+            elif f.startswith("--nbest="):
+                nbest = int(f.split("=", 1)[1])
+    except ValueError:
+        print("error: --beam/--nbest take an integer", file=sys.stderr)
+        return 1
+    if nbest is not None and beam == 1:
+        beam = nbest
     audios = [read_audio_file(a) for a in args[1:]]
     t0 = time.perf_counter()
     try:
+        if nbest is not None:
+            nbests = transcribe_batch(
+                params, cfg, vocab, audios if len(audios) > 1 else audios[0],
+                beam_size=beam, return_nbest=nbest)
+            if len(audios) == 1:
+                nbests = [nbests]
+            for path, hyps in zip(args[1:], nbests):
+                for rank, (text, score) in enumerate(hyps):
+                    prefix = f"{path}\t" if len(audios) > 1 else ""
+                    print(f"{prefix}[{rank}] score={score:.3f}\t{text}")
+            elapsed = time.perf_counter() - t0
+            audio_s = sum(a.size for a in audios) / 16000.0
+            print(f"{audio_s:.2f}s audio in {elapsed:.2f}s "
+                  f"(RTF {elapsed / max(audio_s, 1e-9):.4f})",
+                  file=sys.stderr)
+            return 0
         if "--confidence" in flags:
             # word-posterior annotations ({p=...}) from the greedy label
             # loop's per-emission log softmax (greedy only)

@@ -214,3 +214,24 @@ def best_hypothesis(state: BeamState, length_norm: bool = False):
     take = lambda leaf: jnp.squeeze(_gather_k(leaf, k[:, None]), axis=1)
     return take(state.tokens), take(state.lengths), \
         jnp.take_along_axis(state.scores, k[:, None], axis=1)[:, 0]
+
+
+def n_best(state: BeamState, n: int | None = None,
+           length_norm: bool = False):
+    """Sorted top-n hypotheses per stream, best first: (tokens [B, N, U]
+    blank-padded, lengths [B, N], scores [B, N] raw total log-prob).
+
+    The n-best list is the standard consumer of a beam search (rescoring,
+    confidence from hypothesis spread, alternatives in a UI); the reference
+    cannot produce one (greedy only). `length_norm` orders by
+    score / max(len, 1) like `best_hypothesis`; returned scores stay raw.
+    Ranking gather is a once-per-utterance epilogue, so take_along_axis is
+    fine here (the hot-path ban in docs/PERFORMANCE.md is per-step code)."""
+    k_total = state.scores.shape[1]
+    n = k_total if n is None else min(n, k_total)
+    sel = state.scores
+    if length_norm:
+        sel = sel / jnp.maximum(state.lengths, 1).astype(sel.dtype)
+    order = jnp.argsort(-sel, axis=1)[:, :n].astype(jnp.int32)   # [B, N]
+    return (_gather_k(state.tokens, order), _gather_k(state.lengths, order),
+            jnp.take_along_axis(state.scores, order, axis=1))

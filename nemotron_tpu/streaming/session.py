@@ -638,7 +638,8 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
                      compute_dtype=jnp.float32,
                      beam_size: int = 1,
                      beam_expansions: int | None = None,
-                     return_confidence: bool = False):
+                     return_confidence: bool = False,
+                     return_nbest: int | None = None):
     """Offline full-utterance transcription (the reference `transcribe` CLI
     path: src/transcribe.cpp + nemo_transcribe_audio,
     src/nemo-ggml.cpp:1585-1598). Unlike the reference there is no 164 s
@@ -651,9 +652,15 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
 
     return_confidence (greedy only): returns (texts, token_lists) where each
     token list holds (id, frame, log_posterior) triples from the on-device
-    label loop."""
+    label loop.
+
+    return_nbest=N (beam only): returns, per utterance, the N best
+    hypotheses as (text, raw_total_log_prob) tuples sorted best first
+    (length-normalized ranking, raw scores -- models/beam.py n_best)."""
     if return_confidence and beam_size > 1:
         raise ValueError("confidence requires greedy decode")
+    if return_nbest is not None and beam_size <= 1:
+        raise ValueError("n-best output requires beam_size > 1")
     fb = filterbank if filterbank is not None else np.asarray(
         params.preprocessor.filterbank)
     win = window if window is not None else np.asarray(
@@ -696,6 +703,19 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
             dtype=compute_dtype)
         bstate = jax.jit(beam_mod.beam_decode, static_argnums=(1, 4, 5))(
             params, cfg, enc, bstate, beam_size, exp, enc_lengths)
+        if return_nbest is not None:
+            ntok, nlen, nsc = beam_mod.n_best(bstate, return_nbest,
+                                              length_norm=True)
+            ntok, nlen = np.asarray(ntok), np.asarray(nlen)
+            nsc = np.asarray(nsc)
+            nbest = [
+                [(tokens_to_text(
+                    [(int(t), 0) for t in ntok[i, j, : nlen[i, j]]], vocab),
+                  float(nsc[i, j]))
+                 for j in range(ntok.shape[1])]
+                for i in range(len(mels))]
+            return (nbest[0] if not isinstance(audio_i16, (list, tuple))
+                    else nbest)
         btok, blen, _ = beam_mod.best_hypothesis(bstate, length_norm=True)
         btok, blen = np.asarray(btok), np.asarray(blen)
         texts = [

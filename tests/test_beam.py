@@ -159,6 +159,60 @@ def test_transcribe_batch_beam_wiring(model_setup):
                          window=win, beam_size=2, timestamp_words=True)
 
 
+def test_n_best(model_setup, enc_batch):
+    """n_best: rank 0 == best_hypothesis under the same ranking; the
+    ranking key (length-normalized score) is non-increasing down the list;
+    clamping n > K returns K rows."""
+    _arrays, params, cfg = model_setup
+    B, T, _ = enc_batch.shape
+    K, U = 4, 32
+    st = beam_mod.init_beam_state(cfg, B, K, U)
+    st = jax.jit(beam_mod.beam_decode, static_argnums=(1, 4, 5))(
+        params, cfg, jnp.asarray(enc_batch), st, K, 3)
+
+    btok, blen, bsc = (np.asarray(x) for x in
+                       beam_mod.best_hypothesis(st, length_norm=True))
+    ntok, nlen, nsc = (np.asarray(x) for x in
+                       beam_mod.n_best(st, length_norm=True))
+    assert ntok.shape[:2] == (B, K) and nlen.shape == (B, K)
+    for b in range(B):
+        assert nlen[b, 0] == blen[b]
+        assert ntok[b, 0, : nlen[b, 0]].tolist() == \
+            btok[b, : blen[b]].tolist()
+        assert nsc[b, 0] == pytest.approx(bsc[b])
+        key = nsc[b] / np.maximum(nlen[b], 1)
+        assert (np.diff(key) <= 1e-6).all()
+
+    ntok2, _, _ = beam_mod.n_best(st, n=K + 3, length_norm=True)
+    assert ntok2.shape[1] == K
+    ntok1, _, _ = beam_mod.n_best(st, n=2, length_norm=True)
+    assert ntok1.shape[1] == 2
+
+
+def test_transcribe_batch_nbest(model_setup):
+    """transcribe_batch(return_nbest=N): rank-0 text == the plain beam
+    text; N hypotheses with raw scores; greedy rejects the flag."""
+    arrays, params, cfg = model_setup
+    rng = np.random.default_rng(0)
+    from nemotron_tpu.streaming.session import transcribe_batch
+
+    fb = np.abs(rng.standard_normal((cfg.n_mels, 257))).astype(np.float32)
+    win = np.hanning(400).astype(np.float32)
+    audio = (rng.standard_normal(8000) * 3000).astype(np.int16)
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+    best = transcribe_batch(params, cfg, vocab, audio,
+                            filterbank=fb, window=win, beam_size=3)
+    hyps = transcribe_batch(params, cfg, vocab, audio, filterbank=fb,
+                            window=win, beam_size=3, return_nbest=3)
+    assert len(hyps) == 3
+    assert hyps[0][0] == best
+    assert all(isinstance(t, str) and isinstance(s, float)
+               for t, s in hyps)
+    with pytest.raises(ValueError, match="beam"):
+        transcribe_batch(params, cfg, vocab, audio, filterbank=fb,
+                         window=win, return_nbest=2)
+
+
 def test_stream_session_beam(model_setup):
     """StreamSession(beam_size=K) over chunks == encode_chunk frames fed
     through beam_decode with carried state; snapshot/resume preserves the

@@ -67,6 +67,23 @@ def test_batch_cli(model_file, tmp_path):
     assert "RTF" in r.stderr.decode()
 
 
+def test_batch_cli_nbest(model_file, tmp_path):
+    """--nbest=N prints N ranked beam hypotheses with scores."""
+    path, cfg = model_file
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(16000) * 8000).astype(np.int16)
+    pcm = tmp_path / "n.pcm"
+    audio.tofile(pcm)
+    r = run_cli("transcribe.py", [path, str(pcm), "--cpu", "--nbest=2"])
+    assert r.returncode == 0, r.stderr.decode()
+    lines = [ln for ln in r.stdout.decode().splitlines() if ln]
+    assert len(lines) == 2
+    assert lines[0].startswith("[0] score=")
+    assert lines[1].startswith("[1] score=")
+    r = run_cli("transcribe.py", [path, str(pcm), "--cpu", "--nbest=x"])
+    assert r.returncode == 1
+
+
 def test_cli_usage_error():
     r = run_cli("transcribe_stream.py", [])
     assert r.returncode == 1
