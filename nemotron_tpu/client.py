@@ -15,7 +15,7 @@ import struct
 import numpy as np
 
 from .server import (T_AUDIO, T_END, T_ERROR, T_FINAL, T_PARTIAL, T_READY,
-                     T_START, T_STATS, T_STATS_R, pack_frame)
+                     T_START, T_STATS, T_STATS_R, T_UTTERANCE, pack_frame)
 
 _HDR = struct.Struct("!BI")
 
@@ -42,6 +42,7 @@ class ASRClient:
         self._rbuf = b""
         self.events: list[tuple[int, dict]] = []  # every event received
         self.transcript = ""     # running transcript from PARTIAL events
+        self.utterances: list[dict] = []  # UTTERANCE endpoint events
 
     # -- framing -------------------------------------------------------------
 
@@ -83,6 +84,8 @@ class ASRClient:
                 self.transcript += obj["text"]
         elif ftype == T_FINAL:
             self.transcript = obj["text"]
+        elif ftype == T_UTTERANCE:
+            self.utterances.append(obj)
         return obj
 
     def pump(self) -> None:

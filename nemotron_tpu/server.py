@@ -25,6 +25,11 @@ server -> client:
     0x82 FINAL   {"text": full, "tokens": [[id, frame(, logp)], ...]}
     0x83 ERROR   {"error": msg}
     0x84 STATS   engine.stats() JSON
+    0x85 UTTERANCE {"index": k, "text": t, "tokens": [...]}  one per
+                 utterance endpoint, when the engine was built with
+                 endpoint_silence_s (greedy only): the slot emitted
+                 tokens then stayed silent for the configured span;
+                 its prediction network restarts for the next utterance
 
 A connection returns to the idle state after FINAL and may START again.
 All engine calls are serialized behind one lock and executed off the event
@@ -51,6 +56,7 @@ T_PARTIAL = 0x81
 T_FINAL = 0x82
 T_ERROR = 0x83
 T_STATS_R = 0x84
+T_UTTERANCE = 0x85
 
 _HDR = struct.Struct("!BI")
 MAX_FRAME_BYTES = 1 << 24  # 16 MiB; a frame is at most ~8 min of PCM
@@ -83,7 +89,8 @@ async def read_frame(reader: asyncio.StreamReader) -> tuple[int, bytes]:
 class _Conn:
     """Per-connection state."""
 
-    __slots__ = ("writer", "slot", "sent_len", "last_text", "pending")
+    __slots__ = ("writer", "slot", "sent_len", "last_text", "pending",
+                 "utterances")
 
     def __init__(self, writer: asyncio.StreamWriter):
         self.writer = writer
@@ -91,6 +98,7 @@ class _Conn:
         self.sent_len = 0          # chars of transcript already pushed
         self.last_text = ""        # beam mode: last full transcript sent
         self.pending = 0           # staged-but-unticked samples
+        self.utterances = 0        # endpoint events relayed (UTTERANCE idx)
 
 
 class ASRServer:
@@ -184,6 +192,7 @@ class ASRServer:
                 return
             await self._engine_call(self.engine.step)
             await self._push_partials()
+            await self._push_endpoints()
 
     async def _push_partials(self) -> None:
         """Push transcript growth to every connected slot. Reads the
@@ -206,6 +215,23 @@ class ASRServer:
                 conn.sent_len = len(full)
                 self._send(conn.writer, pack_json(
                     T_PARTIAL, {"text": delta, "replace": False}))
+
+    async def _push_endpoints(self) -> None:
+        """Relay utterance-endpoint events (engines built with
+        endpoint_silence_s) to their owning connections, with a
+        per-connection utterance index."""
+        eng = self.engine
+        if getattr(eng, "_ep_frames", None) is None:
+            return
+        for slot, text, toks in eng.poll_endpoints():
+            conn = self._conns.get(slot)
+            if conn is None or conn.slot is None:
+                continue
+            self._send(conn.writer, pack_json(T_UTTERANCE, {
+                "index": conn.utterances,
+                "text": text,
+                "tokens": [list(t) for t in toks]}))
+            conn.utterances += 1
 
     # -- per-connection protocol -------------------------------------------
 
@@ -281,6 +307,7 @@ class ASRServer:
             conn.sent_len = 0
             conn.last_text = ""
             conn.pending = 0
+            conn.utterances = 0
             self._conns[slot] = conn
         cc = self.engine.cc
         self._send(conn.writer, pack_json(T_READY, {
@@ -290,6 +317,8 @@ class ASRServer:
             "shift_samples": cc.shift_samples,
             "beam": self.engine.beam_size,
             "confidence": bool(self.engine.confidence),
+            "endpointing": getattr(self.engine, "_ep_frames", None)
+            is not None,
         }))
 
     async def _on_audio(self, conn: _Conn, payload: bytes) -> None:

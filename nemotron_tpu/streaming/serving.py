@@ -106,6 +106,23 @@ def _reset_slots(enc_state, dec_state, mask, blank_token):
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+def _reset_decoder_slots(dec_state, mask, blank_token):
+    """Fresh prediction-network state for masked slots in one device call.
+
+    Utterance endpointing resets ONLY the decoder (LSTM h/c + prev_token):
+    the encoder's K/V and conv caches keep rolling, so acoustic context
+    carries across the utterance boundary while the language-ish prediction
+    network starts clean — the standard RNN-T endpoint semantics (the
+    reference has no endpointer; its decoder state lives for the whole
+    stream, src/nemo-ggml.h:358-398)."""
+    return dec_mod.DecoderState(
+        h=jnp.where(mask[:, None, None], 0, dec_state.h),
+        c=jnp.where(mask[:, None, None], 0, dec_state.c),
+        prev_token=jnp.where(mask, blank_token, dec_state.prev_token),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _reset_beam_slots(beam_state, mask, blank_token):
     """Reset every masked slot's beam to the fresh-stream state (hypothesis
     0 live at score 0, the rest empty) in one device call."""
@@ -261,7 +278,8 @@ class ServingEngine:
                  compute_dtype=jnp.bfloat16, dsp: str = "auto",
                  beam_size: int = 1, beam_expansions: int | None = None,
                  max_beam_tokens: int = 4096,
-                 confidence: bool = False):
+                 confidence: bool = False,
+                 endpoint_silence_s: float | None = None):
         """beam_size > 1 switches every tick's decode to the fused
         on-device beam search (chunk_step_masked_beam): frozen slots keep
         their entire beam untouched, so raggedness works exactly as in
@@ -285,6 +303,19 @@ class ServingEngine:
         self.confidence = confidence
         if confidence and beam_size > 1:
             raise ValueError("confidence requires greedy decode")
+        # Utterance endpointing (greedy only): a slot that has emitted at
+        # least one token and then stays silent for endpoint_silence_s of
+        # audio fires an endpoint event (poll_endpoints) and gets a fresh
+        # prediction-network state. Silence is measured in encoder output
+        # frames (1 frame = subsampling * hop = 80 ms of audio by default,
+        # the reference's timed_token unit, src/nemo-ggml.h:343-355).
+        self._ep_frames = None
+        if endpoint_silence_s is not None:
+            if beam_size > 1:
+                raise ValueError("endpointing requires greedy decode")
+            frame_s = (self.cc.subsampling_factor * self.cc.hop_length
+                       / self.cc.sample_rate)
+            self._ep_frames = max(1, round(endpoint_silence_s / frame_s))
 
         from ..params import cast_params
 
@@ -419,9 +450,16 @@ class ServingEngine:
         self.transcripts = [""] * n_slots
         self.frame_offsets = np.zeros(n_slots, np.int64)
         self.step_times: list[float] = []
+        # endpoint bookkeeping (all host-side; device work is one masked
+        # decoder reset per tick that fired any endpoint)
+        self.ep_silence = np.zeros(n_slots, np.int64)   # frames since emit
+        self.ep_emitted = np.zeros(n_slots, bool)       # tokens this utt?
+        self.ep_utt_start = np.zeros(n_slots, np.int64)  # idx into tokens[s]
+        self._ep_pending: list[int] = []
         # lifetime counters: evicted slots' work stays in stats()
         self.frames_retired = 0
         self.tokens_retired = 0
+        self.utterances_retired = 0
         # ring lockstep bookkeeping: all advancing slots write at the same
         # global ring phase; a slot that skipped ticks is realigned (ring
         # roll) on resume so its semantics stay exact (encoder.realign_ring)
@@ -571,6 +609,10 @@ class ServingEngine:
         self.tokens[slot] = []
         self.transcripts[slot] = ""
         self.frame_offsets[slot] = 0
+        self.ep_silence[slot] = 0
+        self.ep_emitted[slot] = False
+        self.ep_utt_start[slot] = 0
+        self._ep_pending = [s for s in self._ep_pending if s != slot]
         self.slot_phase[slot] = 0  # device phase reset to 0; realigned on
         # the slot's first step to the engine's global phase
 
@@ -620,6 +662,55 @@ class ServingEngine:
         return np.array(
             [self.active[s] and self.mel_buffers[s].count >= need
              for s in range(self.n_slots)], bool)
+
+    # -- utterance endpointing --------------------------------------------------
+
+    def _ep_update(self, emitted: dict, advanced: np.ndarray,
+                   frames_advanced: int) -> None:
+        """Called once per sub-step AFTER frame_offsets advanced: track
+        per-slot silence (encoder frames since the last emitted token),
+        queue endpoint events, and batch-reset fired slots' decoder state."""
+        if self._ep_frames is None or advanced.size == 0:
+            return
+        self.ep_silence[advanced] += frames_advanced
+        for slot, toks in emitted.items():
+            # silence restarts after the LAST token's frame, which can sit
+            # mid-chunk: offsets are post-advance, frames are absolute
+            last_frame = toks[-1][1]
+            self.ep_silence[slot] = max(
+                0, int(self.frame_offsets[slot]) - (last_frame + 1))
+            self.ep_emitted[slot] = True
+        fired = [int(s) for s in advanced
+                 if self.ep_emitted[s]
+                 and self.ep_silence[s] >= self._ep_frames]
+        if not fired:
+            return
+        for s in fired:
+            self._ep_pending.append(s)
+            self.ep_emitted[s] = False
+            self.ep_silence[s] = 0
+        mask = np.zeros(self.n_slots, bool)
+        mask[fired] = True
+        self.dec_state = _reset_decoder_slots(
+            self.dec_state, jnp.asarray(mask),
+            jnp.int32(self.cfg.blank_token))
+
+    def poll_endpoints(self) -> list[tuple[int, str, list]]:
+        """Drain utterance-endpoint events (greedy engines constructed with
+        endpoint_silence_s): one (slot, text, tokens) per utterance that
+        ended since the last poll — the slot emitted tokens, then stayed
+        silent for the configured span; its prediction network has already
+        been reset for the next utterance. The slot's cumulative transcript
+        is untouched (utterance segmentation is layered on top of it)."""
+        out = []
+        for s in self._ep_pending:
+            start = int(self.ep_utt_start[s])
+            toks = self.tokens[s][start:]
+            out.append((s, tokens_to_text(toks, self.vocab), toks))
+            self.ep_utt_start[s] = len(self.tokens[s])
+            self.utterances_retired += 1
+        self._ep_pending = []
+        return out
 
     def step(self) -> dict[int, str]:
         """Run fused chunk steps while any slot has a full chunk buffered;
@@ -691,6 +782,7 @@ class ServingEngine:
                     self.transcripts[slot] += text
                     out[slot] = out.get(slot, "") + text
                 self.frame_offsets[ready_slots] += tokens.shape[1]
+                self._ep_update(emitted, ready_slots, int(tokens.shape[1]))
             self.phase_counter = (self.phase_counter + 1) % self.n_seg
             self.slot_phase[ready] = self.phase_counter
             ready = self._ready()
@@ -802,6 +894,9 @@ class ServingEngine:
             if consume.any():
                 self.frame_offsets[np.flatnonzero(consume)] += \
                     cc.valid_out_len
+                if tokens is not None:
+                    self._ep_update(emitted, np.flatnonzero(consume),
+                                    cc.valid_out_len)
                 self.phase_counter = (self.phase_counter + 1) % self.n_seg
                 self.slot_phase[consume] = self.phase_counter
         return out
@@ -831,6 +926,11 @@ class ServingEngine:
             "phase_counter": np.int64(self.phase_counter),
             "slot_phase": self.slot_phase,
         }
+        if self._ep_frames is not None:
+            flat["ep/silence"] = self.ep_silence
+            flat["ep/emitted"] = self.ep_emitted
+            flat["ep/utt_start"] = self.ep_utt_start
+            flat["ep/pending"] = np.asarray(self._ep_pending, np.int64)
         if self.beam_state is not None:
             for k in ("h", "c", "prev_token", "scores", "tokens", "lengths"):
                 flat[f"beam/{k}"] = np.asarray(getattr(self.beam_state, k))
@@ -911,6 +1011,11 @@ class ServingEngine:
         self.phase_counter = int(z["phase_counter"])
         self.slot_phase = z["slot_phase"].astype(np.int64)
         self.frame_offsets = z["frame_offsets"].astype(np.int64)
+        if self._ep_frames is not None and "ep/silence" in z.files:
+            self.ep_silence = z["ep/silence"].astype(np.int64)
+            self.ep_emitted = z["ep/emitted"].astype(bool)
+            self.ep_utt_start = z["ep/utt_start"].astype(np.int64)
+            self._ep_pending = [int(s) for s in z["ep/pending"]]
         self.transcripts = [str(t) for t in z["transcripts"]]
         self.tokens = [
             [(int(row[0]), int(row[1]), float(row[2])) if len(row) == 3
@@ -972,4 +1077,5 @@ class ServingEngine:
             "latency": self.latency_percentiles(),
             "tokens_emitted": (int(sum(len(t) for t in self.tokens))
                                + self.tokens_retired),
+            "utterances_finalized": self.utterances_retired,
         }

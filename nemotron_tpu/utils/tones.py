@@ -143,7 +143,10 @@ class TonesSampler:
                  seed: int = 0,
                  dur_range: tuple[float, float] = (0.20, 0.32),
                  tones_per_utt_min: int | None = None,
-                 history_max: int = 0):
+                 history_max: int = 0,
+                 long_gap_prob: float = 0.0,
+                 long_gap_range: tuple[float, float] = (0.5, 2.0),
+                 max_long_gaps: int = 2):
         from ..config import PreprocessorConfig
         from ..frontend.preprocessor import StreamingPreprocessor
 
@@ -169,10 +172,26 @@ class TonesSampler:
         # constant within a step (static shapes; one program per R).
         self.history_max = history_max
         assert history_max % 64 == 0, "history_max must be a multiple of 64"
+        # Silence augmentation: with probability long_gap_prob per
+        # CANDIDATE slot (up to max_long_gaps random positions per
+        # utterance, which may include the position after the last tone =
+        # trailing silence), the post-tone gap is drawn from
+        # long_gap_range instead of GAP_RANGE. A model trained only on
+        # 50-90 ms gaps has never seen silence and degenerates on it
+        # (measured: the round-3 tones_tiny fixture emits a "T8 T12 ..."
+        # loop through 3 s of silence); long gaps teach "silence ->
+        # blank", the property utterance endpointing needs.
+        assert 0.0 <= long_gap_prob <= 1.0
+        self.long_gap_prob = long_gap_prob
+        self.long_gap_range = long_gap_range
+        self.max_long_gaps = max_long_gaps
         self.batch = batch
         self.dur_range = dur_range
         self.n_samples = int((dur_range[1] + GAP_RANGE[1]) * tones_per_utt
                              * SAMPLE_RATE) + 400
+        if long_gap_prob > 0:
+            self.n_samples += int(max_long_gaps * long_gap_range[1]
+                                  * SAMPLE_RATE)
         self._pre = StreamingPreprocessor(
             filterbank, window, n_streams=batch,
             cfg=PreprocessorConfig(n_mels=n_mels))
@@ -192,6 +211,15 @@ class TonesSampler:
         live = np.arange(U)[None, :] < u_lens[:, None]
         durs = durs * live
         gaps = gaps * live
+        if self.long_gap_prob > 0:
+            for i in range(B):
+                cand = rng.choice(u_lens[i],
+                                  size=min(self.max_long_gaps, u_lens[i]),
+                                  replace=False)
+                take = rng.random(cand.size) < self.long_gap_prob
+                if take.any():
+                    gaps[i, cand[take]] = rng.uniform(
+                        *self.long_gap_range, int(take.sum()))
         audio = np.stack([
             render_tones(labels[i, :u_lens[i]], durs[i], rng, self.n_tones,
                          self.n_samples, gaps=gaps[i]) for i in range(B)])

@@ -63,8 +63,10 @@ def main(argv: list[str]) -> int:
     block = max(1, int(16000 * block_ms / 1000.0))
     printed = ""
 
+    shown_utts = 0
+
     def show() -> None:
-        nonlocal printed
+        nonlocal printed, shown_utts
         t = client.transcript
         if t.startswith(printed):
             sys.stdout.write(t[len(printed):])
@@ -72,6 +74,11 @@ def main(argv: list[str]) -> int:
             sys.stdout.write("\n" + t)
         printed = t
         sys.stdout.flush()
+        # endpoint events (server started with --endpoint-silence)
+        for utt in client.utterances[shown_utts:]:
+            print(f"[utterance {utt['index']}] {utt['text'].strip()}",
+                  file=sys.stderr)
+        shown_utts = len(client.utterances)
 
     t0 = time.time()
     for i in range(0, len(audio), block):

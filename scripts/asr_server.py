@@ -5,7 +5,8 @@
                   [--right-context R] [--rc-by-layer 13,6,1,0]
                   [--quantize q8_0|w8a8] [--kv-int8|--kv-int4]
                   [--dsp auto|native|numpy|device] [--beam K]
-                  [--confidence] [--tick-ms T] [--cpu]
+                  [--confidence] [--endpoint-silence S] [--tick-ms T]
+                  [--cpu]
                   [--stats-every SECONDS]
 
 Protocol: see nemotron_tpu/server.py (length-prefixed frames; s16le 16 kHz
@@ -55,6 +56,9 @@ def main(argv: list[str]) -> int:
     dsp = opt("--dsp", "auto", str)
     tick_ms = opt("--tick-ms", 0.0, float)
     stats_every = opt("--stats-every", 30.0, float)
+    # utterance endpointing: after S seconds of post-emission silence a
+    # slot fires an UTTERANCE event and its prediction network restarts
+    ep_s = opt("--endpoint-silence", 0.0, float)
     quant_mode = opt("--quantize", None, str)
 
     from nemotron_tpu.config import CacheConfig
@@ -89,9 +93,14 @@ def main(argv: list[str]) -> int:
                   file=sys.stderr)
             return 1
 
-    engine = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
-                           dsp=dsp, beam_size=beam_k,
-                           confidence="--confidence" in argv)
+    try:
+        engine = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
+                               dsp=dsp, beam_size=beam_k,
+                               confidence="--confidence" in argv,
+                               endpoint_silence_s=ep_s if ep_s > 0 else None)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     server = ASRServer(engine, host=host, port=port,
                        tick_interval=tick_ms / 1000.0 if tick_ms else None)
 

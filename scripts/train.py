@@ -7,6 +7,7 @@ reference engine is inference-only).
              [--checkpoint ck.npz] [--resume ck.npz] [--cpu]
              [--task memorize|tones] [--tones N] [--utt-tones U]
              [--utt-tones-min M] [--history-max R] [--pool N]
+             [--long-gap-prob P]
              [--val N] [--prefetch K]
              [--att-chunks 14,1] [--eval-every N] [--seed S]
 
@@ -162,6 +163,11 @@ def main(argv: list[str]) -> int:
         # without it the prediction network learns the absolute emission
         # count and falls silent after U_max tokens on continuous streams
         hist_max = opt_val("--history-max", 192, int)
+        # silence augmentation (utils/tones.py): probability that up to 2
+        # random post-tone gaps per utterance are drawn long (0.5-2.0 s),
+        # teaching "silence -> blank" -- required for a model that feeds
+        # utterance endpointing (a gap-only model degenerates on silence)
+        long_gap_prob = opt_val("--long-gap-prob", 0.0, float)
         # --pool 0 (default) = FRESH audio every step. A fixed pool is kept
         # only for overfit/debug runs: the lattice teacher-forces label
         # prefixes, so a reused pool lets the prediction network identify
@@ -244,7 +250,8 @@ def main(argv: list[str]) -> int:
         samplers = [tones.TonesSampler(fb, win, cfg.n_mels, n_tones,
                                        utt_tones, batch, seed=seed + 1,
                                        tones_per_utt_min=utt_tones_min,
-                                       history_max=hist_max)
+                                       history_max=hist_max,
+                                       long_gap_prob=long_gap_prob)
                     for _ in range(K)]
         pending: dict = {}
 

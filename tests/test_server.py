@@ -227,3 +227,43 @@ def test_beam_replace_events(model_setup, cc, server_factory):
     assert final["text"] == want_text
     assert all(p["replace"] for p in partials)  # beam text is revisable
     assert c.transcript == want_text
+
+
+def test_utterance_endpoint_events(model_setup, cc, server_factory):
+    """Endpoint relay: an engine endpoint becomes a T_UTTERANCE (0x85)
+    event on the owning connection, with the utterance's text/tokens and
+    a per-connection index. The endpoint itself is injected directly
+    (the state machine and its silence detection are gated in
+    tests/test_serving.py; the model's silence behavior needs the trained
+    fixture); this gates the server plumbing."""
+    import time as _time
+
+    s = server_factory(endpoint_silence_s=1.0)
+    n = cc.chunk_samples
+    with ASRClient(*s.addr) as c:
+        info = c.start()
+        assert info["endpointing"] is True
+        c.send_audio(synth(n, 60))
+        # wait until the slot has emitted tokens
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            c.pump()
+            if c.transcript:
+                break
+            _time.sleep(0.05)
+        assert c.transcript, "tiny model emitted nothing"
+        eng = s.srv.engine
+        slot = info["slot"]
+        # inject the endpoint (as _ep_update would on silence expiry)
+        s.loop.call_soon_threadsafe(eng._ep_pending.append, slot)
+        deadline = _time.time() + 60
+        while _time.time() < deadline and not c.utterances:
+            c.pump()
+            _time.sleep(0.05)
+        assert c.utterances, "no UTTERANCE event arrived"
+        utt = c.utterances[0]
+        assert utt["index"] == 0
+        assert utt["text"] and isinstance(utt["tokens"], list)
+        assert utt["tokens"] == [list(t) for t in
+                                 eng.tokens[slot][: len(utt["tokens"])]]
+        c.end()

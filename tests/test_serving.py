@@ -1283,3 +1283,161 @@ def test_device_dsp_confidence(model_setup, cc, tmp_path):
                          confidence=True)
     eng2.load(p)
     assert eng2.tokens[sc] == conf.tokens[sc]
+
+
+# -- utterance endpointing ----------------------------------------------------
+
+SIL_GGUF = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "..", "weights",
+    "tones_tiny_sil.gguf")
+
+
+def test_endpoint_state_machine(model_setup, cc):
+    """The endpoint state machine, driven directly (deterministic, no
+    model behavior in the loop): silence accrues from the LAST token's
+    frame, fires at the threshold only after an emission, the fired
+    slot's prediction network is batch-reset (other slots untouched),
+    and events partition the token stream into utterances."""
+    from nemotron_tpu.models import decoder as dec_mod
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    eng = ServingEngine(params, cfg, vocab, cc, n_slots=2,
+                        compute_dtype=jnp.float32, endpoint_silence_s=0.8)
+    assert eng._ep_frames == 10    # 0.8 s / (8 * 160 / 16000)
+    s = eng.add_stream()
+    other = eng.add_stream()
+
+    # no emission yet: silence never fires
+    eng.frame_offsets[s] = 14
+    eng._ep_update({}, np.array([s]), 14)
+    assert eng.poll_endpoints() == []
+
+    # dirty the decoder state so the reset is observable
+    eng.dec_state = dec_mod.DecoderState(
+        h=jnp.ones_like(eng.dec_state.h),
+        c=jnp.ones_like(eng.dec_state.c),
+        prev_token=jnp.full_like(eng.dec_state.prev_token, 3))
+
+    # tokens at frames 2 and 5; offsets now 14 -> silence = 14-6 = 8 < 10
+    eng.tokens[s] = [(7, 2), (9, 5)]
+    eng.ep_silence[s] = 0
+    eng._ep_update({s: [(7, 2), (9, 5)]}, np.array([s]), 14)
+    assert eng.poll_endpoints() == []
+
+    # one more silent step crosses the threshold
+    eng.frame_offsets[s] += 14
+    eng._ep_update({}, np.array([s]), 14)
+    evs = eng.poll_endpoints()
+    assert len(evs) == 1
+    slot, text, toks = evs[0]
+    assert slot == s and toks == [(7, 2), (9, 5)] and isinstance(text, str)
+    # prediction network restarted for s, untouched for the other slot
+    assert np.asarray(eng.dec_state.h)[s].max() == 0
+    assert int(np.asarray(eng.dec_state.prev_token)[s]) == cfg.blank_token
+    assert np.asarray(eng.dec_state.h)[other].min() == 1
+    assert int(np.asarray(eng.dec_state.prev_token)[other]) == 3
+
+    # second utterance: events partition the cumulative token stream
+    eng.tokens[s].append((3, 38))
+    eng.frame_offsets[s] += 14
+    eng._ep_update({s: [(3, 38)]}, np.array([s]), 14)
+    assert eng.poll_endpoints() == []      # fresh utterance, recent token
+    eng.frame_offsets[s] += 28
+    eng._ep_update({}, np.array([s]), 28)
+    evs = eng.poll_endpoints()
+    assert len(evs) == 1 and evs[0][2] == [(3, 38)]
+    assert eng.stats()["utterances_finalized"] == 2
+    # the cumulative transcript stream is untouched by segmentation
+    assert eng.tokens[s] == [(7, 2), (9, 5), (3, 38)]
+
+    # eviction clears endpoint bookkeeping
+    eng.ep_emitted[s] = True
+    eng._ep_pending.append(s)
+    eng.remove_stream(s)
+    assert eng.poll_endpoints() == []
+    assert not eng.ep_emitted[s] and eng.ep_silence[s] == 0
+
+
+def test_endpointing_segments_utterances():
+    """End-to-end endpointing on the silence-robust trained fixture
+    (weights/tones_tiny_sil.gguf, trained WITH long-gap augmentation so
+    silence decodes to blanks): one endpoint per tone utterance followed
+    by >= the configured silence, each event reproducing its utterance."""
+    import os
+
+    if not os.path.exists(SIL_GGUF):
+        pytest.skip("silence-robust trained fixture not present")
+    from nemotron_tpu.params import load_model
+    from nemotron_tpu.utils.tones import SAMPLE_RATE, render_tones
+
+    params, cfg, vocab = load_model(SIL_GGUF, keep_quantized=False)
+    cc = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
+    rng = np.random.default_rng(7)
+
+    def utt(labels, tail_s):
+        durs = np.full(len(labels), 0.25)
+        gaps = np.full(len(labels), 0.05)
+        n = int(0.30 * len(labels) * SAMPLE_RATE) + \
+            int(tail_s * SAMPLE_RATE)
+        return render_tones(np.asarray(labels), durs, rng, 16, n,
+                            gaps=gaps)
+
+    truth1, truth2 = [3, 11, 6, 0, 14, 9], [8, 2, 15]
+    audio = np.concatenate([utt(truth1, 3.0), utt(truth2, 3.0)])
+
+    eng = ServingEngine(params, cfg, vocab, cc, n_slots=2,
+                        compute_dtype=jnp.float32, endpoint_silence_s=1.0)
+    s = eng.add_stream()
+    n = cc.shift_samples
+    events = []
+    for t in range(len(audio) // n):
+        eng.feed_audio({s: audio[t * n:(t + 1) * n]})
+        eng.step()
+        events.extend(eng.poll_endpoints())
+
+    assert len(events) == 2, (events, eng.transcripts[s])
+    got1 = [t for t, _f in events[0][2]]
+    got2 = [t for t, _f in events[1][2]]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            cur = [i]
+            for j, y in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (x != y)))
+            prev = cur
+        return prev[-1]
+
+    def labels_of(ids):
+        return [int(vocab[i].replace("▁T", "")) for i in ids]
+
+    assert lev(labels_of(got1), truth1) <= 1, (labels_of(got1), truth1)
+    assert lev(labels_of(got2), truth2) <= 1, (labels_of(got2), truth2)
+    assert eng.stats()["utterances_finalized"] == 2
+
+
+def test_endpointing_validation_and_snapshot(model_setup, cc, tmp_path):
+    """Beam engines reject endpointing; snapshot/resume carries the
+    endpoint state machine."""
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    with pytest.raises(ValueError, match="greedy"):
+        ServingEngine(params, cfg, vocab, cc, n_slots=2, beam_size=2,
+                      endpoint_silence_s=0.5)
+
+    eng = ServingEngine(params, cfg, vocab, cc, n_slots=2,
+                        compute_dtype=jnp.float32, endpoint_silence_s=0.5)
+    s = eng.add_stream()
+    for t in range(3):
+        eng.feed_audio({s: synth(cc.shift_samples, 40 + t)})
+        eng.step()
+    p = str(tmp_path / "ep.npz")
+    eng.save(p)
+    eng2 = ServingEngine(params, cfg, vocab, cc, n_slots=2,
+                         compute_dtype=jnp.float32, endpoint_silence_s=0.5)
+    eng2.load(p)
+    assert (eng2.ep_silence == eng.ep_silence).all()
+    assert (eng2.ep_emitted == eng.ep_emitted).all()
+    assert (eng2.ep_utt_start == eng.ep_utt_start).all()

@@ -304,3 +304,38 @@ def test_tones_sampler_history():
             np.testing.assert_array_equal(b1["history"], b2["history"])
             assert b1["history"].min() >= 0 and b1["history"].max() < 8
     assert len(widths) >= 3
+
+
+def test_tones_sampler_long_gaps():
+    """Silence augmentation: long_gap_prob draws up to max_long_gaps gaps
+    from long_gap_range (audio/mel_lengths grow; labels unchanged),
+    stays deterministic in (seed, step), and 0.0 reproduces the base
+    sampler exactly."""
+    from nemotron_tpu.frontend.preprocessor import mel_filterbank_slaney
+    from nemotron_tpu.utils.tones import TonesSampler
+
+    fb = mel_filterbank_slaney(32).astype(np.float32)
+    win = np.hanning(400).astype(np.float32)
+    kw = dict(n_mels=32, n_tones=8, tones_per_utt=3, batch=4, seed=5,
+              dur_range=(0.10, 0.14))
+    base = TonesSampler(fb, win, **kw)
+    aug1 = TonesSampler(fb, win, long_gap_prob=0.9, **kw)
+    aug2 = TonesSampler(fb, win, long_gap_prob=0.9, **kw)
+    off = TonesSampler(fb, win, long_gap_prob=0.0, **kw)
+
+    assert aug1.n_samples > base.n_samples
+    assert off.n_samples == base.n_samples
+    grew = False
+    for i in range(4):
+        bb, b1, b2 = base.sample(i), aug1.sample(i), aug2.sample(i)
+        bo = off.sample(i)
+        np.testing.assert_array_equal(b1["labels"], b2["labels"])
+        np.testing.assert_array_equal(b1["mel"], b2["mel"])
+        np.testing.assert_array_equal(bb["labels"], bo["labels"])
+        np.testing.assert_array_equal(bb["mel"], bo["mel"])
+        # same (seed, step) label stream as the base sampler; only the
+        # gap layout differs
+        np.testing.assert_array_equal(bb["labels"], b1["labels"])
+        if (b1["mel_lengths"] > bb["mel_lengths"]).any():
+            grew = True
+    assert grew  # prob 0.9 over 4 steps x 4 utts: long gaps must appear
