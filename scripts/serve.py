@@ -14,6 +14,8 @@ aggregate throughput and latency percentiles.
              [--beam K]            # on-device beam search per tick
              [--confidence]        # per-token log-posteriors (greedy)
                                    # (greedy-only in the reference)
+             [--endpoint-silence S]  # utterance segmentation: endpoint
+                                   # after S s of post-emission silence
 
 Streams are staggered (each starts at a different offset into the audio,
 wrapping around) so the engine exercises admission at different phases.
@@ -59,6 +61,7 @@ def main(argv: list[str]) -> int:
     seconds = opt("--seconds", 10.0, float)
     quant_mode = opt("--quantize", None, str)
     beam_k = opt("--beam", 1, int)
+    ep_s = opt("--endpoint-silence", 0.0, float)
 
     import jax.numpy as jnp
 
@@ -162,19 +165,34 @@ def main(argv: list[str]) -> int:
                           "p90": float(np.percentile(t, 90)),
                           "p99": float(np.percentile(t, 99))}}
     else:
-        eng = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
-                            mesh=mesh, compute_dtype=jnp.bfloat16,
-                            dsp=opt("--dsp", "auto", str),
-                            beam_size=beam_k,
-                            confidence="--confidence" in argv)
+        try:
+            eng = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
+                                mesh=mesh, compute_dtype=jnp.bfloat16,
+                                dsp=opt("--dsp", "auto", str),
+                                beam_size=beam_k,
+                                confidence="--confidence" in argv,
+                                endpoint_silence_s=ep_s if ep_s > 0
+                                else None)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
         slots = eng.add_streams(n_streams)
         t0 = time.perf_counter()
+        n_utts = 0
         for _ in range(n_ticks):
             feed = {s: block_for(i) for i, s in enumerate(slots)}
             eng.feed_audio(feed)
             eng.step()
+            for slot, text, _toks in eng.poll_endpoints():
+                n_utts += 1
+                if n_utts <= 5:
+                    print(f"[utterance slot {slot}] {text.strip()}",
+                          file=sys.stderr)
         wall = time.perf_counter() - t0
         st = eng.stats()
+        if ep_s > 0:
+            print(f"utterances finalized: {st['utterances_finalized']}",
+                  file=sys.stderr)
     print(f"streams={n_streams} slots={n_slots} mode=R{R}"
           f"{' ' + quant_mode if quant_mode else ''}", file=sys.stderr)
     print(f"decoded {st['audio_seconds_decoded']:.1f}s of audio in "
