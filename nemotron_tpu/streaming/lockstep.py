@@ -147,7 +147,8 @@ class LockstepEngine:
                  compute_dtype=jnp.bfloat16, mesh=None,
                  beam_size: int = 1, beam_expansions: int | None = None,
                  max_beam_tokens: int = 4096,
-                 confidence: bool = False):
+                 confidence: bool = False,
+                 endpoint_silence_s: float | None = None):
         """beam_size > 1 switches every tick to the fused on-device beam
         search (accuracy-sensitive decode at serving scale -- capability
         beyond both the greedy-only reference and the greedy engines).
@@ -174,6 +175,20 @@ class LockstepEngine:
         self.confidence = confidence
         if confidence and beam_size > 1:
             raise ValueError("confidence requires greedy decode")
+        # Utterance endpointing (greedy only; same semantics as
+        # ServingEngine): post-emission silence of endpoint_silence_s
+        # fires an event per stream and resets its prediction network.
+        # In PIPELINED mode the reset lands one tick late (tokens are
+        # collected a tick behind the dispatched state) — harmless,
+        # because blanks never advance the decoder state, unless the next
+        # utterance begins within that single in-flight tick.
+        self._ep_frames = None
+        if endpoint_silence_s is not None:
+            if beam_size > 1:
+                raise ValueError("endpointing requires greedy decode")
+            frame_s = (self.cc.subsampling_factor * self.cc.hop_length
+                       / self.cc.sample_rate)
+            self._ep_frames = max(1, round(endpoint_silence_s / frame_s))
 
         self.params = cast_params(params, compute_dtype)
         self.pos_heads = enc_mod.precompute_pos_heads(
@@ -228,6 +243,11 @@ class LockstepEngine:
         self.transcripts = [""] * self.n_streams
         self.frame_offset = 0
         self.total_chunks = 0
+        self.ep_silence = np.zeros(S, np.int64)
+        self.ep_emitted = np.zeros(S, bool)
+        self.ep_utt_start = np.zeros(S, np.int64)
+        self._ep_pending: list[int] = []
+        self.utterances_retired = 0
         self._pending = None
         # canonical tick size (samples): fixed by the FIRST tick and used
         # to normalize ragged inputs afterwards (jit-signature reuse)
@@ -296,6 +316,45 @@ class LockstepEngine:
                 text = tokens_to_text(toks, self.vocab)
                 self.transcripts[s] += text
                 out[s] = out.get(s, "") + text
+            if self._ep_frames is not None:
+                self._ep_update(emitted,
+                                base + (i + 1) * self.cc.valid_out_len)
+        return out
+
+    def _ep_update(self, emitted: dict, current_offset: int) -> None:
+        """One processed chunk (every stream advanced valid_out_len
+        frames): same silence accounting as ServingEngine._ep_update, with
+        a shared (lockstep) frame offset."""
+        self.ep_silence += self.cc.valid_out_len
+        for s, toks in emitted.items():
+            self.ep_silence[s] = max(0, current_offset - (toks[-1][1] + 1))
+            self.ep_emitted[s] = True
+        fired = np.flatnonzero(self.ep_emitted
+                               & (self.ep_silence >= self._ep_frames))
+        if fired.size == 0:
+            return
+        self._ep_pending.extend(int(s) for s in fired)
+        self.ep_emitted[fired] = False
+        self.ep_silence[fired] = 0
+        from .serving import _reset_decoder_slots
+
+        mask = np.zeros(self.n_streams, bool)
+        mask[fired] = True
+        self.dec_state = _reset_decoder_slots(
+            self.dec_state, jnp.asarray(mask),
+            jnp.int32(self.cfg.blank_token))
+
+    def poll_endpoints(self) -> list[tuple[int, str, list]]:
+        """Drain utterance-endpoint events; see
+        ServingEngine.poll_endpoints (identical contract)."""
+        out = []
+        for s in self._ep_pending:
+            start = int(self.ep_utt_start[s])
+            toks = self.tokens[s][start:]
+            out.append((s, tokens_to_text(toks, self.vocab), toks))
+            self.ep_utt_start[s] = len(self.tokens[s])
+            self.utterances_retired += 1
+        self._ep_pending = []
         return out
 
     def tick(self, pcm_i16: np.ndarray) -> dict[int, str]:
@@ -385,6 +444,11 @@ class LockstepEngine:
             "total_chunks": np.int64(self.total_chunks),
             "transcripts": np.asarray(self.transcripts, dtype=object),
         }
+        if self._ep_frames is not None:
+            flat["ep/silence"] = self.ep_silence
+            flat["ep/emitted"] = self.ep_emitted
+            flat["ep/utt_start"] = self.ep_utt_start
+            flat["ep/pending"] = np.asarray(self._ep_pending, np.int64)
         if self.beam_state is not None:
             self.refresh_transcripts()
             flat["transcripts"] = np.asarray(self.transcripts, dtype=object)
@@ -445,6 +509,11 @@ class LockstepEngine:
         self.buf_len = int(z["buf_len"])
         self.frame_offset = int(z["frame_offset"])
         self.total_chunks = int(z["total_chunks"])
+        if self._ep_frames is not None and "ep/silence" in z.files:
+            self.ep_silence = z["ep/silence"].astype(np.int64)
+            self.ep_emitted = z["ep/emitted"].astype(bool)
+            self.ep_utt_start = z["ep/utt_start"].astype(np.int64)
+            self._ep_pending = [int(s) for s in z["ep/pending"]]
         self.transcripts = [str(t) for t in z["transcripts"]]
         self.tokens = [
             [(int(row[0]), int(row[1]), float(row[2])) if len(row) == 3

@@ -142,10 +142,17 @@ def main(argv: list[str]) -> int:
         # fused PCM->tokens path: every stream advances every tick
         from nemotron_tpu.streaming.lockstep import LockstepEngine
 
-        eng = LockstepEngine(params, cfg, vocab, cc, n_streams=n_streams,
-                             mesh=mesh, compute_dtype=jnp.bfloat16,
-                             beam_size=beam_k,
-                             confidence="--confidence" in argv)
+        try:
+            eng = LockstepEngine(params, cfg, vocab, cc,
+                                 n_streams=n_streams, mesh=mesh,
+                                 compute_dtype=jnp.bfloat16,
+                                 beam_size=beam_k,
+                                 confidence="--confidence" in argv,
+                                 endpoint_silence_s=ep_s if ep_s > 0
+                                 else None)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
         slots = list(range(n_streams))
         tick_times = []
         t0 = time.perf_counter()

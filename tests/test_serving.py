@@ -1441,3 +1441,80 @@ def test_endpointing_validation_and_snapshot(model_setup, cc, tmp_path):
     assert (eng2.ep_silence == eng.ep_silence).all()
     assert (eng2.ep_emitted == eng.ep_emitted).all()
     assert (eng2.ep_utt_start == eng.ep_utt_start).all()
+
+
+def test_lockstep_endpoint_state_machine(model_setup, cc):
+    """LockstepEngine endpointing: same contract as ServingEngine's
+    (silence from the last token's frame, fire -> decoder reset for the
+    fired stream only, events partition tokens); driven directly."""
+    from nemotron_tpu.models import decoder as dec_mod
+    from nemotron_tpu.streaming.lockstep import LockstepEngine
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    with pytest.raises(ValueError, match="greedy"):
+        LockstepEngine(params, cfg, vocab, cc, n_streams=2, beam_size=2,
+                       endpoint_silence_s=0.5)
+    eng = LockstepEngine(params, cfg, vocab, cc, n_streams=2,
+                         compute_dtype=jnp.float32,
+                         endpoint_silence_s=0.8)
+    assert eng._ep_frames == 10
+    eng.dec_state = dec_mod.DecoderState(
+        h=jnp.ones_like(eng.dec_state.h),
+        c=jnp.ones_like(eng.dec_state.c),
+        prev_token=jnp.full_like(eng.dec_state.prev_token, 3))
+
+    # stream 0 emits at frames 2, 5; stream 1 stays silent (never fires).
+    # Each _ep_update models one processed chunk of valid_out_len frames
+    # (2 for this cc), exactly as _collect calls it.
+    V = cc.valid_out_len
+    assert V == 2
+    off = 8
+    eng.tokens[0] = [(7, 2), (9, 5)]
+    eng._ep_update({0: [(7, 2), (9, 5)]}, current_offset=off)  # sil = 2
+    assert eng.poll_endpoints() == []
+    for _ in range(4):                     # sil: 4, 6, 8, 10 -> fires
+        off += V
+        eng._ep_update({}, current_offset=off)
+    evs = eng.poll_endpoints()
+    assert len(evs) == 1 and evs[0][0] == 0
+    assert evs[0][2] == [(7, 2), (9, 5)]
+    assert np.asarray(eng.dec_state.h)[0].max() == 0
+    assert np.asarray(eng.dec_state.h)[1].min() == 1   # untouched
+    assert int(np.asarray(eng.dec_state.prev_token)[0]) == cfg.blank_token
+
+    # next utterance partitions correctly
+    off += V
+    eng.tokens[0].append((3, off - 2))
+    eng._ep_update({0: [(3, off - 2)]}, current_offset=off)  # sil = 1
+    assert eng.poll_endpoints() == []
+    for _ in range(5):                     # sil: 3, 5, 7, 9, 11 -> fires
+        off += V
+        eng._ep_update({}, current_offset=off)
+    evs = eng.poll_endpoints()
+    assert len(evs) == 1 and evs[0][2] == [(3, off - 12)]
+    assert eng.utterances_retired == 2
+
+
+def test_lockstep_endpoint_snapshot(model_setup, cc, tmp_path):
+    """Lockstep endpoint state survives save/load."""
+    from nemotron_tpu.streaming.lockstep import LockstepEngine
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    eng = LockstepEngine(params, cfg, vocab, cc, n_streams=2,
+                         compute_dtype=jnp.float32,
+                         endpoint_silence_s=0.8)
+    pcm = np.stack([synth(cc.shift_samples, 70),
+                    synth(cc.shift_samples, 71)])
+    for _ in range(2):
+        eng.tick(pcm)
+    p = str(tmp_path / "lk_ep.npz")
+    eng.save(p)
+    eng2 = LockstepEngine(params, cfg, vocab, cc, n_streams=2,
+                          compute_dtype=jnp.float32,
+                          endpoint_silence_s=0.8)
+    eng2.load(p)
+    assert (eng2.ep_silence == eng.ep_silence).all()
+    assert (eng2.ep_emitted == eng.ep_emitted).all()
+    assert (eng2.ep_utt_start == eng.ep_utt_start).all()
