@@ -244,7 +244,8 @@ class TonesSampler:
 
 def make_eval_streams(n_streams: int, seconds: float, n_tones: int,
                       seed: int = 0,
-                      dur_range: tuple[float, float] = (0.20, 0.32)):
+                      dur_range: tuple[float, float] = (0.20, 0.32),
+                      return_onsets: bool = False):
     """Continuous tone streams for the serving-config accuracy harness.
 
     Returns (audio [S, N] int16, truths: list of per-stream label lists).
@@ -252,11 +253,16 @@ def make_eval_streams(n_streams: int, seconds: float, n_tones: int,
     keeps exactly the tones whose onset falls inside the window (a final
     tone cut at the boundary stays in the truth -- the latency modes'
     lookahead sees most of it, and every config faces the same edge).
+
+    return_onsets=True additionally returns per-stream onset times in
+    SECONDS (same length as each truth list) -- the ground truth for the
+    emission-delay harness (scripts/emission_delay.py).
     """
     rng = np.random.default_rng(seed)
     n = int(seconds * SAMPLE_RATE)
     audio = np.zeros((n_streams, n), np.int16)
     truths: list[list[int]] = []
+    onsets: list[list[float]] = []
     for s in range(n_streams):
         approx = int(seconds / dur_range[0]) + 2
         labs = rng.integers(0, n_tones, approx)
@@ -268,4 +274,7 @@ def make_eval_streams(n_streams: int, seconds: float, n_tones: int,
         audio[s] = render_tones(labs[keep], durs[keep], rng, n_tones, n,
                                 gaps=gaps[keep])
         truths.append([int(x) for x in labs[keep]])
+        onsets.append([float(x) / SAMPLE_RATE for x in starts[keep]])
+    if return_onsets:
+        return audio, truths, onsets
     return audio, truths

@@ -419,3 +419,26 @@ def test_bench_batch_quick():
         assert res["device_s"] > 0
         assert res["rtf_end_to_end"] >= res["rtf_device"] > 0
         assert res["audio_s"] == res["batch"] * res["utterance_s"]
+
+
+def test_emission_delay():
+    """emission_delay.py: per-mode JSON with sane ordering (delay grows
+    with right context; structural latency matches the config table)."""
+    import json as _json
+
+    if not os.path.exists(os.path.join(SCRIPTS, "..", "weights",
+                                       "tones_tiny.gguf")):
+        import pytest as _pytest
+
+        _pytest.skip("trained fixture not present")
+    r = run_script("emission_delay.py", "--seconds", "10", "--streams", "1",
+                   "--modes", "0,13", timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+    lines = [_json.loads(ln) for ln in r.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 2
+    r0, r13 = lines
+    assert r0["structural_latency_ms"] == 170      # 17 mel frames
+    assert r13["structural_latency_ms"] == 1210    # 121 mel frames
+    assert r0["match_rate_vs_truth"] > 0.9
+    assert 0 < r0["delay_p50_ms"] < r13["delay_p50_ms"]
