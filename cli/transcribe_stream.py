@@ -11,7 +11,9 @@ src/transcribe_stream.cpp:27-36):
                          [--calib=FILE]
                          [--kv-int8|--kv-int4] [--rc-by-layer=13,6,1,0] [--beam=K]
 
-  - input: raw s16le 16 kHz mono PCM file, or '-' / '--stdin' for stdin
+  - input: raw s16le 16 kHz mono PCM file, or '-' / '--stdin' for stdin;
+    .wav files decode directly (PCM16 or float32, any sample rate --
+    polyphase-resampled, stereo downmixed)
   - chunk_ms is advisory (>=10 warning); the actual read size comes from the
     cache config, same as the reference (src/transcribe_stream.cpp:119,143-146)
   - right_context in {0, 1, 6, 13} selects the latency mode

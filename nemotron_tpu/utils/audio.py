@@ -1,11 +1,28 @@
 """Audio input helpers: raw s16le PCM (the reference's only input format)
-plus RIFF/WAV detection for convenience."""
+plus RIFF/WAV decoding with automatic resampling and float32 support.
+
+The reference accepts exactly one format (raw s16le 16 kHz mono) and
+tells the user to run ffmpeg for anything else; here any PCM16 or
+IEEE-float32 WAV at any sample rate decodes directly (polyphase
+resampling, stereo downmix)."""
 
 from __future__ import annotations
 
 import struct
+from math import gcd
 
 import numpy as np
+
+
+def resample_i16(samples: np.ndarray, rate: int, target: int) -> np.ndarray:
+    """Polyphase-resample int16 PCM from `rate` to `target` Hz."""
+    if rate == target:
+        return samples
+    from scipy.signal import resample_poly
+
+    g = gcd(rate, target)
+    y = resample_poly(samples.astype(np.float32), target // g, rate // g)
+    return np.clip(np.round(y), -32768, 32767).astype(np.int16)
 
 
 def read_audio_bytes(data: bytes, expect_rate: int = 16000) -> np.ndarray:
@@ -37,13 +54,18 @@ def _decode_wav(data: bytes, expect_rate: int) -> np.ndarray:
     if fmt is None or pcm is None:
         raise ValueError("malformed WAV: missing fmt/data chunk")
     audio_fmt, channels, rate, _, _, bits = fmt
-    if audio_fmt != 1 or bits != 16:
+    if audio_fmt == 1 and bits == 16:            # integer PCM16
+        samples = np.frombuffer(pcm, dtype="<i2")
+        if channels > 1:
+            samples = samples.reshape(-1, channels).mean(axis=1) \
+                .astype(np.int16)
+    elif audio_fmt == 3 and bits == 32:          # IEEE float32
+        f = np.frombuffer(pcm, dtype="<f4")
+        if channels > 1:
+            f = f.reshape(-1, channels).mean(axis=1)
+        samples = np.clip(np.round(f * 32767.0), -32768,
+                          32767).astype(np.int16)
+    else:
         raise ValueError(f"unsupported WAV: format={audio_fmt} bits={bits} "
-                         "(need PCM16)")
-    samples = np.frombuffer(pcm, dtype="<i2")
-    if channels > 1:
-        samples = samples.reshape(-1, channels).mean(axis=1).astype(np.int16)
-    if rate != expect_rate:
-        raise ValueError(f"WAV sample rate {rate} != required {expect_rate}; "
-                         "resample first (e.g. ffmpeg -ar 16000)")
-    return samples
+                         "(need PCM16 or IEEE float32)")
+    return resample_i16(samples, rate, expect_rate)

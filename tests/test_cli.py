@@ -111,13 +111,51 @@ def test_wav_decoding(tmp_path):
     # stereo downmix
     stereo = np.stack([pcm, pcm], axis=1).reshape(-1)
     np.testing.assert_array_equal(read_audio_bytes(wav_bytes(stereo, 2)), pcm)
-    # wrong rate rejected
-    with pytest.raises(ValueError):
-        read_audio_bytes(wav_bytes(pcm, rate=44100))
     # file helper
     p = str(tmp_path / "a.wav")
     open(p, "wb").write(wav_bytes(pcm))
     np.testing.assert_array_equal(read_audio_file(p), pcm)
+
+
+def test_wav_resample_and_float(tmp_path):
+    """Non-16 kHz and IEEE-float32 WAVs decode directly (the reference
+    tells the user to run ffmpeg): length scales by the rate ratio and a
+    1 kHz sine survives polyphase resampling; truly unsupported formats
+    still raise."""
+    import struct
+
+    from nemotron_tpu.utils.audio import read_audio_bytes
+
+    def wav_bytes(raw, channels, rate, fmt, bits):
+        block = channels * bits // 8
+        return (b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, fmt, channels, rate,
+                                        rate * block, block, bits)
+                + b"data" + struct.pack("<I", len(raw)) + raw)
+
+    def dominant_hz(x, rate=16000):
+        spec = np.abs(np.fft.rfft(x.astype(np.float64)))
+        return np.argmax(spec[1:]) + 1  # bins of rate/len(x)
+
+    for rate in (8000, 44100, 48000):
+        t = np.arange(rate) / rate  # 1 s
+        sine = (0.5 * np.sin(2 * np.pi * 1000.0 * t) * 32767).astype("<i2")
+        out = read_audio_bytes(wav_bytes(sine.tobytes(), 1, rate, 1, 16))
+        assert abs(out.size - 16000) <= 2, (rate, out.size)
+        # 1 kHz bin with 1 s of audio = bin 1000
+        assert abs(dominant_hz(out) - 1000) <= 1, rate
+
+    # float32 WAV at 16 kHz decodes to the scaled int16 samples
+    f = (0.25 * np.sin(2 * np.pi * 440.0 * np.arange(1600) / 16000.0)) \
+        .astype("<f4")
+    out = read_audio_bytes(wav_bytes(f.tobytes(), 1, 16000, 3, 32))
+    np.testing.assert_array_equal(
+        out, np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16))
+
+    # unsupported: 8-bit PCM
+    raw = np.zeros(100, np.uint8).tobytes()
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        read_audio_bytes(wav_bytes(raw, 1, 16000, 1, 8))
 
 
 def test_stream_cli_w8a8_sq(model_file, tmp_path):
