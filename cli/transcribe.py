@@ -3,7 +3,7 @@
 
     transcribe.py <model.gguf> <audio.pcm|.wav> [more audio files...]
                   [--cpu] [--timestamps] [--confidence] [--beam=K]
-                  [--nbest=N]
+                  [--nbest=N] [--boost=piece:weight,...]
 
 Multiple audio files are transcribed in ONE batched encoder/decode pass
 (length-masked; the reference is batch=1). --beam=K decodes with the
@@ -57,6 +57,25 @@ def main(argv: list[str]) -> int:
         return 1
     if nbest is not None and beam == 1:
         beam = nbest
+    for f in flags:
+        if f.startswith("--boost="):
+            # contextual biasing folded into the joint bias
+            from nemotron_tpu.params import apply_logit_bias
+
+            bias = {}
+            try:
+                for item in f.split("=", 1)[1].split(","):
+                    key, _, w = item.rpartition(":")
+                    if not key:
+                        raise ValueError(f"bad --boost item {item!r}")
+                    try:
+                        bias[int(key)] = float(w)
+                    except ValueError:
+                        bias[key] = float(w)
+                params = apply_logit_bias(params, bias, vocab)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
     audios = [read_audio_file(a) for a in args[1:]]
     t0 = time.perf_counter()
     try:

@@ -9,7 +9,8 @@ src/transcribe_stream.cpp:27-36):
                          [--confidence] [--profile=DIR] [--trace=DIR]
                          [--quantize=q8_0|w8a8|w8a8-sq|w8a8-sq-static]
                          [--calib=FILE]
-                         [--kv-int8|--kv-int4] [--rc-by-layer=13,6,1,0] [--beam=K]
+                         [--kv-int8|--kv-int4] [--rc-by-layer=13,6,1,0]
+                         [--beam=K] [--boost=piece:weight,...]
 
   - input: raw s16le 16 kHz mono PCM file, or '-' / '--stdin' for stdin;
     .wav files decode directly (PCM16 or float32, any sample rate --
@@ -93,6 +94,17 @@ def main(argv: list[str]) -> int:
                   file=sys.stderr)
             return 1
         print(f"runtime quantization: {quant_mode}", file=sys.stderr)
+    for f in flags:
+        if f.startswith("--boost="):
+            # contextual biasing: fold a per-token logit boost into the
+            # joint bias (params.apply_logit_bias)
+            try:
+                params = parse_boost(f.split("=", 1)[1], params, vocab)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+            print(f"logit boost applied: {f.split('=', 1)[1]}",
+                  file=sys.stderr)
     cc = CacheConfig(att_right_context=right_context, n_mels=cfg.n_mels)
     if "--kv-int8" in flags:
         import dataclasses
@@ -248,6 +260,24 @@ def main(argv: list[str]) -> int:
     print(f"frontend {sess.frontend_seconds:.3f}s, "
           f"chunk-step {sess.chunk_seconds:.3f}s", file=sys.stderr)
     return 0
+
+
+def parse_boost(spec: str, params, vocab):
+    """--boost=piece:weight,... -> apply_logit_bias'd params. Pieces may be
+    vocab strings (with or without the SentencePiece prefix) or integer
+    token ids."""
+    from nemotron_tpu.params import apply_logit_bias
+
+    bias = {}
+    for item in spec.split(","):
+        key, _, w = item.rpartition(":")
+        if not key:
+            raise ValueError(f"bad --boost item {item!r} (want piece:weight)")
+        try:
+            bias[int(key)] = float(w)
+        except ValueError:
+            bias[key] = float(w)
+    return apply_logit_bias(params, bias, vocab)
 
 
 if __name__ == "__main__":

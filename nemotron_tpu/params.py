@@ -601,6 +601,53 @@ def random_params(seed: int = 0) -> tuple[ModelParams, ModelConfig]:
     return _cached_random_params(seed)
 
 
+def apply_logit_bias(params: ModelParams, bias,
+                     vocab: list[str] | None = None) -> ModelParams:
+    """Contextual biasing ("hotword boosting"): return params whose joint
+    emits `logits + bias`.
+
+    Folding the bias into the joint's f32 output bias is EXACTLY
+    equivalent to adding it to every decode step's logits (the vocab
+    projection ends `... @ out_w + out_b`, models/decoder.joint_logits),
+    so the boost applies everywhere with no decode-path changes: batch,
+    sessions, both serving engines, beam search, and confidence (which
+    then reports the biased posterior — standard shallow-fusion
+    semantics). A capability beyond the reference, whose joint bias is a
+    fixed weight (src/nemo-ggml.cpp:1062-1100).
+
+    bias: a full [vocab] array, or a dict mapping token id (int) or vocab
+    piece (str, matched exactly or with the SentencePiece "▁" prefix) to
+    a log-space boost. Positive boosts favor tokens; boosting blank
+    suppresses output. Unknown pieces raise.
+    """
+    import jax.numpy as jnp
+
+    out_b = np.asarray(params.joint.out_b, np.float32).copy()
+    if isinstance(bias, dict):
+        for key, w in bias.items():
+            if isinstance(key, str):
+                if vocab is None:
+                    raise ValueError("string keys need the vocab")
+                if key in vocab:
+                    idx = vocab.index(key)
+                elif "▁" + key in vocab:
+                    idx = vocab.index("▁" + key)
+                else:
+                    raise ValueError(f"piece {key!r} not in the vocab")
+            else:
+                idx = int(key)
+            out_b[idx] += float(w)
+    else:
+        b = np.asarray(bias, np.float32)
+        if b.shape != out_b.shape:
+            raise ValueError(f"bias shape {b.shape} != vocab "
+                             f"{out_b.shape}")
+        out_b = out_b + b
+    return dataclasses.replace(
+        params, joint=dataclasses.replace(
+            params.joint, out_b=jnp.asarray(out_b)))
+
+
 def cast_params(params: ModelParams, dtype) -> ModelParams:
     """Cast all floating-point leaves to `dtype` (e.g. bf16 for serving).
     QTensor leaves are left untouched: int8 values + f32 block scales."""

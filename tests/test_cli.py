@@ -230,3 +230,22 @@ def test_stream_cli_w8a8_sq_static(model_file, tmp_path):
     ratio = difflib.SequenceMatcher(
         None, st.stdout, dense.stdout).ratio()
     assert ratio > 0.7, (ratio, st.stdout, dense.stdout)
+
+
+def test_cli_boost(model_file, tmp_path):
+    """--boost=piece:weight biases decoding on both CLIs (suppressing the
+    fixture's dominant token changes the transcript); bad specs error."""
+    path, cfg = model_file
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(17 * 160 * 3) * 8000).astype(np.int16)
+    pcm = tmp_path / "b.pcm"
+    audio.tofile(pcm)
+    base = run_cli("transcribe_stream.py", [path, str(pcm), "170", "0",
+                                            "--cpu"])
+    boosted = run_cli("transcribe_stream.py",
+                      [path, str(pcm), "170", "0", "--cpu",
+                       f"--boost={cfg.blank_token}:50"])
+    assert base.returncode == 0 and boosted.returncode == 0
+    assert base.stdout.strip() and not boosted.stdout.strip()  # silenced
+    bad = run_cli("transcribe.py", [path, str(pcm), "--cpu", "--boost=zz"])
+    assert bad.returncode == 1 and b"error" in bad.stderr

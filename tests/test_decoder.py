@@ -259,3 +259,57 @@ def test_greedy_confidence_does_not_perturb_tokens(model_setup, rng):
     arr, c = np.asarray(tok_b), np.asarray(confs)
     assert np.all(c[arr == cfg.blank_token] == 0.0)   # blank slots untouched
     assert np.all(c[arr != cfg.blank_token] <= 1e-6)  # log-probs
+
+
+def test_apply_logit_bias(model_setup, rng):
+    """Contextual biasing (params.apply_logit_bias): folding the bias
+    into the joint's output bias is exactly logits+bias (numerical
+    check), a large boost dominates decoding, boosting blank silences,
+    and dict keys accept ids and vocab pieces (with the SentencePiece
+    prefix); bad inputs raise."""
+    import jax.numpy as jnp
+
+    from nemotron_tpu.models import decoder as dec_mod
+    from nemotron_tpu.params import apply_logit_bias
+
+    _, params, cfg = model_setup
+    V = cfg.vocab_size
+    vocab = [f"t{i}" for i in range(V - 1)] + ["<blank>"]
+    vocab[7] = "▁seven"
+
+    # exactness: joint logits shift by exactly the bias vector
+    bias_vec = rng.standard_normal(V).astype(np.float32)
+    biased = apply_logit_bias(params, bias_vec)
+    enc_proj = jnp.asarray(rng.standard_normal((2, cfg.joint_dim)),
+                           jnp.float32)
+    dec_out = jnp.asarray(rng.standard_normal((2, cfg.decoder_dim)),
+                          jnp.float32)
+    base = dec_mod.joint_logits(params.joint, enc_proj, dec_out)
+    shifted = dec_mod.joint_logits(biased.joint, enc_proj, dec_out)
+    np.testing.assert_allclose(np.asarray(shifted - base),
+                               np.tile(bias_vec, (2, 1)), rtol=0, atol=1e-5)
+
+    # decoding effect on random encoder frames
+    enc = jnp.asarray(rng.standard_normal((1, 4, cfg.d_model)) * 0.5,
+                      jnp.float32)
+
+    def decode(p):
+        st = dec_mod.init_decoder_state(cfg, 1, jnp.float32)
+        toks, _ = dec_mod.greedy_decode(p, cfg, enc, st)
+        return dec_mod.tokens_to_list(np.asarray(toks)[0], cfg.blank_token)
+
+    boosted = decode(apply_logit_bias(params, {3: 50.0}, vocab))
+    assert boosted and all(t == 3 for t, _f in boosted)
+    silenced = decode(apply_logit_bias(params, {cfg.blank_token: 50.0},
+                                       vocab))
+    assert silenced == []
+    # string keys: exact piece and the underbar-prefixed form
+    by_piece = apply_logit_bias(params, {"seven": 50.0}, vocab)
+    assert decode(by_piece) and all(t == 7 for t, _f in decode(by_piece))
+
+    with pytest.raises(ValueError, match="not in the vocab"):
+        apply_logit_bias(params, {"nonexistent": 1.0}, vocab)
+    with pytest.raises(ValueError, match="vocab"):
+        apply_logit_bias(params, {"x": 1.0})
+    with pytest.raises(ValueError, match="shape"):
+        apply_logit_bias(params, np.zeros(V + 1, np.float32))
