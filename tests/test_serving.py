@@ -1518,3 +1518,32 @@ def test_lockstep_endpoint_snapshot(model_setup, cc, tmp_path):
     assert (eng2.ep_silence == eng.ep_silence).all()
     assert (eng2.ep_emitted == eng.ep_emitted).all()
     assert (eng2.ep_utt_start == eng.ep_utt_start).all()
+
+
+def test_endpoint_reset_on_mesh(model_setup, cc):
+    """The endpoint decoder reset runs on a sharded slab: fired slot
+    zeroed, neighbors untouched, sharding preserved."""
+    from nemotron_tpu.models import decoder as dec_mod
+    from nemotron_tpu.parallel.mesh import make_mesh
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    mesh = make_mesh(8)
+    eng = ServingEngine(params, cfg, vocab, cc, n_slots=8, mesh=mesh,
+                        compute_dtype=jnp.float32, endpoint_silence_s=0.8)
+    for _ in range(2):
+        eng.add_stream()
+    eng.dec_state = dec_mod.DecoderState(
+        h=jnp.ones_like(eng.dec_state.h),
+        c=jnp.ones_like(eng.dec_state.c),
+        prev_token=jnp.full_like(eng.dec_state.prev_token, 3))
+    shard_before = eng.dec_state.h.sharding
+    eng.tokens[0] = [(7, 2)]
+    eng.frame_offsets[0] = 30
+    eng._ep_update({0: [(7, 2)]}, np.array([0]), 30)   # sil 27 >= 10: fires
+    evs = eng.poll_endpoints()
+    assert len(evs) == 1 and evs[0][0] == 0
+    h = np.asarray(eng.dec_state.h)
+    assert h[0].max() == 0 and h[1].min() == 1
+    assert eng.dec_state.h.sharding.is_equivalent_to(shard_before,
+                                                     eng.dec_state.h.ndim)
