@@ -371,8 +371,9 @@ def test_asr_server_client_roundtrip(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     srv = subprocess.Popen(
         [sys.executable, os.path.join(SCRIPTS, "asr_server.py"), gguf,
-         "--cpu", "--port", str(port), "--slots", "2", "--stats-every", "0"],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+         "--cpu", "--port", str(port), "--slots", "2", "--stats-every", "0",
+         "--endpoint-silence", "1.0"],   # flag wiring; relay gated in
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)  # test_server.py
     try:
         line = srv.stderr.readline()  # blocks until the server is bound
         assert "listening" in line, line
