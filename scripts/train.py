@@ -312,7 +312,15 @@ def main(argv: list[str]) -> int:
 
     if "--save" in argv:
         out = argv[argv.index("--save") + 1]
-        P.save_model(out, jax.device_get(params), cfg)
+        vocab = None
+        if task == "tones":
+            # readable vocab so demos/CLIs render transcripts, not bare ids
+            # 7-byte GGUF entries: keep unused names short ("▁u17")
+            vocab = ([f"▁T{i}" for i in range(n_tones)]
+                     + [f"▁u{i}" for i in range(n_tones,
+                                                cfg.vocab_size - 1)]
+                     + ["<blank>"])
+        P.save_model(out, jax.device_get(params), cfg, vocab=vocab)
         print(f"saved trained weights to {out}", file=sys.stderr)
     return 0
 

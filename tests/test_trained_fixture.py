@@ -93,3 +93,50 @@ def test_trained_model_quantized_configs_agree(trained):
         got = _decode(w8a8, cfg, audio, dtype=jnp.bfloat16, kv_int8=kv8)
         dist = sum(levenshtein(g, r) for g, r in zip(got, ref))
         assert dist / n_ref < 0.05, (kv8, dist, n_ref)
+
+
+SIL_GGUF = os.path.join(os.path.dirname(__file__), "..", "weights",
+                        "tones_tiny_sil.gguf")
+
+
+@pytest.fixture(scope="module")
+def trained_sil():
+    if not os.path.exists(SIL_GGUF):
+        pytest.skip("silence-robust fixture not present")
+    from nemotron_tpu.params import load_model
+
+    return load_model(SIL_GGUF, keep_quantized=False)
+
+
+def test_sil_model_transcribes(trained_sil):
+    """The silence-augmented fixture (tiny recipe + --long-gap-prob 0.3)
+    still transcribes continuous tone streams at serving grade."""
+    from nemotron_tpu.utils import tones as tones_mod
+
+    params, cfg, _ = trained_sil
+    audio, truths = tones_mod.make_eval_streams(2, 15.0, 16, seed=123)
+    got = _decode(params, cfg, audio)
+    total = sum(len(t) for t in truths)
+    dist = sum(levenshtein(g, t) for g, t in zip(got, truths))
+    assert total > 10
+    assert dist / total < 0.10, (dist, total)
+
+
+def test_sil_model_silence_stays_silent(trained_sil):
+    """The property the base fixture lacks (it degenerates into a token
+    loop on quiet): 5 s of noise-floor silence emits NOTHING, before and
+    after a tone utterance."""
+    import numpy as np
+
+    from nemotron_tpu.utils.tones import SAMPLE_RATE, render_tones
+
+    params, cfg, _ = trained_sil
+    rng = np.random.default_rng(3)
+    utt = render_tones(np.array([4, 9, 1]), np.full(3, 0.25), rng, 16,
+                       int(0.9 * SAMPLE_RATE), gaps=np.full(3, 0.05))
+    silence = render_tones(np.array([], np.int64), np.zeros(0), rng, 16,
+                           int(5.0 * SAMPLE_RATE))
+    audio = np.concatenate([silence, utt, silence])[None]
+    got = _decode(params, cfg, audio)[0]
+    # everything emitted must belong to the single 3-tone utterance
+    assert 1 <= len(got) <= 4, got
