@@ -148,7 +148,8 @@ class LockstepEngine:
                  beam_size: int = 1, beam_expansions: int | None = None,
                  max_beam_tokens: int = 4096,
                  confidence: bool = False,
-                 endpoint_silence_s: float | None = None):
+                 endpoint_silence_s: float | None = None,
+                 endpoint_reset: bool = False):
         """beam_size > 1 switches every tick to the fused on-device beam
         search (accuracy-sensitive decode at serving scale -- capability
         beyond both the greedy-only reference and the greedy engines).
@@ -182,7 +183,11 @@ class LockstepEngine:
         # collected a tick behind the dispatched state) — harmless,
         # because blanks never advance the decoder state, unless the next
         # utterance begins within that single in-flight tick.
+        # endpoint_reset defaults OFF — see ServingEngine.__init__: a
+        # reset mid-silence re-emits the utterance tail still inside the
+        # encoder's attention window (measured phantom utterance).
         self._ep_frames = None
+        self._ep_reset = bool(endpoint_reset)
         if endpoint_silence_s is not None:
             if beam_size > 1:
                 raise ValueError("endpointing requires greedy decode")
@@ -336,13 +341,14 @@ class LockstepEngine:
         self._ep_pending.extend(int(s) for s in fired)
         self.ep_emitted[fired] = False
         self.ep_silence[fired] = 0
-        from .serving import _reset_decoder_slots
+        if self._ep_reset:
+            from .serving import _reset_decoder_slots
 
-        mask = np.zeros(self.n_streams, bool)
-        mask[fired] = True
-        self.dec_state = _reset_decoder_slots(
-            self.dec_state, jnp.asarray(mask),
-            jnp.int32(self.cfg.blank_token))
+            mask = np.zeros(self.n_streams, bool)
+            mask[fired] = True
+            self.dec_state = _reset_decoder_slots(
+                self.dec_state, jnp.asarray(mask),
+                jnp.int32(self.cfg.blank_token))
 
     def poll_endpoints(self) -> list[tuple[int, str, list]]:
         """Drain utterance-endpoint events; see

@@ -279,7 +279,8 @@ class ServingEngine:
                  beam_size: int = 1, beam_expansions: int | None = None,
                  max_beam_tokens: int = 4096,
                  confidence: bool = False,
-                 endpoint_silence_s: float | None = None):
+                 endpoint_silence_s: float | None = None,
+                 endpoint_reset: bool = False):
         """beam_size > 1 switches every tick's decode to the fused
         on-device beam search (chunk_step_masked_beam): frozen slots keep
         their entire beam untouched, so raggedness works exactly as in
@@ -310,6 +311,18 @@ class ServingEngine:
         # frames (1 frame = subsampling * hop = 80 ms of audio by default,
         # the reference's timed_token unit, src/nemo-ggml.h:343-355).
         self._ep_frames = None
+        # endpoint_reset=True additionally gives the fired slot a fresh
+        # prediction network. Both settings have MEASURED model-level
+        # trade-offs on the tones fixture: with reset, the utterance's
+        # last tokens are still inside the encoder's 70-frame window and
+        # it was the decoder history suppressing their re-emission -- a
+        # mid-silence reset can re-emit them as a phantom utterance;
+        # without reset, carried decoder state can miss an utterance's
+        # LEADING tokens after silences longer than training exposed
+        # (3 s vs the 2 s max long-gap augmentation). Default OFF
+        # (precision: never invent tokens); turn on for models whose
+        # post-silence recall benefits from a fresh state.
+        self._ep_reset = bool(endpoint_reset)
         if endpoint_silence_s is not None:
             if beam_size > 1:
                 raise ValueError("endpointing requires greedy decode")
@@ -689,11 +702,12 @@ class ServingEngine:
             self._ep_pending.append(s)
             self.ep_emitted[s] = False
             self.ep_silence[s] = 0
-        mask = np.zeros(self.n_slots, bool)
-        mask[fired] = True
-        self.dec_state = _reset_decoder_slots(
-            self.dec_state, jnp.asarray(mask),
-            jnp.int32(self.cfg.blank_token))
+        if self._ep_reset:
+            mask = np.zeros(self.n_slots, bool)
+            mask[fired] = True
+            self.dec_state = _reset_decoder_slots(
+                self.dec_state, jnp.asarray(mask),
+                jnp.int32(self.cfg.blank_token))
 
     def poll_endpoints(self) -> list[tuple[int, str, list]]:
         """Drain utterance-endpoint events (greedy engines constructed with

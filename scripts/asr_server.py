@@ -5,7 +5,8 @@
                   [--right-context R] [--rc-by-layer 13,6,1,0]
                   [--quantize q8_0|w8a8] [--kv-int8|--kv-int4]
                   [--dsp auto|native|numpy|device] [--beam K]
-                  [--confidence] [--endpoint-silence S] [--tick-ms T]
+                  [--confidence] [--endpoint-silence S] [--endpoint-reset]
+                  [--tick-ms T]
                   [--cpu]
                   [--stats-every SECONDS]
 
@@ -97,7 +98,8 @@ def main(argv: list[str]) -> int:
         engine = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
                                dsp=dsp, beam_size=beam_k,
                                confidence="--confidence" in argv,
-                               endpoint_silence_s=ep_s if ep_s > 0 else None)
+                               endpoint_silence_s=ep_s if ep_s > 0 else None,
+                               endpoint_reset="--endpoint-reset" in argv)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

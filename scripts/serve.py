@@ -16,6 +16,8 @@ aggregate throughput and latency percentiles.
                                    # (greedy-only in the reference)
              [--endpoint-silence S]  # utterance segmentation: endpoint
                                    # after S s of post-emission silence
+             [--endpoint-reset]    # also reset the prediction network at
+                                   # each endpoint (see docs/SERVING.md)
 
 Streams are staggered (each starts at a different offset into the audio,
 wrapping around) so the engine exercises admission at different phases.
@@ -62,6 +64,7 @@ def main(argv: list[str]) -> int:
     quant_mode = opt("--quantize", None, str)
     beam_k = opt("--beam", 1, int)
     ep_s = opt("--endpoint-silence", 0.0, float)
+    ep_reset = "--endpoint-reset" in argv
 
     import jax.numpy as jnp
 
@@ -149,7 +152,7 @@ def main(argv: list[str]) -> int:
                                  beam_size=beam_k,
                                  confidence="--confidence" in argv,
                                  endpoint_silence_s=ep_s if ep_s > 0
-                                 else None)
+                                 else None, endpoint_reset=ep_reset)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
@@ -179,7 +182,7 @@ def main(argv: list[str]) -> int:
                                 beam_size=beam_k,
                                 confidence="--confidence" in argv,
                                 endpoint_silence_s=ep_s if ep_s > 0
-                                else None)
+                                else None, endpoint_reset=ep_reset)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 1

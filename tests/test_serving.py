@@ -1303,7 +1303,8 @@ def test_endpoint_state_machine(model_setup, cc):
     _, params, cfg = model_setup
     vocab = [f"w{i}" for i in range(cfg.vocab_size)]
     eng = ServingEngine(params, cfg, vocab, cc, n_slots=2,
-                        compute_dtype=jnp.float32, endpoint_silence_s=0.8)
+                        compute_dtype=jnp.float32, endpoint_silence_s=0.8,
+                        endpoint_reset=True)
     assert eng._ep_frames == 10    # 0.8 s / (8 * 160 / 16000)
     s = eng.add_stream()
     other = eng.add_stream()
@@ -1386,8 +1387,12 @@ def test_endpointing_segments_utterances():
     truth1, truth2 = [3, 11, 6, 0, 14, 9], [8, 2, 15]
     audio = np.concatenate([utt(truth1, 3.0), utt(truth2, 3.0)])
 
+    # endpoint_reset=True: this fixture recovers an utterance's leading
+    # tokens after a longer-than-trained silence only with a fresh
+    # prediction network (both trade-offs measured; serving.py __init__)
     eng = ServingEngine(params, cfg, vocab, cc, n_slots=2,
-                        compute_dtype=jnp.float32, endpoint_silence_s=1.0)
+                        compute_dtype=jnp.float32, endpoint_silence_s=1.0,
+                        endpoint_reset=True)
     s = eng.add_stream()
     n = cc.shift_samples
     events = []
@@ -1457,7 +1462,7 @@ def test_lockstep_endpoint_state_machine(model_setup, cc):
                        endpoint_silence_s=0.5)
     eng = LockstepEngine(params, cfg, vocab, cc, n_streams=2,
                          compute_dtype=jnp.float32,
-                         endpoint_silence_s=0.8)
+                         endpoint_silence_s=0.8, endpoint_reset=True)
     assert eng._ep_frames == 10
     eng.dec_state = dec_mod.DecoderState(
         h=jnp.ones_like(eng.dec_state.h),
@@ -1530,7 +1535,8 @@ def test_endpoint_reset_on_mesh(model_setup, cc):
     vocab = [f"w{i}" for i in range(cfg.vocab_size)]
     mesh = make_mesh(8)
     eng = ServingEngine(params, cfg, vocab, cc, n_slots=8, mesh=mesh,
-                        compute_dtype=jnp.float32, endpoint_silence_s=0.8)
+                        compute_dtype=jnp.float32, endpoint_silence_s=0.8,
+                        endpoint_reset=True)
     for _ in range(2):
         eng.add_stream()
     eng.dec_state = dec_mod.DecoderState(
