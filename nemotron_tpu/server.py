@@ -110,10 +110,16 @@ class ASRServer:
     """
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
-                 tick_interval: float | None = None):
+                 tick_interval: float | None = None,
+                 http_stats_port: int | None = None):
+        """http_stats_port: additionally serve `GET /metrics`
+        (Prometheus text exposition of stats()) and `GET /stats` (JSON)
+        on that port — 0 picks an ephemeral port (read back from
+        `self.http_stats_port` after start()); None disables."""
         self.engine = engine
         self.host = host
         self.port = port
+        self.http_stats_port = http_stats_port
         if tick_interval is None:
             tick_interval = max(
                 0.01, engine.cc.chunk_samples / 16000.0 / 4.0)
@@ -132,6 +138,12 @@ class ASRServer:
         self._server = await asyncio.start_server(
             self._handle_conn, self.host, self.port)
         self.port = self._server.sockets[0].getsockname()[1]
+        self._http_server = None
+        if self.http_stats_port is not None:
+            self._http_server = await asyncio.start_server(
+                self._handle_http, self.host, self.http_stats_port)
+            self.http_stats_port = \
+                self._http_server.sockets[0].getsockname()[1]
         self._ticker = asyncio.get_running_loop().create_task(
             self._tick_loop())
 
@@ -145,6 +157,9 @@ class ASRServer:
         if self._server is not None:
             self._server.close()
             await self._server.wait_closed()
+        if getattr(self, "_http_server", None) is not None:
+            self._http_server.close()
+            await self._http_server.wait_closed()
         for conn in list(self._conns.values()):
             conn.writer.close()
         self._conns.clear()
@@ -232,6 +247,64 @@ class ASRServer:
                 "text": text,
                 "tokens": [list(t) for t in toks]}))
             conn.utterances += 1
+
+    # -- HTTP stats (observability sidecar) ----------------------------------
+
+    def _metrics_text(self) -> str:
+        """stats() flattened to the Prometheus text exposition format:
+        one `nemotron_asr_<key> <value>` line per numeric stat (nested
+        dicts joined with '_'). Strings are skipped — Prometheus metrics
+        are numbers."""
+        lines = []
+
+        def emit(prefix: str, obj) -> None:
+            if isinstance(obj, dict):
+                for k, v in obj.items():
+                    emit(f"{prefix}_{k}", v)
+            elif isinstance(obj, bool):
+                lines.append(f"{prefix} {int(obj)}")
+            elif isinstance(obj, (int, float, np.integer, np.floating)):
+                lines.append(f"{prefix} {float(obj):g}")
+
+        emit("nemotron_asr", self.stats())
+        return "\n".join(lines) + "\n"
+
+    async def _handle_http(self, reader: asyncio.StreamReader,
+                           writer: asyncio.StreamWriter) -> None:
+        """Minimal HTTP/1.0: GET /metrics (Prometheus text) and
+        GET /stats (JSON). Anything else is 404. One request per
+        connection (Connection: close)."""
+        try:
+            request = await asyncio.wait_for(reader.readline(), timeout=10)
+            while True:    # drain headers
+                line = await asyncio.wait_for(reader.readline(), timeout=10)
+                if line in (b"\r\n", b"\n", b""):
+                    break
+            parts = request.decode("latin-1").split()
+            path = parts[1] if len(parts) >= 2 else ""
+            if parts and parts[0] == "GET" and path == "/metrics":
+                body = self._metrics_text().encode()
+                ctype = b"text/plain; version=0.0.4"
+                status = b"200 OK"
+            elif parts and parts[0] == "GET" and path == "/stats":
+                body = json.dumps(
+                    self.stats(),
+                    default=lambda o: o.item() if hasattr(o, "item")
+                    else str(o)).encode()
+                ctype = b"application/json"
+                status = b"200 OK"
+            else:
+                body, ctype, status = b"not found\n", b"text/plain", \
+                    b"404 Not Found"
+            writer.write(b"HTTP/1.0 " + status + b"\r\nContent-Type: "
+                         + ctype + b"\r\nContent-Length: "
+                         + str(len(body)).encode()
+                         + b"\r\nConnection: close\r\n\r\n" + body)
+            await writer.drain()
+        except (asyncio.TimeoutError, ConnectionError):
+            pass
+        finally:
+            writer.close()
 
     # -- per-connection protocol -------------------------------------------
 

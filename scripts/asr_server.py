@@ -6,7 +6,7 @@
                   [--quantize q8_0|w8a8] [--kv-int8|--kv-int4]
                   [--dsp auto|native|numpy|device] [--beam K]
                   [--confidence] [--endpoint-silence S] [--endpoint-reset]
-                  [--tick-ms T]
+                  [--tick-ms T] [--http-stats PORT]
                   [--cpu]
                   [--stats-every SECONDS]
 
@@ -60,6 +60,7 @@ def main(argv: list[str]) -> int:
     # utterance endpointing: after S seconds of post-emission silence a
     # slot fires an UTTERANCE event and its prediction network restarts
     ep_s = opt("--endpoint-silence", 0.0, float)
+    http_stats = opt("--http-stats", -1, int)   # GET /metrics + /stats
     quant_mode = opt("--quantize", None, str)
 
     from nemotron_tpu.config import CacheConfig
@@ -104,7 +105,9 @@ def main(argv: list[str]) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
     server = ASRServer(engine, host=host, port=port,
-                       tick_interval=tick_ms / 1000.0 if tick_ms else None)
+                       tick_interval=tick_ms / 1000.0 if tick_ms else None,
+                       http_stats_port=http_stats if http_stats >= 0
+                       else None)
 
     async def run():
         await server.start()
@@ -112,6 +115,9 @@ def main(argv: list[str]) -> int:
               f"slots={n_slots} R={R} dsp={engine.dsp_mode} "
               f"beam={beam_k} tick={server.tick_interval * 1000:.0f}ms",
               file=sys.stderr, flush=True)
+        if server.http_stats_port is not None:
+            print(f"http stats on {server.host}:{server.http_stats_port} "
+                  "(/metrics, /stats)", file=sys.stderr, flush=True)
         last = time.time()
         try:
             while True:

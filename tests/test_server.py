@@ -267,3 +267,51 @@ def test_utterance_endpoint_events(model_setup, cc, server_factory):
         assert utt["tokens"] == [list(t) for t in
                                  eng.tokens[slot][: len(utt["tokens"])]]
         c.end()
+
+
+def test_http_stats_endpoint(model_setup, cc):
+    """GET /metrics returns Prometheus text exposition of engine stats,
+    GET /stats returns the same data as JSON, anything else is 404."""
+    import json as _json
+    import urllib.request
+
+    eng = make_engine(model_setup, cc, n_slots=2)
+
+    class _HServer(_Server):
+        def __init__(self, engine):
+            self.loop = asyncio.new_event_loop()
+            self.srv = ASRServer(engine, port=0, tick_interval=0.02,
+                                 http_stats_port=0)
+            started = threading.Event()
+
+            def run():
+                asyncio.set_event_loop(self.loop)
+                self.loop.run_until_complete(self.srv.start())
+                started.set()
+                self.loop.run_forever()
+
+            self.thread = threading.Thread(target=run, daemon=True)
+            self.thread.start()
+            assert started.wait(60)
+
+    s = _HServer(eng)
+    try:
+        base = f"http://127.0.0.1:{s.srv.http_stats_port}"
+        body = urllib.request.urlopen(f"{base}/metrics", timeout=30) \
+            .read().decode()
+        assert "nemotron_asr_n_slots 2" in body
+        assert "nemotron_asr_active_slots 0" in body
+        assert "nemotron_asr_connections " in body
+        for ln in body.strip().splitlines():
+            name, val = ln.rsplit(" ", 1)
+            float(val)   # every line is metric + numeric value
+
+        st = _json.loads(urllib.request.urlopen(f"{base}/stats",
+                                                timeout=30).read())
+        assert st["n_slots"] == 2
+
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"{base}/nope", timeout=30)
+    finally:
+        s.stop()
