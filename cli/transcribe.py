@@ -60,19 +60,11 @@ def main(argv: list[str]) -> int:
     for f in flags:
         if f.startswith("--boost="):
             # contextual biasing folded into the joint bias
-            from nemotron_tpu.params import apply_logit_bias
+            from nemotron_tpu.params import apply_logit_bias, parse_boost_spec
 
-            bias = {}
             try:
-                for item in f.split("=", 1)[1].split(","):
-                    key, _, w = item.rpartition(":")
-                    if not key:
-                        raise ValueError(f"bad --boost item {item!r}")
-                    try:
-                        bias[int(key)] = float(w)
-                    except ValueError:
-                        bias[key] = float(w)
-                params = apply_logit_bias(params, bias, vocab)
+                params = apply_logit_bias(
+                    params, parse_boost_spec(f.split("=", 1)[1]), vocab)
             except ValueError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 1

@@ -263,21 +263,11 @@ def main(argv: list[str]) -> int:
 
 
 def parse_boost(spec: str, params, vocab):
-    """--boost=piece:weight,... -> apply_logit_bias'd params. Pieces may be
-    vocab strings (with or without the SentencePiece prefix) or integer
-    token ids."""
-    from nemotron_tpu.params import apply_logit_bias
+    """--boost=piece:weight,... -> apply_logit_bias'd params (shared
+    parser: nemotron_tpu.params.parse_boost_spec)."""
+    from nemotron_tpu.params import apply_logit_bias, parse_boost_spec
 
-    bias = {}
-    for item in spec.split(","):
-        key, _, w = item.rpartition(":")
-        if not key:
-            raise ValueError(f"bad --boost item {item!r} (want piece:weight)")
-        try:
-            bias[int(key)] = float(w)
-        except ValueError:
-            bias[key] = float(w)
-    return apply_logit_bias(params, bias, vocab)
+    return apply_logit_bias(params, parse_boost_spec(spec), vocab)
 
 
 if __name__ == "__main__":

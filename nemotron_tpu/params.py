@@ -601,6 +601,23 @@ def random_params(seed: int = 0) -> tuple[ModelParams, ModelConfig]:
     return _cached_random_params(seed)
 
 
+def parse_boost_spec(spec: str) -> dict:
+    """Parse the CLIs' `--boost=piece:weight,...` syntax into the dict
+    `apply_logit_bias` takes. Pieces may be vocab strings (with or without
+    the SentencePiece prefix) or integer token ids."""
+    bias: dict = {}
+    for item in spec.split(","):
+        key, _, w = item.rpartition(":")
+        if not key:
+            raise ValueError(f"bad --boost item {item!r} "
+                             "(want piece:weight)")
+        try:
+            bias[int(key)] = float(w)
+        except ValueError:
+            bias[key] = float(w)
+    return bias
+
+
 def apply_logit_bias(params: ModelParams, bias,
                      vocab: list[str] | None = None) -> ModelParams:
     """Contextual biasing ("hotword boosting"): return params whose joint

@@ -276,19 +276,28 @@ class ASRServer:
         connection (Connection: close)."""
         try:
             request = await asyncio.wait_for(reader.readline(), timeout=10)
-            while True:    # drain headers
+            for _ in range(100):   # drain headers, bounded (no slow-drip)
                 line = await asyncio.wait_for(reader.readline(), timeout=10)
                 if line in (b"\r\n", b"\n", b""):
                     break
+            else:
+                writer.close()
+                return
             parts = request.decode("latin-1").split()
             path = parts[1] if len(parts) >= 2 else ""
             if parts and parts[0] == "GET" and path == "/metrics":
-                body = self._metrics_text().encode()
+                # stats reads engine state: serialize behind the engine
+                # lock, off the event loop, like every other engine call
+                async with self._lock:
+                    text = await self._engine_call(self._metrics_text)
+                body = text.encode()
                 ctype = b"text/plain; version=0.0.4"
                 status = b"200 OK"
             elif parts and parts[0] == "GET" and path == "/stats":
+                async with self._lock:
+                    st = await self._engine_call(self.stats)
                 body = json.dumps(
-                    self.stats(),
+                    st,
                     default=lambda o: o.item() if hasattr(o, "item")
                     else str(o)).encode()
                 ctype = b"application/json"

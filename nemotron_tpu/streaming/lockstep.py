@@ -251,7 +251,9 @@ class LockstepEngine:
         self.ep_silence = np.zeros(S, np.int64)
         self.ep_emitted = np.zeros(S, bool)
         self.ep_utt_start = np.zeros(S, np.int64)
-        self._ep_pending: list[int] = []
+        # (stream, end_idx) pairs; end_idx snapshotted at fire time so
+        # later emissions never leak into the finished utterance's event
+        self._ep_pending: list[tuple[int, int]] = []
         self.utterances_retired = 0
         self._pending = None
         # canonical tick size (samples): fixed by the FIRST tick and used
@@ -338,7 +340,8 @@ class LockstepEngine:
                                & (self.ep_silence >= self._ep_frames))
         if fired.size == 0:
             return
-        self._ep_pending.extend(int(s) for s in fired)
+        self._ep_pending.extend((int(s), len(self.tokens[int(s)]))
+                                for s in fired)
         self.ep_emitted[fired] = False
         self.ep_silence[fired] = 0
         if self._ep_reset:
@@ -354,11 +357,11 @@ class LockstepEngine:
         """Drain utterance-endpoint events; see
         ServingEngine.poll_endpoints (identical contract)."""
         out = []
-        for s in self._ep_pending:
+        for s, end in self._ep_pending:
             start = int(self.ep_utt_start[s])
-            toks = self.tokens[s][start:]
+            toks = self.tokens[s][start:end]
             out.append((s, tokens_to_text(toks, self.vocab), toks))
-            self.ep_utt_start[s] = len(self.tokens[s])
+            self.ep_utt_start[s] = end
             self.utterances_retired += 1
         self._ep_pending = []
         return out
@@ -454,7 +457,8 @@ class LockstepEngine:
             flat["ep/silence"] = self.ep_silence
             flat["ep/emitted"] = self.ep_emitted
             flat["ep/utt_start"] = self.ep_utt_start
-            flat["ep/pending"] = np.asarray(self._ep_pending, np.int64)
+            flat["ep/pending"] = np.asarray(self._ep_pending,
+                                            np.int64).reshape(-1, 2)
         if self.beam_state is not None:
             self.refresh_transcripts()
             flat["transcripts"] = np.asarray(self.transcripts, dtype=object)
@@ -519,7 +523,8 @@ class LockstepEngine:
             self.ep_silence = z["ep/silence"].astype(np.int64)
             self.ep_emitted = z["ep/emitted"].astype(bool)
             self.ep_utt_start = z["ep/utt_start"].astype(np.int64)
-            self._ep_pending = [int(s) for s in z["ep/pending"]]
+            self._ep_pending = [(int(s), int(e))
+                                for s, e in z["ep/pending"].reshape(-1, 2)]
         self.transcripts = [str(t) for t in z["transcripts"]]
         self.tokens = [
             [(int(row[0]), int(row[1]), float(row[2])) if len(row) == 3

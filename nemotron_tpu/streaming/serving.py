@@ -468,7 +468,10 @@ class ServingEngine:
         self.ep_silence = np.zeros(n_slots, np.int64)   # frames since emit
         self.ep_emitted = np.zeros(n_slots, bool)       # tokens this utt?
         self.ep_utt_start = np.zeros(n_slots, np.int64)  # idx into tokens[s]
-        self._ep_pending: list[int] = []
+        # (slot, end_idx) pairs; end_idx = len(tokens[slot]) AT FIRE TIME,
+        # so tokens the next utterance emits between the fire and the
+        # poll are never attributed to the finished utterance
+        self._ep_pending: list[tuple[int, int]] = []
         # lifetime counters: evicted slots' work stays in stats()
         self.frames_retired = 0
         self.tokens_retired = 0
@@ -625,7 +628,7 @@ class ServingEngine:
         self.ep_silence[slot] = 0
         self.ep_emitted[slot] = False
         self.ep_utt_start[slot] = 0
-        self._ep_pending = [s for s in self._ep_pending if s != slot]
+        self._ep_pending = [p for p in self._ep_pending if p[0] != slot]
         self.slot_phase[slot] = 0  # device phase reset to 0; realigned on
         # the slot's first step to the engine's global phase
 
@@ -699,7 +702,7 @@ class ServingEngine:
         if not fired:
             return
         for s in fired:
-            self._ep_pending.append(s)
+            self._ep_pending.append((s, len(self.tokens[s])))
             self.ep_emitted[s] = False
             self.ep_silence[s] = 0
         if self._ep_reset:
@@ -717,11 +720,11 @@ class ServingEngine:
         been reset for the next utterance. The slot's cumulative transcript
         is untouched (utterance segmentation is layered on top of it)."""
         out = []
-        for s in self._ep_pending:
+        for s, end in self._ep_pending:
             start = int(self.ep_utt_start[s])
-            toks = self.tokens[s][start:]
+            toks = self.tokens[s][start:end]
             out.append((s, tokens_to_text(toks, self.vocab), toks))
-            self.ep_utt_start[s] = len(self.tokens[s])
+            self.ep_utt_start[s] = end
             self.utterances_retired += 1
         self._ep_pending = []
         return out
@@ -944,7 +947,8 @@ class ServingEngine:
             flat["ep/silence"] = self.ep_silence
             flat["ep/emitted"] = self.ep_emitted
             flat["ep/utt_start"] = self.ep_utt_start
-            flat["ep/pending"] = np.asarray(self._ep_pending, np.int64)
+            flat["ep/pending"] = np.asarray(self._ep_pending,
+                                            np.int64).reshape(-1, 2)
         if self.beam_state is not None:
             for k in ("h", "c", "prev_token", "scores", "tokens", "lengths"):
                 flat[f"beam/{k}"] = np.asarray(getattr(self.beam_state, k))
@@ -1029,7 +1033,8 @@ class ServingEngine:
             self.ep_silence = z["ep/silence"].astype(np.int64)
             self.ep_emitted = z["ep/emitted"].astype(bool)
             self.ep_utt_start = z["ep/utt_start"].astype(np.int64)
-            self._ep_pending = [int(s) for s in z["ep/pending"]]
+            self._ep_pending = [(int(s), int(e))
+                                for s, e in z["ep/pending"].reshape(-1, 2)]
         self.transcripts = [str(t) for t in z["transcripts"]]
         self.tokens = [
             [(int(row[0]), int(row[1]), float(row[2])) if len(row) == 3

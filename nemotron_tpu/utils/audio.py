@@ -18,7 +18,13 @@ def resample_i16(samples: np.ndarray, rate: int, target: int) -> np.ndarray:
     """Polyphase-resample int16 PCM from `rate` to `target` Hz."""
     if rate == target:
         return samples
-    from scipy.signal import resample_poly
+    try:
+        from scipy.signal import resample_poly
+    except ImportError as e:
+        raise ValueError(
+            f"sample rate {rate} != required {target} and scipy is not "
+            "available for resampling; resample first (e.g. ffmpeg -ar "
+            f"{target})") from e
 
     g = gcd(rate, target)
     y = resample_poly(samples.astype(np.float32), target // g, rate // g)

@@ -124,9 +124,13 @@ def main() -> int:
             "structural_latency_ms": cc.chunk_mel_frames * 10,
             "matched_tokens": matched,
             "match_rate_vs_truth": round(matched / total_truth, 4),
-            "delay_p50_ms": round(float(np.percentile(d, 50)) * 1e3, 1),
-            "delay_p90_ms": round(float(np.percentile(d, 90)) * 1e3, 1),
-            "delay_max_ms": round(float(d.max()) * 1e3, 1),
+            # a model that matches nothing still reports (delays null)
+            "delay_p50_ms": round(float(np.percentile(d, 50)) * 1e3, 1)
+            if d.size else None,
+            "delay_p90_ms": round(float(np.percentile(d, 90)) * 1e3, 1)
+            if d.size else None,
+            "delay_max_ms": round(float(d.max()) * 1e3, 1)
+            if d.size else None,
             "frame_ms": frame_s * 1e3,
         }
         results[f"R{R}"] = entry

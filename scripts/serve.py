@@ -158,14 +158,24 @@ def main(argv: list[str]) -> int:
             return 1
         slots = list(range(n_streams))
         tick_times = []
+        n_utts = 0
         t0 = time.perf_counter()
         for _ in range(n_ticks):
             pcm = np.stack([block_for(i) for i in range(n_streams)])
             tt = time.perf_counter()
             eng.tick_pipelined(pcm)
             tick_times.append(time.perf_counter() - tt)
+            for slot, text, _toks in eng.poll_endpoints():
+                n_utts += 1
+                if n_utts <= 5:
+                    print(f"[utterance slot {slot}] {text.strip()}",
+                          file=sys.stderr)
         eng.flush_pipeline()
+        for slot, text, _toks in eng.poll_endpoints():
+            n_utts += 1
         wall = time.perf_counter() - t0
+        if ep_s > 0:
+            print(f"utterances finalized: {n_utts}", file=sys.stderr)
         audio_s = eng.total_chunks * n_streams * cc.valid_out_len \
             * cc.subsampling_factor * cc.hop_length / cc.sample_rate
         t = np.asarray(tick_times)

@@ -254,8 +254,10 @@ def test_utterance_endpoint_events(model_setup, cc, server_factory):
         assert c.transcript, "tiny model emitted nothing"
         eng = s.srv.engine
         slot = info["slot"]
-        # inject the endpoint (as _ep_update would on silence expiry)
-        s.loop.call_soon_threadsafe(eng._ep_pending.append, slot)
+        # inject the endpoint (as _ep_update would on silence expiry:
+        # the utterance boundary is snapshotted at fire time)
+        s.loop.call_soon_threadsafe(
+            eng._ep_pending.append, (slot, len(eng.tokens[slot])))
         deadline = _time.time() + 60
         while _time.time() < deadline and not c.utterances:
             c.pump()
@@ -266,6 +268,7 @@ def test_utterance_endpoint_events(model_setup, cc, server_factory):
         assert utt["text"] and isinstance(utt["tokens"], list)
         assert utt["tokens"] == [list(t) for t in
                                  eng.tokens[slot][: len(utt["tokens"])]]
+        assert len(utt["tokens"]) > 0
         c.end()
 
 

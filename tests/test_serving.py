@@ -1354,7 +1354,7 @@ def test_endpoint_state_machine(model_setup, cc):
 
     # eviction clears endpoint bookkeeping
     eng.ep_emitted[s] = True
-    eng._ep_pending.append(s)
+    eng._ep_pending.append((s, len(eng.tokens[s])))
     eng.remove_stream(s)
     assert eng.poll_endpoints() == []
     assert not eng.ep_emitted[s] and eng.ep_silence[s] == 0
@@ -1553,3 +1553,29 @@ def test_endpoint_reset_on_mesh(model_setup, cc):
     assert h[0].max() == 0 and h[1].min() == 1
     assert eng.dec_state.h.sharding.is_equivalent_to(shard_before,
                                                      eng.dec_state.h.ndim)
+
+
+def test_endpoint_boundary_snapshotted_at_fire(model_setup, cc):
+    """Tokens emitted AFTER an endpoint fires but BEFORE the host polls
+    (fast clients stage several chunks per tick) belong to the NEXT
+    utterance: the event boundary is snapshotted at fire time."""
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    eng = ServingEngine(params, cfg, vocab, cc, n_slots=1,
+                        compute_dtype=jnp.float32, endpoint_silence_s=0.8)
+    s = eng.add_stream()
+    eng.tokens[s] = [(7, 2)]
+    eng.frame_offsets[s] = 4
+    eng._ep_update({s: [(7, 2)]}, np.array([s]), 4)        # sil 1
+    eng.frame_offsets[s] += 14
+    eng._ep_update({}, np.array([s]), 14)                  # fires (sil 15)
+    # next utterance's tokens land before the poll
+    eng.tokens[s].append((9, 20))
+    eng._ep_update({s: [(9, 20)]}, np.array([s]), 0)
+    evs = eng.poll_endpoints()
+    assert len(evs) == 1 and evs[0][2] == [(7, 2)]         # 9 excluded
+    # second fire delivers the next utterance alone
+    eng.frame_offsets[s] += 28
+    eng._ep_update({}, np.array([s]), 28)
+    evs = eng.poll_endpoints()
+    assert len(evs) == 1 and evs[0][2] == [(9, 20)]
