@@ -1579,3 +1579,58 @@ def test_endpoint_boundary_snapshotted_at_fire(model_setup, cc):
     eng._ep_update({}, np.array([s]), 28)
     evs = eng.poll_endpoints()
     assert len(evs) == 1 and evs[0][2] == [(9, 20)]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_endpoint_state_machine_fuzz(model_setup, cc, seed):
+    """Property gate: the engine's endpoint bookkeeping over a random
+    schedule of (advance, emissions) events matches an independent
+    pure-Python simulation of the silence state machine (fire at
+    threshold, boundary at fire time, events partition the stream)."""
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    eng = ServingEngine(params, cfg, vocab, cc, n_slots=1,
+                        compute_dtype=jnp.float32, endpoint_silence_s=0.8)
+    s = eng.add_stream()
+    thresh = eng._ep_frames
+
+    rng = np.random.default_rng(seed)
+    # reference simulation state
+    sim_sil = 0
+    sim_emitted = False
+    sim_start = 0
+    sim_events: list[list[int]] = []
+    eng_events: list[list[int]] = []
+    all_tokens: list[tuple[int, int]] = []
+
+    frame = 0
+    for _ in range(200):
+        adv = int(rng.integers(1, 6))
+        frame += adv
+        # tokens emitted this step land at random frames inside the step
+        n_tok = int(rng.integers(0, 3)) if rng.random() < 0.4 else 0
+        toks = sorted(int(rng.integers(frame - adv, frame))
+                      for _ in range(n_tok))
+        step_toks = [(int(rng.integers(0, cfg.vocab_size - 1)), f)
+                     for f in toks]
+        all_tokens.extend(step_toks)
+        eng.tokens[s] = list(all_tokens)
+        eng.frame_offsets[s] = frame
+        eng._ep_update({s: step_toks} if step_toks else {},
+                       np.array([s]), adv)
+        for _slot, _text, ev_toks in eng.poll_endpoints():
+            eng_events.append([t for t, _f in ev_toks])
+
+        # reference simulation (same semantics, written independently)
+        sim_sil += adv
+        if step_toks:
+            sim_sil = max(0, frame - (step_toks[-1][1] + 1))
+            sim_emitted = True
+        if sim_emitted and sim_sil >= thresh:
+            sim_events.append([t for t, _f in all_tokens[sim_start:]])
+            sim_start = len(all_tokens)
+            sim_emitted = False
+            sim_sil = 0
+
+    assert eng_events == sim_events
+    assert len(sim_events) > 2   # the schedule actually exercised fires
