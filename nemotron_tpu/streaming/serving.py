@@ -716,9 +716,10 @@ class ServingEngine:
         """Drain utterance-endpoint events (greedy engines constructed with
         endpoint_silence_s): one (slot, text, tokens) per utterance that
         ended since the last poll — the slot emitted tokens, then stayed
-        silent for the configured span; its prediction network has already
-        been reset for the next utterance. The slot's cumulative transcript
-        is untouched (utterance segmentation is layered on top of it)."""
+        silent for the configured span (with endpoint_reset=True its
+        prediction network was also restarted at the fire). The utterance
+        boundary was snapshotted AT FIRE TIME, and the slot's cumulative
+        transcript is untouched (segmentation is layered on top of it)."""
         out = []
         for s, end in self._ep_pending:
             start = int(self.ep_utt_start[s])

@@ -11,6 +11,21 @@ import pytest
 from nemotron_tpu.losses.rnnt import rnnt_loss
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """Drop every compiled executable accumulated by the ~230 preceding
+    tests before this module's train-step compiles (the largest programs
+    in the suite). Without this, the full suite segfaults inside XLA:CPU's
+    backend_compile on this module deterministically (observed twice at
+    test_train_state_checkpoint_resume after the round-3 test additions;
+    the same tests pass standalone and in any sub-suite) -- a cumulative
+    native-resource condition in the compiler, not a model bug. Clearing
+    the caches costs this module a few recompiles and removes the
+    accumulation."""
+    jax.clear_caches()
+    yield
+
+
 def numpy_rnnt_loss(logits, labels, T, U, blank):
     """Brute-force forward DP, one sequence."""
     logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
