@@ -3,14 +3,15 @@
 
     transcribe.py <model.gguf> <audio.pcm|.wav> [more audio files...]
                   [--cpu] [--timestamps] [--confidence] [--beam=K]
-                  [--nbest=N] [--boost=piece:weight,...]
+                  [--nbest=N] [--boost=piece:weight,...] [--ctc]
 
 Multiple audio files are transcribed in ONE batched encoder/decode pass
 (length-masked; the reference is batch=1). --beam=K decodes with the
 on-device batched RNN-T beam search (greedy when omitted; the reference
 is greedy-only). --nbest=N prints the N best beam hypotheses per file
 with their total log-probs, best first (implies --beam=N when --beam is
-omitted; N must be <= K).
+omitted; N must be <= K). --ctc decodes with a hybrid checkpoint's
+auxiliary CTC head (stateless greedy; requires ctc_decoder.* tensors).
 """
 
 import os
@@ -107,7 +108,7 @@ def main(argv: list[str]) -> int:
             texts = transcribe_batch(params, cfg, vocab,
                                      audios if len(audios) > 1 else audios[0],
                                      timestamp_words="--timestamps" in flags,
-                                     beam_size=beam)
+                                     beam_size=beam, ctc="--ctc" in flags)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -121,12 +121,25 @@ class PreprocessorParams:
 
 
 @_pytree_dataclass
+class CtcParams:
+    """Optional auxiliary CTC head (NeMo hybrid RNNT-CTC convention:
+    `ctc_decoder.decoder_layers.0.{weight,bias}`, a 1x1 conv = Linear
+    d_model -> vocab incl. blank). The reference engine has no CTC path;
+    NeMo's cache-aware checkpoints frequently ship hybrid heads, so the
+    framework decodes either way (models/ctc.py)."""
+
+    out_w: Any   # [d_model, vocab]
+    out_b: Any   # [vocab]
+
+
+@_pytree_dataclass
 class ModelParams:
     subsampling: SubsamplingParams
     layers: ConformerLayerParams     # stacked [L, ...]
     decoder: DecoderParams
     joint: JointParams
     preprocessor: PreprocessorParams
+    ctc: Any = None                  # CtcParams | None (hybrid checkpoints)
 
 
 # ---------------------------------------------------------------------------
@@ -236,7 +249,16 @@ def params_from_arrays(t: dict[str, np.ndarray], cfg: ModelConfig) -> ModelParam
         window=t["preprocessor.featurizer.window"].reshape(-1),
     )
 
-    return ModelParams(sub, layers, decoder, joint, pre)
+    ctc = None
+    cw = "ctc_decoder.decoder_layers.0.weight"
+    if cw in t:
+        w = t[cw]
+        if not isinstance(w, QTensor) and w.ndim == 3:   # 1x1 conv (V, D, 1)
+            w = w.squeeze(2)
+        ctc = CtcParams(out_w=_linear(w),
+                        out_b=t["ctc_decoder.decoder_layers.0.bias"])
+
+    return ModelParams(sub, layers, decoder, joint, pre, ctc)
 
 
 def stack_layers(layers: list[ConformerLayerParams]) -> ConformerLayerParams:
@@ -442,6 +464,10 @@ def params_to_arrays(params: ModelParams, cfg: ModelConfig,
     pre = params.preprocessor
     t["preprocessor.featurizer.fb"] = dense(pre.filterbank)
     t["preprocessor.featurizer.window"] = dense(pre.window)
+
+    if params.ctc is not None:
+        t["ctc_decoder.decoder_layers.0.weight"] = lin(params.ctc.out_w)
+        t["ctc_decoder.decoder_layers.0.bias"] = dense(params.ctc.out_b)
     return t
 
 
@@ -477,7 +503,8 @@ def save_model(path: str, params: ModelParams, cfg: ModelConfig,
 
 def random_weight_arrays(cfg: ModelConfig, seed: int = 0,
                          scale: float = 0.05,
-                         init: str = "bench") -> dict[str, np.ndarray]:
+                         init: str = "bench",
+                         ctc_head: bool = False) -> dict[str, np.ndarray]:
     """Random weights in the *reference's* name/shape convention
     (docs/TENSOR_SHAPES.md), so they can round-trip through GGUF and feed both
     the oracle and the JAX model.
@@ -587,6 +614,9 @@ def random_weight_arrays(cfg: ModelConfig, seed: int = 0,
     t["preprocessor.featurizer.fb"] = np.abs(w(cfg.n_mels, 257))
     win = np.hanning(400).astype(np.float32)
     t["preprocessor.featurizer.window"] = win
+    if ctc_head:   # hybrid RNNT-CTC auxiliary head (NeMo naming)
+        t["ctc_decoder.decoder_layers.0.weight"] = w(V, D)
+        t["ctc_decoder.decoder_layers.0.bias"] = w(V)
     return t
 
 

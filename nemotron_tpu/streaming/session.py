@@ -639,7 +639,8 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
                      beam_size: int = 1,
                      beam_expansions: int | None = None,
                      return_confidence: bool = False,
-                     return_nbest: int | None = None):
+                     return_nbest: int | None = None,
+                     ctc: bool = False):
     """Offline full-utterance transcription (the reference `transcribe` CLI
     path: src/transcribe.cpp + nemo_transcribe_audio,
     src/nemo-ggml.cpp:1585-1598). Unlike the reference there is no 164 s
@@ -656,11 +657,20 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
 
     return_nbest=N (beam only): returns, per utterance, the N best
     hypotheses as (text, raw_total_log_prob) tuples sorted best first
-    (length-normalized ranking, raw scores -- models/beam.py n_best)."""
+    (length-normalized ranking, raw scores -- models/beam.py n_best).
+
+    ctc=True decodes with the hybrid checkpoint's auxiliary CTC head
+    (models/ctc.py; requires params.ctc) instead of the RNN-T label
+    loop -- stateless over frames, no prediction network."""
     if return_confidence and beam_size > 1:
         raise ValueError("confidence requires greedy decode")
     if return_nbest is not None and beam_size <= 1:
         raise ValueError("n-best output requires beam_size > 1")
+    if ctc and (beam_size > 1 or return_confidence or timestamp_words):
+        raise ValueError("ctc decode is plain greedy (no beam, "
+                         "confidence or word timestamps)")
+    if ctc and params.ctc is None:
+        raise ValueError("model has no CTC head (ctc_decoder.* tensors)")
     fb = filterbank if filterbank is not None else np.asarray(
         params.preprocessor.filterbank)
     win = window if window is not None else np.asarray(
@@ -689,6 +699,15 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
 
     enc = enc_mod.encode_batch(params, cfg, jnp.asarray(mel, compute_dtype),
                                enc_lengths=enc_lengths)
+    if ctc:
+        from ..models import ctc as ctc_mod
+
+        ids = ctc_mod.ctc_greedy_decode(params, cfg, enc,
+                                        enc_lengths=enc_lengths)
+        texts = [tokens_to_text([(i, 0) for i in stream_ids], vocab)
+                 for stream_ids in ids]
+        return (texts[0] if not isinstance(audio_i16, (list, tuple))
+                else texts)
     if beam_size > 1:
         from ..models import beam as beam_mod
 

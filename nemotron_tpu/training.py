@@ -83,6 +83,14 @@ def transducer_logits(params: ModelParams, cfg: ModelConfig, mel, labels,
     enc = encode_batch(params, cfg, mel, remat=remat,
                        enc_lengths=enc_lengths,
                        att_chunk=att_chunk)                  # [B, T, D]
+    return transducer_logits_from_enc(params, cfg, enc, labels,
+                                      history=history)
+
+
+def transducer_logits_from_enc(params: ModelParams, cfg: ModelConfig, enc,
+                               labels, history=None):
+    """Joint lattice logits from precomputed encoder outputs (shared with
+    the hybrid CTC loss so the encoder runs once)."""
     dec = prediction_network(params, cfg, labels,
                              history=history)               # [B, U+1, H]
     jp = params.joint
@@ -97,22 +105,43 @@ def transducer_logits(params: ModelParams, cfg: ModelConfig, mel, labels,
 
 def loss_fn(params: ModelParams, cfg: ModelConfig, batch,
             remat: bool = False, att_chunk: int | None = None,
-            delay_penalty: float = 0.0):
+            delay_penalty: float = 0.0, ctc_weight: float = 0.0):
     """Mean RNN-T loss over a batch dict with keys
     mel [B, Tm, n_mels], labels [B, U], mel_lengths [B] (in encoder
     frames), label_lengths [B], and optionally history [B, R] decoder
     warm-up labels (see prediction_network: breaks the absolute-count
     shortcut so the model keeps transcribing on unbounded streams).
-    delay_penalty: see losses/rnnt.py."""
-    logits = transducer_logits(params, cfg, batch["mel"], batch["labels"],
-                               remat=remat,
-                               enc_lengths=batch["mel_lengths"],
-                               att_chunk=att_chunk,
-                               history=batch.get("history"))
+    delay_penalty: see losses/rnnt.py.
+
+    ctc_weight > 0 (requires params.ctc, the hybrid auxiliary head):
+    total = rnnt + w * ctc, NeMo's hybrid RNNT-CTC training objective --
+    the encoder runs ONCE and feeds both lattices."""
+    enc = encode_batch(params, cfg, batch["mel"], remat=remat,
+                       enc_lengths=batch["mel_lengths"],
+                       att_chunk=att_chunk)
+    logits = transducer_logits_from_enc(params, cfg, enc, batch["labels"],
+                                        history=batch.get("history"))
     losses = rnnt_loss(logits, batch["labels"], batch["mel_lengths"],
                        batch["label_lengths"], blank=cfg.blank_token,
                        delay_penalty=delay_penalty)
-    return jnp.mean(losses)
+    total = jnp.mean(losses)
+    if ctc_weight > 0.0:
+        import optax
+
+        from .models.ctc import ctc_logits
+
+        cl = ctc_logits(params, enc)                         # [B, T, V] f32
+        T = cl.shape[1]
+        t_idx = jnp.arange(T)[None, :]
+        logit_pad = (t_idx >= batch["mel_lengths"][:, None]).astype(
+            jnp.float32)
+        U = batch["labels"].shape[1]
+        label_pad = (jnp.arange(U)[None, :]
+                     >= batch["label_lengths"][:, None]).astype(jnp.float32)
+        ctc = optax.ctc_loss(cl, logit_pad, batch["labels"], label_pad,
+                             blank_id=cfg.blank_token)
+        total = total + ctc_weight * jnp.mean(ctc)
+    return total
 
 
 def save_train_state(path: str, params, opt_state, step: int = 0) -> None:
@@ -145,7 +174,8 @@ def load_train_state(path: str, params_like, opt_state_like):
 
 def make_train_step(cfg: ModelConfig, optimizer, remat: bool = False,
                     att_chunk: int | None = None,
-                    delay_penalty: float = 0.0):
+                    delay_penalty: float = 0.0,
+                    ctc_weight: float = 0.0):
     """Returns jitted (params, opt_state, batch) -> (params', opt_state',
     loss). Differentiates through the full encoder/prediction/joint; works
     under a mesh via sharded inputs (GSPMD handles the collectives).
@@ -160,7 +190,8 @@ def make_train_step(cfg: ModelConfig, optimizer, remat: bool = False,
         loss, grads = jax.value_and_grad(
             lambda p: loss_fn(p, cfg, batch, remat=remat,
                               att_chunk=att_chunk,
-                              delay_penalty=delay_penalty))(params)
+                              delay_penalty=delay_penalty,
+                              ctc_weight=ctc_weight))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

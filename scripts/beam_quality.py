@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -59,7 +60,12 @@ def main() -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # Persistent cache is for the TPU's slow compiles only (CPU AOT
+    # entries are machine-feature stamped; mismatch risks SIGILL).
+    # Decided without initializing the backend (would defeat the
+    # hermetic env-var CPU pin).
+    if os.environ.get("JAX_PLATFORMS") != "cpu" and not args.cpu:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
 
     from nemotron_tpu.config import CacheConfig

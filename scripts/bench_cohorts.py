@@ -196,8 +196,19 @@ def main(argv):
     else:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Persistent compile cache: for the TPU's slow compiles
+        # only. CPU AOT cache entries are machine-feature stamped
+        # and a loader mismatch warns of SIGILL (observed with
+        # +prefer-no-scatter); CPU compiles are fast uncached.
+        # Decided WITHOUT touching the backend: initializing it
+        # here would defeat the env-var CPU pin (hermetic tests).
+        import os as _os
+        if _os.environ.get("JAX_PLATFORMS") != "cpu" \
+                and "--cpu" not in sys.argv:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/jax_cache")
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
 
     C = opt(argv, "--cohorts", 2, int)
     B = opt(argv, "--batch", 4 if quick else 800, int)

@@ -219,8 +219,18 @@ def main() -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persistent compile cache: for the TPU's slow compiles
+    # only. CPU AOT cache entries are machine-feature stamped
+    # and a loader mismatch warns of SIGILL (observed with
+    # +prefer-no-scatter); CPU compiles are fast uncached.
+    # Decided WITHOUT touching the backend: initializing it
+    # here would defeat the env-var CPU pin (hermetic tests).
+    if os.environ.get("JAX_PLATFORMS") != "cpu" \
+            and "--cpu" not in sys.argv:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_cache")
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from nemotron_tpu import params as P
     from nemotron_tpu.config import CacheConfig, ModelConfig

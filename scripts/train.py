@@ -7,7 +7,7 @@ reference engine is inference-only).
              [--checkpoint ck.npz] [--resume ck.npz] [--cpu]
              [--task memorize|tones] [--tones N] [--utt-tones U]
              [--utt-tones-min M] [--history-max R] [--pool N]
-             [--long-gap-prob P]
+             [--long-gap-prob P] [--ctc-weight W]
              [--val N] [--prefetch K]
              [--att-chunks 14,1] [--eval-every N] [--seed S]
 
@@ -108,8 +108,19 @@ def main(argv: list[str]) -> int:
     import jax.numpy as jnp
     import optax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persistent compile cache: for the TPU's slow compiles
+    # only. CPU AOT cache entries are machine-feature stamped
+    # and a loader mismatch warns of SIGILL (observed with
+    # +prefer-no-scatter); CPU compiles are fast uncached.
+    # Decided WITHOUT touching the backend: initializing it
+    # here would defeat the env-var CPU pin (hermetic tests).
+    import os as _os
+    if _os.environ.get("JAX_PLATFORMS") != "cpu" \
+            and "--cpu" not in sys.argv:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_cache")
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from nemotron_tpu import params as P
     from nemotron_tpu.config import CacheConfig, ModelConfig
@@ -138,7 +149,8 @@ def main(argv: list[str]) -> int:
             cfg = ModelConfig()
         arrays = P.random_weight_arrays(
             cfg, seed=seed,
-            init="glorot" if task == "tones" else "bench")
+            init="glorot" if task == "tones" else "bench",
+            ctc_head=opt_val("--ctc-weight", 0.0, float) > 0)
     elif argv[1:] and not argv[1].startswith("--"):
         params, cfg, _ = P.load_model(argv[1], keep_quantized=False)
         arrays = None
@@ -233,8 +245,16 @@ def main(argv: list[str]) -> int:
     # run with lambda=0 reaches TER 0%. Use small values (<=0.01) when
     # trading latency for accuracy on real data.
     delay_pen = opt_val("--delay-penalty", 0.0, float)
+    # hybrid RNNT-CTC: total = rnnt + W * ctc over the shared encoder
+    # (requires a ctc head; --random adds one when W > 0)
+    ctc_w = opt_val("--ctc-weight", 0.0, float)
+    if ctc_w > 0 and params.ctc is None:
+        print("error: --ctc-weight needs a model with a CTC head "
+              "(ctc_decoder.* tensors; --random adds one)", file=sys.stderr)
+        return 1
     step_fns = {c: make_train_step(cfg, opt, remat="--remat" in argv,
-                                   att_chunk=c, delay_penalty=delay_pen)
+                                   att_chunk=c, delay_penalty=delay_pen,
+                                   ctc_weight=ctc_w)
                 for c in att_chunks}
 
     if task == "tones" and not pool_n:
