@@ -443,3 +443,34 @@ def test_emission_delay():
     assert r13["structural_latency_ms"] == 1210    # 121 mel frames
     assert r0["match_rate_vs_truth"] > 0.9
     assert 0 < r0["delay_p50_ms"] < r13["delay_p50_ms"]
+
+
+def test_hybrid_quality(tmp_path):
+    """hybrid_quality.py: decodes both heads of a hybrid checkpoint and
+    reports TER for each; refuses a model without a CTC head."""
+    import json as _json
+
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(SCRIPTS, ".."))
+    from conftest import tiny_config
+    from nemotron_tpu import params as P
+
+    cfg = tiny_config()
+    arrays = P.random_weight_arrays(cfg, seed=0, ctc_head=True)
+    params = P.params_from_arrays(arrays, cfg)
+    hybrid = str(tmp_path / "h.gguf")
+    P.save_model(hybrid, params, cfg,
+                 vocab=[f"▁T{i}" for i in range(cfg.vocab_size - 1)]
+                 + ["<blank>"])
+    r = run_script("hybrid_quality.py", hybrid, "--seconds", "4",
+                   "--streams", "1", "--seeds", "1", "--cpu", timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    res = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert "rnnt_ter_pct" in res and "ctc_ter_pct" in res
+    assert res["truth_tokens"] > 0
+
+    plain = str(tmp_path / "p.gguf")
+    P.save_model(plain, P.params_from_arrays(
+        P.random_weight_arrays(cfg, seed=1), cfg), cfg)
+    r = run_script("hybrid_quality.py", plain, "--cpu", timeout=600)
+    assert r.returncode == 1 and "no CTC head" in r.stderr
