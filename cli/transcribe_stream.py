@@ -10,7 +10,7 @@ src/transcribe_stream.cpp:27-36):
                          [--quantize=q8_0|w8a8|w8a8-sq|w8a8-sq-static]
                          [--calib=FILE]
                          [--kv-int8|--kv-int4] [--rc-by-layer=13,6,1,0]
-                         [--beam=K] [--boost=piece:weight,...]
+                         [--beam=K] [--boost=piece:weight,...] [--ctc]
 
   - input: raw s16le 16 kHz mono PCM file, or '-' / '--stdin' for stdin;
     .wav files decode directly (PCM16 or float32, any sample rate --
@@ -187,10 +187,12 @@ def main(argv: list[str]) -> int:
         # --confidence: annotate each word with {p=...}, its posterior from
         # the on-device greedy label loop (exp of the min per-piece log
         # softmax) -- a serving capability the reference lacks
+        # --ctc: stream-decode with the hybrid checkpoint's auxiliary CTC
+        # head (stateless greedy collapse) instead of the RNN-T label loop
         sess = StreamSession(params, cfg, vocab, cc, trace_dir=trace_dir,
                              timestamp_words="--timestamps" in flags,
                              confidence_words="--confidence" in flags,
-                             beam_size=beam)
+                             beam_size=beam, ctc="--ctc" in flags)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

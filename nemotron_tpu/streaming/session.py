@@ -258,6 +258,24 @@ def chunk_step_masked_beam(params: ModelParams, cfg: ModelConfig,
     return enc_state, beam_state
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4,))
+def _chunk_step_ctc_jit(params: ModelParams, cfg: ModelConfig,
+                        cc: CacheConfig, mel_chunk, enc_state, pos_heads):
+    """Fused streaming step with CTC decode (hybrid checkpoints): cached
+    encoder + per-frame argmax of the auxiliary CTC head. Returns
+    (ids [S, valid_out] int32, enc_state'). The CTC greedy rule is
+    stateless over frames, so unlike greedy RNN-T there is no decoder
+    state to carry -- only the LAST frame id crosses the chunk boundary
+    (host-side, for the collapse of a repeat spanning two chunks)."""
+    from ..models import ctc as ctc_mod
+
+    enc_out, enc_state = enc_mod.encode_chunk(params, cfg, cc, mel_chunk,
+                                              enc_state, pos_heads)
+    ids = jnp.argmax(ctc_mod.ctc_logits(params, enc_out),
+                     axis=-1).astype(jnp.int32)
+    return ids, enc_state
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
 def chunk_step_captured(params: ModelParams, cfg: ModelConfig,
                         cc: CacheConfig, mel_chunk, enc_state, dec_state,
@@ -286,7 +304,8 @@ class StreamSession:
                  beam_expansions: int | None = None,
                  max_beam_tokens: int = 4096,
                  confidence: bool = False,
-                 confidence_words: bool = False):
+                 confidence_words: bool = False,
+                 ctc: bool = False):
         """trace_dir: when set, every chunk dumps named intermediates (mel,
         pre_encode_out, per-layer outputs, encoder_out, tokens) in the
         reference's binary dump format to that directory -- the analogue of
@@ -334,6 +353,18 @@ class StreamSession:
         if self.confidence and trace_dir is not None:
             raise ValueError("confidence and tracing are mutually exclusive "
                              "(the traced step has no confidence output)")
+        # ctc=True: decode each chunk with the hybrid checkpoint's auxiliary
+        # CTC head instead of the RNN-T label loop (streaming CTC). Word
+        # timestamps still work (every emission has a frame index); beam /
+        # confidence / tracing are RNN-T-decode features.
+        self.ctc = ctc
+        if ctc:
+            if params.ctc is None:
+                raise ValueError("ctc=True needs a model with a CTC head "
+                                 "(ctc_decoder.* tensors)")
+            if beam_size > 1 or self.confidence or trace_dir is not None:
+                raise ValueError("ctc decode excludes beam/confidence/"
+                                 "tracing (those are RNN-T decode paths)")
         self.tracer = None
         if trace_dir is not None:
             from ..utils.dump import DumpTracer
@@ -368,6 +399,9 @@ class StreamSession:
 
             self.beam_state = beam_mod.init_beam_state(
                 cfg, S, self.beam_size, self.max_beam_tokens, self.dtype)
+        # cross-chunk CTC collapse carry: the raw LAST frame argmax id of
+        # the previous chunk per stream (-1 = stream start, matches nothing)
+        self.ctc_prev = np.full(S, -1, np.int64)
         self.preproc.reset()
         # 9-frame zero-seeded overlap (reference src/nemo-stream.cpp:58-60)
         self.mel_buffer = np.zeros((S, cc.pre_encode_cache_size, cfg.n_mels),
@@ -428,6 +462,32 @@ class StreamSession:
                 self.mel_buffer = self.mel_buffer[:, cc.shift_mel_frames:]
                 self.frame_offset += cc.valid_out_len
                 self._refresh_beam_transcripts()
+                continue
+            if self.ctc:
+                ids, self.enc_state = _chunk_step_ctc_jit(
+                    self.params, self.cfg, cc, chunk, self.enc_state,
+                    self.pos_heads)
+                ids = np.asarray(ids, np.int64)  # [S, valid_out]
+                self.chunk_seconds += time.perf_counter() - t0
+                self.total_chunks += 1
+                self.mel_buffer = self.mel_buffer[:, cc.shift_mel_frames:]
+                blank = self.cfg.blank_token
+                for s in range(self.n_streams):
+                    prev, toks = self.ctc_prev[s], []
+                    for t in range(ids.shape[1]):
+                        i = int(ids[s, t])
+                        if i != prev and i != blank:
+                            toks.append((i, self.frame_offset + t))
+                        prev = i
+                    self.ctc_prev[s] = prev
+                    if toks:
+                        self.tokens[s].extend(toks)
+                        text = tokens_to_text(
+                            toks, self.vocab,
+                            timestamp_words=self.timestamp_words)
+                        self.transcripts[s] += text
+                        new_text[s] += text
+                self.frame_offset += ids.shape[1]
                 continue
             confs = None
             if self.tracer is not None:
@@ -516,7 +576,7 @@ class StreamSession:
         } | ({} if self.beam_state is None else {
             f"beam/{k}": np.asarray(getattr(self.beam_state, k))
             for k in ("h", "c", "prev_token", "scores", "tokens", "lengths")
-        })
+        }) | ({"ctc_prev": self.ctc_prev.copy()} if self.ctc else {})
 
     def load_state_dict(self, st: dict) -> None:
         ring_dtype = (jnp.int8 if self.cc.kv_quant_max is not None
@@ -538,6 +598,17 @@ class StreamSession:
         # Beam-state compatibility: a greedy session must not silently adopt
         # (or drop) a beam snapshot, and a beam session must not resume with
         # a freshly-reset beam alongside restored encoder/decoder state.
+        # CTC carry compatibility mirrors the beam check below: the decode
+        # mode is part of the snapshot's shape.
+        if self.ctc and "ctc_prev" not in st:
+            raise ValueError("session decodes with ctc=True but the "
+                             "snapshot carries no ctc_prev (saved from an "
+                             "RNN-T-decode session)")
+        if not self.ctc and "ctc_prev" in st:
+            raise ValueError("snapshot carries CTC collapse state but this "
+                             "session decodes RNN-T (ctc=False)")
+        if self.ctc:
+            self.ctc_prev = np.asarray(st["ctc_prev"], np.int64).copy()
         has_beam = "beam/h" in st
         if self.beam_size > 1 and not has_beam:
             raise ValueError(

@@ -249,3 +249,33 @@ def test_cli_boost(model_file, tmp_path):
     assert base.stdout.strip() and not boosted.stdout.strip()  # silenced
     bad = run_cli("transcribe.py", [path, str(pcm), "--cpu", "--boost=zz"])
     assert bad.returncode == 1 and b"error" in bad.stderr
+
+
+def test_stream_cli_ctc(tmp_path):
+    """--ctc on the streaming CLI: a dominant-token hybrid head emits
+    exactly one piece over a multi-chunk stream (the collapse carry works
+    through the CLI path); a model without the head errors cleanly."""
+    cfg = tiny_config()
+    arrays = params_mod.random_weight_arrays(cfg, seed=0, ctc_head=True)
+    arrays = dict(arrays)
+    bias = np.zeros(cfg.vocab_size, np.float32)
+    bias[5] = 100.0
+    arrays["ctc_decoder.decoder_layers.0.bias"] = bias
+    path = str(tmp_path / "hybrid.gguf")
+    write_tiny_gguf(path, arrays, cfg,
+                    vocab=[f"t{i}" for i in range(cfg.vocab_size)])
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(17 * 160 * 4) * 8000).astype(np.int16)
+    pcm = tmp_path / "a.pcm"
+    audio.tofile(pcm)
+    r = run_cli("transcribe_stream.py",
+                [path, str(pcm), "170", "0", "--cpu", "--ctc"])
+    assert r.returncode == 0, r.stderr.decode()
+    assert r.stdout.decode().strip() == "t5"
+
+    plain = str(tmp_path / "plain.gguf")
+    write_tiny_gguf(plain, params_mod.random_weight_arrays(cfg, seed=0), cfg)
+    r = run_cli("transcribe_stream.py",
+                [plain, str(pcm), "170", "0", "--cpu", "--ctc"])
+    assert r.returncode == 1
+    assert "CTC head" in r.stderr.decode()

@@ -1,0 +1,162 @@
+"""Streaming CTC decode (hybrid checkpoints) in StreamSession.
+
+The auxiliary CTC head is stateless over frames, so streaming it only
+requires carrying the last frame's argmax id across the chunk boundary
+(the collapse of a repeat spanning two chunks). These tests gate that
+carry exactly: the chunked session must reproduce the one-shot CTC
+collapse over the concatenated per-chunk encoder outputs.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import tiny_config
+from nemotron_tpu import params as params_mod
+from nemotron_tpu.config import CacheConfig
+from nemotron_tpu.frontend.preprocessor import (hann_window,
+                                                mel_filterbank_slaney)
+from nemotron_tpu.streaming.session import StreamSession, _chunk_step_ctc_jit
+
+
+@pytest.fixture(scope="module")
+def hybrid_setup():
+    cfg = tiny_config()
+    arrays = params_mod.random_weight_arrays(cfg, seed=0, ctc_head=True)
+    params = params_mod.params_from_arrays(arrays, cfg)
+    return arrays, params, cfg
+
+
+def make_session(params, cfg, cc, n_streams=1, **kw):
+    fb = mel_filterbank_slaney(n_mels=cfg.n_mels)
+    win = hann_window(400)
+    vocab = [f"x{i}" for i in range(cfg.vocab_size)]
+    return StreamSession(params, cfg, vocab, cc, n_streams=n_streams,
+                         filterbank=fb, window=win, ctc=True, **kw)
+
+
+def reference_ids(params, cfg, cc, mel, n_streams):
+    """Independent re-derivation of the session's chunking + per-chunk CTC
+    argmax: returns the concatenated per-frame ids [S, total_valid]."""
+    from nemotron_tpu.models import encoder as enc_mod
+
+    buf = np.concatenate(
+        [np.zeros((n_streams, cc.pre_encode_cache_size, cfg.n_mels),
+                  np.float32), mel], axis=1)
+    enc_state = enc_mod.init_encoder_state(cfg, cc, n_streams, jnp.float32)
+    pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc)
+    out = []
+    while buf.shape[1] >= cc.chunk_mel_frames:
+        chunk = jnp.asarray(buf[:, : cc.chunk_mel_frames], jnp.float32)
+        ids, enc_state = _chunk_step_ctc_jit(params, cfg, cc, chunk,
+                                             enc_state, pos_heads)
+        out.append(np.asarray(ids, np.int64))
+        buf = buf[:, cc.shift_mel_frames:]
+    return np.concatenate(out, axis=1)
+
+
+def full_collapse(ids_row, blank):
+    """(id, frame) pairs the full-sequence CTC greedy rule keeps."""
+    prev, out = -1, []
+    for t, i in enumerate(ids_row):
+        if i != prev and i != blank:
+            out.append((int(i), t))
+        prev = int(i)
+    return out
+
+
+@pytest.mark.parametrize("right_context", [0, 13])
+def test_streaming_ctc_equals_full_collapse(hybrid_setup, right_context):
+    """Chunked session emission == one-shot collapse of the concatenated
+    per-chunk argmax ids, including emission frame indices, for multiple
+    streams and both latency extremes."""
+    _, params, cfg = hybrid_setup
+    cc = CacheConfig(att_right_context=right_context, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    S = 2
+    rng = np.random.default_rng(1)
+    total = cc.chunk_mel_frames * 3 + 5
+    mel = (rng.standard_normal((S, total, cfg.n_mels)) * 2).astype(np.float32)
+
+    sess = make_session(params, cfg, cc, n_streams=S)
+    # uneven feed slices exercise the mel ring buffer
+    cuts = [0, 7, cc.chunk_mel_frames + 3, total]
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        sess.process_mel(mel[:, a:b])
+
+    ids = reference_ids(params, cfg, cc, mel, S)
+    for s in range(S):
+        assert sess.get_tokens(s) == full_collapse(ids[s], cfg.blank_token)
+
+
+def test_streaming_ctc_boundary_repeat_suppressed(hybrid_setup):
+    """A head biased to one dominant token makes EVERY frame argmax the
+    same id; the whole multi-chunk stream must collapse to exactly one
+    emission -- the direct test of the cross-chunk carry."""
+    _, params, cfg = hybrid_setup
+    bias = np.zeros(cfg.vocab_size, np.float32)
+    bias[5] = 100.0
+    p = dataclasses.replace(
+        params, ctc=dataclasses.replace(params.ctc, out_b=jnp.asarray(bias)))
+    cc = CacheConfig(att_right_context=1, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    sess = make_session(p, cfg, cc)
+    rng = np.random.default_rng(2)
+    mel = (rng.standard_normal((1, cc.chunk_mel_frames * 4, cfg.n_mels)) * 2
+           ).astype(np.float32)
+    sess.process_mel(mel)
+    assert sess.total_chunks >= 3
+    assert sess.get_tokens(0) == [(5, 0)]
+    assert sess.get_transcript(0) == "x5"
+
+
+def test_streaming_ctc_resume_exact(hybrid_setup):
+    """Snapshot mid-stream -> fresh session -> load -> continue must equal
+    the uninterrupted run. Uses the dominant-token head so a LOST ctc_prev
+    carry would visibly re-emit after resume."""
+    _, params, cfg = hybrid_setup
+    bias = np.zeros(cfg.vocab_size, np.float32)
+    bias[5] = 100.0
+    p = dataclasses.replace(
+        params, ctc=dataclasses.replace(params.ctc, out_b=jnp.asarray(bias)))
+    cc = CacheConfig(att_right_context=0, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    rng = np.random.default_rng(3)
+    mel = (rng.standard_normal((1, cc.chunk_mel_frames * 4, cfg.n_mels)) * 2
+           ).astype(np.float32)
+    half = cc.chunk_mel_frames * 2
+
+    ref = make_session(p, cfg, cc)
+    ref.process_mel(mel)
+
+    a = make_session(p, cfg, cc)
+    a.process_mel(mel[:, :half])
+    st = a.state_dict()
+    b = make_session(p, cfg, cc)
+    b.load_state_dict(st)
+    b.process_mel(mel[:, half:])
+    assert b.get_tokens(0) == ref.get_tokens(0) == [(5, 0)]
+    assert b.get_transcript(0) == ref.get_transcript(0)
+
+
+def test_streaming_ctc_validation(hybrid_setup):
+    _, params, cfg = hybrid_setup
+    cc = CacheConfig(att_right_context=0, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    no_head = dataclasses.replace(params, ctc=None)
+    with pytest.raises(ValueError, match="needs a model with a CTC head"):
+        make_session(no_head, cfg, cc)
+    with pytest.raises(ValueError, match="beam/confidence"):
+        make_session(params, cfg, cc, beam_size=2)
+
+    # snapshot decode-mode mismatch, both directions
+    fb = mel_filterbank_slaney(n_mels=cfg.n_mels)
+    win = hann_window(400)
+    rnnt = StreamSession(params, cfg, None, cc, filterbank=fb, window=win)
+    ctc = make_session(params, cfg, cc)
+    with pytest.raises(ValueError, match="no ctc_prev"):
+        ctc.load_state_dict(rnnt.state_dict())
+    with pytest.raises(ValueError, match="CTC collapse state"):
+        rnnt.load_state_dict(ctc.state_dict())

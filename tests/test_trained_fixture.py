@@ -140,3 +140,41 @@ def test_sil_model_silence_stays_silent(trained_sil):
     got = _decode(params, cfg, audio)[0]
     # everything emitted must belong to the single 3-tone utterance
     assert 1 <= len(got) <= 4, got
+
+
+HYBRID_GGUF = os.path.join(os.path.dirname(__file__), "..", "weights",
+                           "tones_tiny_hybrid.gguf")
+
+
+@pytest.fixture(scope="module")
+def trained_hybrid():
+    if not os.path.exists(HYBRID_GGUF):
+        pytest.skip("hybrid fixture not present")
+    from nemotron_tpu.params import load_model
+
+    return load_model(HYBRID_GGUF, keep_quantized=False)
+
+
+def test_hybrid_model_streaming_ctc_transcribes(trained_hybrid):
+    """Streaming CTC decode of the committed dual-head fixture (tiny
+    recipe + --ctc-weight 0.3): TER < 10% on continuous tone streams.
+    The full 60 s x 8-run harness measured the CTC head at 0.27% TER
+    (docs/hybrid_quality.json); this is the cheap CI gate, and the only
+    in-CI exercise of ctc=True on trained (non-random) weights."""
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.streaming.session import StreamSession
+    from nemotron_tpu.utils import tones as tones_mod
+
+    params, cfg, _ = trained_hybrid
+    audio, truths = tones_mod.make_eval_streams(2, 15.0, 16, seed=123)
+    cc = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
+    sess = StreamSession(params, cfg, None, cc, n_streams=audio.shape[0],
+                         ctc=True)
+    sess.process(audio)
+    sess.finalize()
+    got = [[t for t, _ in sess.get_tokens(s)]
+           for s in range(audio.shape[0])]
+    total = sum(len(t) for t in truths)
+    dist = sum(levenshtein(g, t) for g, t in zip(got, truths))
+    assert total > 10
+    assert dist / total < 0.10, (dist, total, got, truths)
