@@ -40,6 +40,10 @@ class ModelConfig:
     joint_dim: int = 640
     subsampling_channels: int = 256
     subsampling_factor: int = 8   # 3 stride-2 conv stages
+    # TDT (token-and-duration transducer) checkpoints: the static duration
+    # set predicted by the joint's trailing logits (GGUF key
+    # `nemo.tdt_durations`; see losses/tdt.py). None = plain RNN-T.
+    tdt_durations: tuple = None  # tuple[int, ...] | None
 
     @property
     def blank_token(self) -> int:

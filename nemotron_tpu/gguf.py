@@ -352,6 +352,13 @@ def write_gguf(
             elif isinstance(val, (str, bytes)):
                 f.write(struct.pack("<i", T_STRING))
                 _write_string(f, val)
+            elif (isinstance(val, (list, tuple))
+                  and all(isinstance(x, int) for x in val)):
+                f.write(struct.pack("<i", T_ARRAY))
+                f.write(struct.pack("<i", T_INT32))
+                f.write(struct.pack("<Q", len(val)))
+                for x in val:
+                    f.write(struct.pack("<i", x))
             else:
                 raise ValueError(f"unsupported metadata value for {key}")
 

@@ -366,6 +366,10 @@ def load_model(path: str, keep_quantized: bool = True,
         joint_dim=arrays["joint.enc.weight"].shape[0],
         subsampling_channels=arrays["encoder.pre_encode.conv.0.weight"].shape[0],
     )
+    td = md.get("nemo.tdt_durations")
+    if td:  # TDT checkpoint: trailing joint logits are the duration head
+        cfg = dataclasses.replace(
+            cfg, tdt_durations=tuple(int(x) for x in td))
 
     vocab_blob = md.get("tokenizer.vocab", b"")
     if isinstance(vocab_blob, str):
@@ -485,6 +489,8 @@ def save_model(path: str, params: ModelParams, cfg: ModelConfig,
         "nemo.kernel_size": cfg.kernel_size,
         "nemo.vocab_size": cfg.vocab_size,
     }
+    if cfg.tdt_durations:
+        meta["nemo.tdt_durations"] = [int(d) for d in cfg.tdt_durations]
     if vocab:
         meta["tokenizer.vocab"] = gguf_mod.encode_vocab(
             [gguf_mod.fit_vocab_token(v) for v in vocab])
@@ -608,8 +614,11 @@ def random_weight_arrays(cfg: ModelConfig, seed: int = 0,
     t["joint.enc.bias"] = w(cfg.joint_dim)
     t["joint.pred.weight"] = w(cfg.joint_dim, DD)
     t["joint.pred.bias"] = w(cfg.joint_dim)
-    t["joint.joint_net.2.weight"] = w(V, cfg.joint_dim)
-    t["joint.joint_net.2.bias"] = w(V)
+    # TDT checkpoints widen the joint output by the duration head
+    # (losses/tdt.py); the embedding/vocab stay V
+    V_out = V + len(cfg.tdt_durations or ())
+    t["joint.joint_net.2.weight"] = w(V_out, cfg.joint_dim)
+    t["joint.joint_net.2.bias"] = w(V_out)
 
     t["preprocessor.featurizer.fb"] = np.abs(w(cfg.n_mels, 257))
     win = np.hanning(400).astype(np.float32)
