@@ -277,6 +277,23 @@ def _chunk_step_ctc_jit(params: ModelParams, cfg: ModelConfig,
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
+def _chunk_step_tdt_jit(params: ModelParams, cfg: ModelConfig,
+                        cc: CacheConfig, mel_chunk, enc_state, dec_state,
+                        pos_heads, skip):
+    """Fused streaming step for TDT checkpoints: cached encoder + the
+    duration-aware greedy walk (models/tdt.py). `skip` [S] int32 carries a
+    duration jump that overshot the previous chunk's valid frames into this
+    one; the returned skip is next chunk's carry."""
+    from ..models import tdt as tdt_mod
+
+    enc_out, enc_state = enc_mod.encode_chunk(params, cfg, cc, mel_chunk,
+                                              enc_state, pos_heads)
+    tokens, dec_state, skip = tdt_mod.tdt_greedy_decode(
+        params, cfg, enc_out, dec_state, skip_in=skip)
+    return tokens, enc_state, dec_state, skip
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
 def chunk_step_captured(params: ModelParams, cfg: ModelConfig,
                         cc: CacheConfig, mel_chunk, enc_state, dec_state,
                         pos_heads):
@@ -365,6 +382,14 @@ class StreamSession:
             if beam_size > 1 or self.confidence or trace_dir is not None:
                 raise ValueError("ctc decode excludes beam/confidence/"
                                  "tracing (those are RNN-T decode paths)")
+        # TDT checkpoints (cfg.tdt_durations): the only label search is the
+        # duration-aware greedy walk; RNN-T beam/confidence/tracing read
+        # the joint as pure token logits and do not apply
+        self.tdt = bool(cfg.tdt_durations) and not ctc
+        if self.tdt and (beam_size > 1 or self.confidence
+                         or trace_dir is not None):
+            raise ValueError("TDT decode is greedy (beam/confidence/tracing "
+                             "are RNN-T label-loop features)")
         self.tracer = None
         if trace_dir is not None:
             from ..utils.dump import DumpTracer
@@ -402,6 +427,8 @@ class StreamSession:
         # cross-chunk CTC collapse carry: the raw LAST frame argmax id of
         # the previous chunk per stream (-1 = stream start, matches nothing)
         self.ctc_prev = np.full(S, -1, np.int64)
+        # cross-chunk TDT duration-jump carry (frames to skip next chunk)
+        self.tdt_skip = jnp.zeros((S,), jnp.int32)
         self.preproc.reset()
         # 9-frame zero-seeded overlap (reference src/nemo-stream.cpp:58-60)
         self.mel_buffer = np.zeros((S, cc.pre_encode_cache_size, cfg.n_mels),
@@ -490,7 +517,12 @@ class StreamSession:
                 self.frame_offset += ids.shape[1]
                 continue
             confs = None
-            if self.tracer is not None:
+            if self.tdt:
+                (tokens, self.enc_state, self.dec_state,
+                 self.tdt_skip) = _chunk_step_tdt_jit(
+                    self.params, self.cfg, cc, chunk, self.enc_state,
+                    self.dec_state, self.pos_heads, self.tdt_skip)
+            elif self.tracer is not None:
                 tokens, self.enc_state, self.dec_state = self._traced_step(
                     chunk)
             elif self.confidence:
@@ -576,7 +608,8 @@ class StreamSession:
         } | ({} if self.beam_state is None else {
             f"beam/{k}": np.asarray(getattr(self.beam_state, k))
             for k in ("h", "c", "prev_token", "scores", "tokens", "lengths")
-        }) | ({"ctc_prev": self.ctc_prev.copy()} if self.ctc else {})
+        }) | ({"ctc_prev": self.ctc_prev.copy()} if self.ctc else {}) \
+          | ({"tdt_skip": np.asarray(self.tdt_skip)} if self.tdt else {})
 
     def load_state_dict(self, st: dict) -> None:
         ring_dtype = (jnp.int8 if self.cc.kv_quant_max is not None
@@ -609,6 +642,14 @@ class StreamSession:
                              "session decodes RNN-T (ctc=False)")
         if self.ctc:
             self.ctc_prev = np.asarray(st["ctc_prev"], np.int64).copy()
+        if self.tdt and "tdt_skip" not in st:
+            raise ValueError("session decodes TDT but the snapshot carries "
+                             "no tdt_skip (saved from another decode mode)")
+        if not self.tdt and "tdt_skip" in st:
+            raise ValueError("snapshot carries TDT skip state but this "
+                             "session does not decode TDT")
+        if self.tdt:
+            self.tdt_skip = jnp.asarray(st["tdt_skip"], jnp.int32)
         has_beam = "beam/h" in st
         if self.beam_size > 1 and not has_beam:
             raise ValueError(
@@ -777,6 +818,25 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
                                         enc_lengths=enc_lengths)
         texts = [tokens_to_text([(i, 0) for i in stream_ids], vocab)
                  for stream_ids in ids]
+        return (texts[0] if not isinstance(audio_i16, (list, tuple))
+                else texts)
+    if cfg.tdt_durations:
+        # TDT checkpoint: the label search IS the duration-aware greedy
+        # walk (models/tdt.py); the RNN-T beam/confidence paths read the
+        # joint as pure token logits and do not apply.
+        if beam_size > 1 or return_confidence:
+            raise ValueError("TDT decode is greedy (beam/confidence are "
+                             "RNN-T label-loop features)")
+        from ..models import tdt as tdt_mod
+
+        dec_state = dec_mod.init_decoder_state(cfg, len(mels), compute_dtype)
+        tokens, _, _ = jax.jit(tdt_mod.tdt_greedy_decode, static_argnums=1)(
+            params, cfg, enc, dec_state, enc_lengths=enc_lengths)
+        texts = [
+            tokens_to_text(dec_mod.tokens_to_list(np.asarray(tokens)[i],
+                                                  cfg.blank_token),
+                           vocab, timestamp_words=timestamp_words)
+            for i in range(len(mels))]
         return (texts[0] if not isinstance(audio_i16, (list, tuple))
                 else texts)
     if beam_size > 1:

@@ -105,13 +105,19 @@ def transducer_logits_from_enc(params: ModelParams, cfg: ModelConfig, enc,
 
 def loss_fn(params: ModelParams, cfg: ModelConfig, batch,
             remat: bool = False, att_chunk: int | None = None,
-            delay_penalty: float = 0.0, ctc_weight: float = 0.0):
-    """Mean RNN-T loss over a batch dict with keys
+            delay_penalty: float = 0.0, ctc_weight: float = 0.0,
+            tdt_sigma: float = 0.05):
+    """Mean transducer loss over a batch dict with keys
     mel [B, Tm, n_mels], labels [B, U], mel_lengths [B] (in encoder
     frames), label_lengths [B], and optionally history [B, R] decoder
     warm-up labels (see prediction_network: breaks the absolute-count
     shortcut so the model keeps transcribing on unbounded streams).
     delay_penalty: see losses/rnnt.py.
+
+    TDT checkpoints (cfg.tdt_durations set) train with the duration-aware
+    lattice (losses/tdt.py, under-normalization tdt_sigma) instead of the
+    RNN-T loss; the objective already pulls alignments toward confident
+    long jumps, so delay_penalty does not apply.
 
     ctc_weight > 0 (requires params.ctc, the hybrid auxiliary head):
     total = rnnt + w * ctc, NeMo's hybrid RNNT-CTC training objective --
@@ -121,9 +127,19 @@ def loss_fn(params: ModelParams, cfg: ModelConfig, batch,
                        att_chunk=att_chunk)
     logits = transducer_logits_from_enc(params, cfg, enc, batch["labels"],
                                         history=batch.get("history"))
-    losses = rnnt_loss(logits, batch["labels"], batch["mel_lengths"],
-                       batch["label_lengths"], blank=cfg.blank_token,
-                       delay_penalty=delay_penalty)
+    if cfg.tdt_durations:
+        if delay_penalty:
+            raise ValueError("delay_penalty applies to the RNN-T lattice "
+                             "only (TDT trains duration-aware)")
+        from .losses.tdt import tdt_loss
+
+        losses = tdt_loss(logits, batch["labels"], batch["mel_lengths"],
+                          batch["label_lengths"], cfg.tdt_durations,
+                          blank=cfg.blank_token, sigma=tdt_sigma)
+    else:
+        losses = rnnt_loss(logits, batch["labels"], batch["mel_lengths"],
+                           batch["label_lengths"], blank=cfg.blank_token,
+                           delay_penalty=delay_penalty)
     total = jnp.mean(losses)
     if ctc_weight > 0.0:
         import optax
@@ -175,7 +191,8 @@ def load_train_state(path: str, params_like, opt_state_like):
 def make_train_step(cfg: ModelConfig, optimizer, remat: bool = False,
                     att_chunk: int | None = None,
                     delay_penalty: float = 0.0,
-                    ctc_weight: float = 0.0):
+                    ctc_weight: float = 0.0,
+                    tdt_sigma: float = 0.05):
     """Returns jitted (params, opt_state, batch) -> (params', opt_state',
     loss). Differentiates through the full encoder/prediction/joint; works
     under a mesh via sharded inputs (GSPMD handles the collectives).
@@ -191,7 +208,8 @@ def make_train_step(cfg: ModelConfig, optimizer, remat: bool = False,
             lambda p: loss_fn(p, cfg, batch, remat=remat,
                               att_chunk=att_chunk,
                               delay_penalty=delay_penalty,
-                              ctc_weight=ctc_weight))(params)
+                              ctc_weight=ctc_weight,
+                              tdt_sigma=tdt_sigma))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -8,6 +8,7 @@ reference engine is inference-only).
              [--task memorize|tones] [--tones N] [--utt-tones U]
              [--utt-tones-min M] [--history-max R] [--pool N]
              [--long-gap-prob P] [--ctc-weight W]
+             [--tdt-durations 0,1,2,3] [--tdt-sigma S]
              [--val N] [--prefetch K]
              [--att-chunks 14,1] [--eval-every N] [--seed S]
 
@@ -74,8 +75,14 @@ def ter_on_batch(params, cfg, batch, att_chunk=None) -> float:
                                att_chunk=att_chunk)
     B = enc.shape[0]
     dec_state = dec_mod.init_decoder_state(cfg, B, enc.dtype)
-    tokens, _ = jax.jit(dec_mod.greedy_decode, static_argnums=1)(
-        params, cfg, enc, dec_state, enc_lengths=batch["mel_lengths"])
+    if cfg.tdt_durations:
+        from nemotron_tpu.models.tdt import tdt_greedy_decode
+
+        tokens, _, _ = jax.jit(tdt_greedy_decode, static_argnums=1)(
+            params, cfg, enc, dec_state, enc_lengths=batch["mel_lengths"])
+    else:
+        tokens, _ = jax.jit(dec_mod.greedy_decode, static_argnums=1)(
+            params, cfg, enc, dec_state, enc_lengths=batch["mel_lengths"])
     tokens = np.asarray(tokens)
     labels = np.asarray(batch["labels"])
     lens = np.asarray(batch["label_lengths"])
@@ -147,6 +154,14 @@ def main(argv: list[str]) -> int:
                               subsampling_channels=64)
         else:
             cfg = ModelConfig()
+        # TDT family (--tdt-durations 0,1,2,3): widen the joint output by
+        # the duration head; the lattice/decode switch keys off the config
+        if "--tdt-durations" in argv:
+            import dataclasses
+
+            durs = tuple(int(d) for d in
+                         opt_val("--tdt-durations", "", str).split(","))
+            cfg = dataclasses.replace(cfg, tdt_durations=durs)
         arrays = P.random_weight_arrays(
             cfg, seed=seed,
             init="glorot" if task == "tones" else "bench",
@@ -252,9 +267,15 @@ def main(argv: list[str]) -> int:
         print("error: --ctc-weight needs a model with a CTC head "
               "(ctc_decoder.* tensors; --random adds one)", file=sys.stderr)
         return 1
+    if cfg.tdt_durations and delay_pen:
+        print("error: --delay-penalty applies to the RNN-T lattice only "
+              "(TDT trains duration-aware)", file=sys.stderr)
+        return 1
     step_fns = {c: make_train_step(cfg, opt, remat="--remat" in argv,
                                    att_chunk=c, delay_penalty=delay_pen,
-                                   ctc_weight=ctc_w)
+                                   ctc_weight=ctc_w,
+                                   tdt_sigma=opt_val("--tdt-sigma", 0.05,
+                                                     float))
                 for c in att_chunks}
 
     if task == "tones" and not pool_n:
