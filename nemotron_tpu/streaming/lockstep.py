@@ -133,6 +133,57 @@ def _fused_tick_beam(cfg: ModelConfig, cc: CacheConfig,
     return front, mel_buf, enc_state, beam_state
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
+                   donate_argnums=(6, 7, 8, 9, 13))
+def _fused_tick_tdt(cfg: ModelConfig, cc: CacheConfig,
+                    pcfg: PreprocessorConfig, buf_len: int, params,
+                    pcm_i16, front: FrontendState, mel_buf, enc_state,
+                    dec_state, pos_heads, window, filterbank, skip):
+    """One fused TDT tick: DSP + encoder + duration-aware greedy walk,
+    with the cross-chunk jump carry (`skip` [S]) threaded through the
+    tick's chunks and returned for the next tick."""
+    from ..models.tdt import tdt_greedy_decode
+
+    S = pcm_i16.shape[0]
+    enc_outs, front, mel_buf, enc_state = _dsp_encode(
+        cfg, cc, pcfg, buf_len, params, pcm_i16, front, mel_buf, enc_state,
+        pos_heads, window, filterbank)
+    tokens_out = []
+    for enc_out in enc_outs:
+        toks, dec_state, skip = tdt_greedy_decode(
+            params, cfg, enc_out, dec_state, skip_in=skip)
+        tokens_out.append(toks)
+    if tokens_out:
+        tokens = jnp.stack(tokens_out)          # [k, S, valid_out, MAX]
+    else:
+        tokens = jnp.zeros((0, S, cc.valid_out_len, MAX_SYMBOLS_PER_STEP),
+                           jnp.int32)
+    return tokens, front, mel_buf, enc_state, dec_state, skip
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
+                   donate_argnums=(6, 7, 8))
+def _fused_tick_ctc(cfg: ModelConfig, cc: CacheConfig,
+                    pcfg: PreprocessorConfig, buf_len: int, params,
+                    pcm_i16, front: FrontendState, mel_buf, enc_state,
+                    pos_heads, window, filterbank):
+    """One fused CTC tick: DSP + encoder + the auxiliary head's per-frame
+    argmax (the collapse carry lives on the host)."""
+    from ..models import ctc as ctc_mod
+
+    S = pcm_i16.shape[0]
+    enc_outs, front, mel_buf, enc_state = _dsp_encode(
+        cfg, cc, pcfg, buf_len, params, pcm_i16, front, mel_buf, enc_state,
+        pos_heads, window, filterbank)
+    ids_out = [jnp.argmax(ctc_mod.ctc_logits(params, e),
+                          axis=-1).astype(jnp.int32) for e in enc_outs]
+    if ids_out:
+        ids = jnp.stack(ids_out)                # [k, S, valid_out]
+    else:
+        ids = jnp.zeros((0, S, cc.valid_out_len), jnp.int32)
+    return ids, front, mel_buf, enc_state
+
+
 class LockstepEngine:
     """S streams at a fixed shared cadence, end-to-end on device.
 
@@ -149,7 +200,8 @@ class LockstepEngine:
                  max_beam_tokens: int = 4096,
                  confidence: bool = False,
                  endpoint_silence_s: float | None = None,
-                 endpoint_reset: bool = False):
+                 endpoint_reset: bool = False,
+                 ctc: bool = False):
         """beam_size > 1 switches every tick to the fused on-device beam
         search (accuracy-sensitive decode at serving scale -- capability
         beyond both the greedy-only reference and the greedy engines).
@@ -176,6 +228,25 @@ class LockstepEngine:
         self.confidence = confidence
         if confidence and beam_size > 1:
             raise ValueError("confidence requires greedy decode")
+        # decode-mode widening (engine parity with StreamSession): ctc=True
+        # uses the hybrid checkpoint's auxiliary head; TDT checkpoints
+        # auto-switch to the duration-aware walk with a per-stream
+        # cross-chunk skip carry
+        self.ctc = ctc
+        self.tdt = bool(cfg.tdt_durations) and not ctc
+        if ctc:
+            if params.ctc is None:
+                raise ValueError("ctc=True needs a model with a CTC head "
+                                 "(ctc_decoder.* tensors)")
+            if beam_size > 1 or confidence:
+                raise ValueError("ctc decode excludes beam/confidence "
+                                 "(RNN-T label-loop features)")
+            if endpoint_reset:
+                raise ValueError("endpoint_reset resets the prediction "
+                                 "network; CTC decode has none")
+        if self.tdt and (beam_size > 1 or confidence):
+            raise ValueError("TDT decode is greedy (beam/confidence are "
+                             "RNN-T label-loop features)")
         # Utterance endpointing (greedy only; same semantics as
         # ServingEngine): post-emission silence of endpoint_silence_s
         # fires an event per stream and resets its prediction network.
@@ -222,6 +293,8 @@ class LockstepEngine:
             self.beam_state = beam_mod.init_beam_state(
                 cfg, S, self.beam_size, self.max_beam_tokens, self.dtype)
         self._beam_dirty = False
+        self.tdt_skip = jnp.zeros((S,), jnp.int32) if self.tdt else None
+        self.ctc_prev = np.full(S, -1, np.int64) if self.ctc else None
         self.front = init_frontend_state(S, self.pcfg)
         # 9-frame zero-seeded overlap (reference src/nemo-stream.cpp:58-60)
         cap = cc.chunk_mel_frames + cc.shift_mel_frames + 1
@@ -243,6 +316,10 @@ class LockstepEngine:
                 jax.sharding.NamedSharding(
                     self.mesh, jax.sharding.PartitionSpec("data", None,
                                                           None)))
+            if self.tdt_skip is not None:
+                self.tdt_skip = jax.device_put(
+                    self.tdt_skip, jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec("data")))
         self.tokens: list[list[tuple[int, int]]] = [
             [] for _ in range(self.n_streams)]
         self.transcripts = [""] * self.n_streams
@@ -287,8 +364,24 @@ class LockstepEngine:
                 jnp.asarray(pcm_i16, jnp.int16), self.front, self.mel_buf,
                 self.enc_state, self.beam_state, self.pos_heads,
                 self.window, self.filterbank)
-            tokens = confs = None
+            tokens = confs = ctc_ids = None
             self._beam_dirty = True
+        elif self.ctc:
+            (ctc_ids, self.front, self.mel_buf,
+             self.enc_state) = _fused_tick_ctc(
+                self.cfg, self.cc, self.pcfg, self.buf_len, self.params,
+                jnp.asarray(pcm_i16, jnp.int16), self.front, self.mel_buf,
+                self.enc_state, self.pos_heads, self.window,
+                self.filterbank)
+            tokens = confs = None
+        elif self.tdt:
+            (tokens, self.front, self.mel_buf, self.enc_state,
+             self.dec_state, self.tdt_skip) = _fused_tick_tdt(
+                self.cfg, self.cc, self.pcfg, self.buf_len, self.params,
+                jnp.asarray(pcm_i16, jnp.int16), self.front, self.mel_buf,
+                self.enc_state, self.dec_state, self.pos_heads,
+                self.window, self.filterbank, self.tdt_skip)
+            confs = ctc_ids = None
         else:
             (tokens, confs, self.front, self.mel_buf, self.enc_state,
              self.dec_state) = _fused_tick(
@@ -297,27 +390,53 @@ class LockstepEngine:
                 self.front, self.mel_buf, self.enc_state,
                 self.dec_state, self.pos_heads, self.window,
                 self.filterbank)
+            ctc_ids = None
         k = self._chunks_in(self.buf_len + f)
         self.buf_len = self.buf_len + f - k * self.cc.shift_mel_frames
         self.total_chunks += k
         base = self.frame_offset
         self.frame_offset += k * self.cc.valid_out_len
-        return tokens, confs, base
+        return tokens, confs, ctc_ids, base
 
-    def _collect(self, tokens, confs, base: int) -> dict[int, str]:
+    def _ctc_collapse_chunk(self, ids: np.ndarray, base: int) -> dict:
+        """CTC greedy collapse of one chunk's ids [S, valid_out] across
+        every stream, continuing each stream's carry."""
+        blank = self.cfg.blank_token
+        emitted: dict[int, list] = {}
+        for s in range(self.n_streams):
+            prev, toks = int(self.ctc_prev[s]), []
+            for t in range(ids.shape[1]):
+                i = int(ids[s, t])
+                if i != prev and i != blank:
+                    toks.append((i, base + t))
+                prev = i
+            self.ctc_prev[s] = prev
+            if toks:
+                emitted[s] = toks
+        return emitted
+
+    def _collect(self, tokens, confs, ctc_ids, base: int) -> dict[int, str]:
         """Materialize a tick's tokens and fold them into transcripts."""
         out: dict[int, str] = {}
-        if tokens is None:     # beam mode: transcripts fetched lazily
-            return out
-        tokens = np.asarray(tokens)
+        if tokens is None and ctc_ids is None:
+            return out         # beam mode: transcripts fetched lazily
+        k = (tokens if ctc_ids is None else ctc_ids).shape[0]
+        if ctc_ids is not None:
+            ctc_ids = np.asarray(ctc_ids, np.int64)
+        else:
+            tokens = np.asarray(tokens)
         if confs is not None:
             confs = np.asarray(confs)
-        for i in range(tokens.shape[0]):
-            emitted = dec_mod.extract_emitted(
-                tokens[i], self.cfg.blank_token,
-                np.full(self.n_streams,
-                        base + i * self.cc.valid_out_len, np.int64),
-                confs=confs[i] if confs is not None else None)
+        for i in range(k):
+            if ctc_ids is not None:
+                emitted = self._ctc_collapse_chunk(
+                    ctc_ids[i], base + i * self.cc.valid_out_len)
+            else:
+                emitted = dec_mod.extract_emitted(
+                    tokens[i], self.cfg.blank_token,
+                    np.full(self.n_streams,
+                            base + i * self.cc.valid_out_len, np.int64),
+                    confs=confs[i] if confs is not None else None)
             for s, toks in emitted.items():
                 self.tokens[s].extend(toks)
                 text = tokens_to_text(toks, self.vocab)
@@ -464,6 +583,10 @@ class LockstepEngine:
             flat["transcripts"] = np.asarray(self.transcripts, dtype=object)
             for k in ("h", "c", "prev_token", "scores", "tokens", "lengths"):
                 flat[f"beam/{k}"] = np.asarray(getattr(self.beam_state, k))
+        if self.tdt_skip is not None:
+            flat["tdt_skip"] = np.asarray(self.tdt_skip)
+        if self.ctc_prev is not None:
+            flat["ctc_prev"] = self.ctc_prev
         for s in range(self.n_streams):
             if self.confidence:   # (id, frame, log-posterior) triples
                 flat[f"tokens/{s}"] = np.asarray(
@@ -491,6 +614,14 @@ class LockstepEngine:
             h=jnp.asarray(z["dec/h"], self.dtype),
             c=jnp.asarray(z["dec/c"], self.dtype),
             prev_token=jnp.asarray(z["dec/prev_token"], jnp.int32))
+        if self.tdt != ("tdt_skip" in z.files):
+            raise ValueError("snapshot/engine TDT-mode mismatch")
+        if self.tdt:
+            self.tdt_skip = jnp.asarray(z["tdt_skip"], jnp.int32)
+        if self.ctc != ("ctc_prev" in z.files):
+            raise ValueError("snapshot/engine CTC-mode mismatch")
+        if self.ctc:
+            self.ctc_prev = z["ctc_prev"].astype(np.int64)
         has_beam = "beam/h" in z.files
         if (self.beam_state is not None) != has_beam:
             raise ValueError(
@@ -540,6 +671,10 @@ class LockstepEngine:
             if self.beam_state is not None:
                 self.beam_state = shard_stream_major(self.beam_state,
                                                      self.mesh)
+            if self.tdt_skip is not None:
+                self.tdt_skip = jax.device_put(
+                    self.tdt_skip, jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec("data")))
 
     def finalize(self) -> list[str]:
         """Flush pending (non-overlap) mel frames with one zero-padded

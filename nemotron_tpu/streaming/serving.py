@@ -270,6 +270,84 @@ def _device_dsp_tick_beam(params, cfg: ModelConfig, cc: CacheConfig, pcfg,
     return front_res, front_last, mel_buf, enc_state, beam_state
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5, 8))
+def _chunk_step_masked_tdt_jit(params, cfg: ModelConfig, cc: CacheConfig,
+                               mel_chunk, enc_state, dec_state, pos_heads,
+                               step_mask, skip):
+    """Masked fused tick for TDT checkpoints: frozen slots keep caches,
+    decoder state AND their cross-chunk duration-jump carry (`skip`)."""
+    from ..models.tdt import tdt_greedy_decode
+
+    enc_out, enc_state = enc_mod.encode_chunk(
+        params, cfg, cc, mel_chunk, enc_state, pos_heads,
+        step_mask=step_mask)
+    tokens, dec_state, skip = tdt_greedy_decode(
+        params, cfg, enc_out, dec_state, skip_in=skip, step_mask=step_mask)
+    return tokens, enc_state, dec_state, skip
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4,))
+def _chunk_step_masked_ctc_jit(params, cfg: ModelConfig, cc: CacheConfig,
+                               mel_chunk, enc_state, pos_heads, step_mask):
+    """Masked fused tick decoding with the hybrid checkpoint's auxiliary
+    CTC head: per-frame argmax ids [S, valid_out]; the host collapses only
+    the advancing slots (frozen slots' rows are ignored)."""
+    from ..models import ctc as ctc_mod
+
+    enc_out, enc_state = enc_mod.encode_chunk(
+        params, cfg, cc, mel_chunk, enc_state, pos_heads,
+        step_mask=step_mask)
+    ids = jnp.argmax(ctc_mod.ctc_logits(params, enc_out),
+                     axis=-1).astype(jnp.int32)
+    return ids, enc_state
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3),
+                   donate_argnums=(5, 6, 7, 8, 9, 16))
+def _device_dsp_tick_tdt(params, cfg: ModelConfig, cc: CacheConfig, pcfg,
+                         pcm_i16, front_res, front_last, mel_buf, enc_state,
+                         dec_state, pos_heads, window, filterbank,
+                         dsp_mask, fresh_mask, consume_mask, skip):
+    """_device_dsp_tick with the TDT duration-aware walk as the decode back
+    half (skip = cross-chunk jump carry, frozen slots pass theirs through)."""
+    from ..models.tdt import tdt_greedy_decode
+
+    front_res, front_last, mel_buf = _device_dsp_front(
+        cc, pcfg, pcm_i16, front_res, front_last, mel_buf, window,
+        filterbank, dsp_mask, fresh_mask)
+    enc_out, enc_state = enc_mod.encode_chunk(
+        params, cfg, cc, mel_buf[:, :cc.chunk_mel_frames], enc_state,
+        pos_heads, step_mask=consume_mask)
+    tokens, dec_state, skip = tdt_greedy_decode(
+        params, cfg, enc_out, dec_state, skip_in=skip,
+        step_mask=consume_mask)
+    mel_buf = _mel_buf_shift(cc, mel_buf, consume_mask)
+    return (tokens, front_res, front_last, mel_buf, enc_state, dec_state,
+            skip)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3),
+                   donate_argnums=(5, 6, 7, 8))
+def _device_dsp_tick_ctc(params, cfg: ModelConfig, cc: CacheConfig, pcfg,
+                         pcm_i16, front_res, front_last, mel_buf, enc_state,
+                         pos_heads, window, filterbank,
+                         dsp_mask, fresh_mask, consume_mask):
+    """_device_dsp_tick with the auxiliary CTC head as the decode back half
+    (stateless over frames; the collapse carry lives on the host)."""
+    from ..models import ctc as ctc_mod
+
+    front_res, front_last, mel_buf = _device_dsp_front(
+        cc, pcfg, pcm_i16, front_res, front_last, mel_buf, window,
+        filterbank, dsp_mask, fresh_mask)
+    enc_out, enc_state = enc_mod.encode_chunk(
+        params, cfg, cc, mel_buf[:, :cc.chunk_mel_frames], enc_state,
+        pos_heads, step_mask=consume_mask)
+    ids = jnp.argmax(ctc_mod.ctc_logits(params, enc_out),
+                     axis=-1).astype(jnp.int32)
+    mel_buf = _mel_buf_shift(cc, mel_buf, consume_mask)
+    return ids, front_res, front_last, mel_buf, enc_state
+
+
 class ServingEngine:
     def __init__(self, params: ModelParams, cfg: ModelConfig,
                  vocab: list[str] | None = None,
@@ -280,7 +358,8 @@ class ServingEngine:
                  max_beam_tokens: int = 4096,
                  confidence: bool = False,
                  endpoint_silence_s: float | None = None,
-                 endpoint_reset: bool = False):
+                 endpoint_reset: bool = False,
+                 ctc: bool = False):
         """beam_size > 1 switches every tick's decode to the fused
         on-device beam search (chunk_step_masked_beam): frozen slots keep
         their entire beam untouched, so raggedness works exactly as in
@@ -304,6 +383,27 @@ class ServingEngine:
         self.confidence = confidence
         if confidence and beam_size > 1:
             raise ValueError("confidence requires greedy decode")
+        # ctc=True: decode every tick with the hybrid checkpoint's
+        # auxiliary CTC head (stateless over frames; the per-slot collapse
+        # carry lives on the host). TDT checkpoints (cfg.tdt_durations)
+        # auto-switch the tick's decode to the duration-aware walk with a
+        # per-slot cross-chunk skip carry -- engine parity with
+        # StreamSession's decode modes.
+        self.ctc = ctc
+        self.tdt = bool(cfg.tdt_durations) and not ctc
+        if ctc:
+            if params.ctc is None:
+                raise ValueError("ctc=True needs a model with a CTC head "
+                                 "(ctc_decoder.* tensors)")
+            if beam_size > 1 or confidence:
+                raise ValueError("ctc decode excludes beam/confidence "
+                                 "(RNN-T label-loop features)")
+            if endpoint_reset:
+                raise ValueError("endpoint_reset resets the prediction "
+                                 "network; CTC decode has none")
+        if self.tdt and (beam_size > 1 or confidence):
+            raise ValueError("TDT decode is greedy (beam/confidence are "
+                             "RNN-T label-loop features)")
         # Utterance endpointing (greedy only): a slot that has emitted at
         # least one token and then stays silent for endpoint_silence_s of
         # audio fires an endpoint event (poll_endpoints) and gets a fresh
@@ -339,6 +439,10 @@ class ServingEngine:
                                                     compute_dtype)
         self.dec_state = dec_mod.init_decoder_state(cfg, n_slots,
                                                     compute_dtype)
+        # TDT cross-chunk duration-jump carry / CTC collapse carry
+        self.tdt_skip = (jnp.zeros((n_slots,), jnp.int32)
+                         if self.tdt else None)
+        self.ctc_prev = np.full(n_slots, -1, np.int64) if ctc else None
         self.beam_state = None
         self._beam_dirty = False
         if beam_size > 1:
@@ -551,6 +655,10 @@ class ServingEngine:
             self.beam_state = _reset_beam_slots(
                 self.beam_state, jnp.asarray(mask),
                 jnp.int32(self.cfg.blank_token))
+        if self.tdt_skip is not None:
+            self.tdt_skip = jnp.where(jnp.asarray(mask), 0, self.tdt_skip)
+        if self.ctc_prev is not None:
+            self.ctc_prev[mask] = -1
         for s in slots:
             s = int(s)
             self.active[s] = True
@@ -618,6 +726,10 @@ class ServingEngine:
             self.beam_state = _reset_beam_slots(
                 self.beam_state, jnp.asarray(mask),
                 jnp.int32(self.cfg.blank_token))
+        if self.tdt_skip is not None:
+            self.tdt_skip = self.tdt_skip.at[slot].set(0)
+        if self.ctc_prev is not None:
+            self.ctc_prev[slot] = -1
         self._dsp_reset(slot)
         self.mel_buffers[slot] = self._fresh_mel_buffer()
         self.frames_retired += int(self.frame_offsets[slot])
@@ -678,6 +790,27 @@ class ServingEngine:
         return np.array(
             [self.active[s] and self.mel_buffers[s].count >= need
              for s in range(self.n_slots)], bool)
+
+    def _ctc_extract(self, ids: np.ndarray,
+                     ready_slots: np.ndarray) -> dict[int, list]:
+        """CTC greedy collapse for the advancing slots: collapse repeats
+        (including across the chunk boundary via the per-slot carry), drop
+        blanks. Returns {slot: [(id, abs_frame), ...]}."""
+        blank = self.cfg.blank_token
+        emitted: dict[int, list] = {}
+        for s in ready_slots:
+            s = int(s)
+            prev, toks = int(self.ctc_prev[s]), []
+            base = int(self.frame_offsets[s])
+            for t in range(ids.shape[1]):
+                i = int(ids[s, t])
+                if i != prev and i != blank:
+                    toks.append((i, base + t))
+                prev = i
+            self.ctc_prev[s] = prev
+            if toks:
+                emitted[s] = toks
+        return emitted
 
     # -- utterance endpointing --------------------------------------------------
 
@@ -765,15 +898,29 @@ class ServingEngine:
                     self.beam_state, self.pos_heads, mask,
                     self.beam_size, self.beam_expansions)
                 self._beam_dirty = True
+                tokens = confs = ctc_ids = None
+            elif self.ctc:
+                ids, self.enc_state = _chunk_step_masked_ctc_jit(
+                    self.params, self.cfg, cc, chunk, self.enc_state,
+                    self.pos_heads, mask)
+                ctc_ids = np.asarray(ids, np.int64)
                 tokens = confs = None
+            elif self.tdt:
+                (tokens, self.enc_state, self.dec_state,
+                 self.tdt_skip) = _chunk_step_masked_tdt_jit(
+                    self.params, self.cfg, cc, chunk, self.enc_state,
+                    self.dec_state, self.pos_heads, mask, self.tdt_skip)
+                tokens = np.asarray(tokens)
+                confs = ctc_ids = None
             elif self.confidence:
                 tokens, confs, self.enc_state, self.dec_state = (
                     _chunk_step_masked_conf_jit(
                         self.params, self.cfg, cc, chunk, self.enc_state,
                         self.dec_state, self.pos_heads, mask))
                 tokens, confs = np.asarray(tokens), np.asarray(confs)
+                ctc_ids = None
             else:
-                confs = None
+                confs = ctc_ids = None
                 tokens, self.enc_state, self.dec_state = chunk_step_masked(
                     self.params, self.cfg, cc, chunk, self.enc_state,
                     self.dec_state, self.pos_heads, mask)
@@ -783,24 +930,29 @@ class ServingEngine:
             ready_slots = np.flatnonzero(ready)
             for slot in ready_slots:
                 self.mel_buffers[slot].drop(cc.shift_mel_frames)
-            if tokens is None:
+            if tokens is None and ctc_ids is None:
                 # beam mode: transcripts fetched lazily
                 # (refresh_transcripts); frame_offsets advance for stats
                 self.frame_offsets[ready_slots] += cc.valid_out_len
             else:
-                # masked slots emit only blanks, so extracting over the
-                # whole [S, T, MAX] array is safe (and one vectorized pass
-                # instead of an S*T*MAX Python loop)
-                emitted = dec_mod.extract_emitted(
-                    tokens, self.cfg.blank_token, self.frame_offsets,
-                    confs=confs)
+                if ctc_ids is not None:
+                    emitted = self._ctc_extract(ctc_ids, ready_slots)
+                    frames_adv = ctc_ids.shape[1]
+                else:
+                    # masked slots emit only blanks, so extracting over the
+                    # whole [S, T, MAX] array is safe (and one vectorized
+                    # pass instead of an S*T*MAX Python loop)
+                    emitted = dec_mod.extract_emitted(
+                        tokens, self.cfg.blank_token, self.frame_offsets,
+                        confs=confs)
+                    frames_adv = tokens.shape[1]
                 for slot, toks in emitted.items():
                     self.tokens[slot].extend(toks)
                     text = tokens_to_text(toks, self.vocab)
                     self.transcripts[slot] += text
                     out[slot] = out.get(slot, "") + text
-                self.frame_offsets[ready_slots] += tokens.shape[1]
-                self._ep_update(emitted, ready_slots, int(tokens.shape[1]))
+                self.frame_offsets[ready_slots] += frames_adv
+                self._ep_update(emitted, ready_slots, int(frames_adv))
             self.phase_counter = (self.phase_counter + 1) % self.n_seg
             self.slot_phase[ready] = self.phase_counter
             ready = self._ready()
@@ -880,7 +1032,28 @@ class ServingEngine:
                      jnp.asarray(consume)),
                     self.beam_size, self.beam_expansions)
                 self._beam_dirty = True
+                tokens = confs = ctc_ids = None
+            elif self.ctc:
+                (ids, self.front_res, self.front_last, self.mel_buf_dev,
+                 self.enc_state) = _device_dsp_tick_ctc(
+                    self.params, self.cfg, cc, self._pcfg, jnp.asarray(pcm),
+                    self.front_res, self.front_last, self.mel_buf_dev,
+                    self.enc_state, self.pos_heads, self._window,
+                    self._filterbank, jnp.asarray(dsp), jnp.asarray(fresh),
+                    jnp.asarray(consume))
+                ctc_ids = np.asarray(ids, np.int64)
                 tokens = confs = None
+            elif self.tdt:
+                (tokens, self.front_res, self.front_last, self.mel_buf_dev,
+                 self.enc_state, self.dec_state,
+                 self.tdt_skip) = _device_dsp_tick_tdt(
+                    self.params, self.cfg, cc, self._pcfg, jnp.asarray(pcm),
+                    self.front_res, self.front_last, self.mel_buf_dev,
+                    self.enc_state, self.dec_state, self.pos_heads,
+                    self._window, self._filterbank, jnp.asarray(dsp),
+                    jnp.asarray(fresh), jnp.asarray(consume), self.tdt_skip)
+                tokens = np.asarray(tokens)
+                confs = ctc_ids = None
             else:
                 (tokens, confs, self.front_res, self.front_last,
                  self.mel_buf_dev, self.enc_state,
@@ -892,6 +1065,7 @@ class ServingEngine:
                     jnp.asarray(fresh), jnp.asarray(consume),
                     self.confidence)
                 tokens = np.asarray(tokens)
+                ctc_ids = None
                 if confs is not None:
                     confs = np.asarray(confs)
             self.step_times.append(time.perf_counter() - t0)
@@ -900,10 +1074,14 @@ class ServingEngine:
                                      post_fill - cc.shift_mel_frames,
                                      post_fill)
             self.fresh = self.fresh & ~dsp
-            if tokens is not None:
+            emitted = None
+            if ctc_ids is not None:
+                emitted = self._ctc_extract(ctc_ids, np.flatnonzero(consume))
+            elif tokens is not None:
                 emitted = dec_mod.extract_emitted(
                     tokens, self.cfg.blank_token, self.frame_offsets,
                     confs=confs)
+            if emitted is not None:
                 for slot, toks in emitted.items():
                     self.tokens[slot].extend(toks)
                     text = tokens_to_text(toks, self.vocab)
@@ -912,7 +1090,7 @@ class ServingEngine:
             if consume.any():
                 self.frame_offsets[np.flatnonzero(consume)] += \
                     cc.valid_out_len
-                if tokens is not None:
+                if emitted is not None:
                     self._ep_update(emitted, np.flatnonzero(consume),
                                     cc.valid_out_len)
                 self.phase_counter = (self.phase_counter + 1) % self.n_seg
@@ -953,6 +1131,10 @@ class ServingEngine:
         if self.beam_state is not None:
             for k in ("h", "c", "prev_token", "scores", "tokens", "lengths"):
                 flat[f"beam/{k}"] = np.asarray(getattr(self.beam_state, k))
+        if self.tdt_skip is not None:
+            flat["tdt_skip"] = np.asarray(self.tdt_skip)
+        if self.ctc_prev is not None:
+            flat["ctc_prev"] = self.ctc_prev
         for s in range(self.n_slots):
             pp = self._dsp_state(s)
             flat[f"preproc/last_sample/{s}"] = pp["last_sample"]
@@ -997,6 +1179,14 @@ class ServingEngine:
             h=jnp.asarray(z["dec/h"], self.dtype),
             c=jnp.asarray(z["dec/c"], self.dtype),
             prev_token=jnp.asarray(z["dec/prev_token"], jnp.int32))
+        if self.tdt != ("tdt_skip" in z.files):
+            raise ValueError("snapshot/engine TDT-mode mismatch")
+        if self.tdt:
+            self.tdt_skip = jnp.asarray(z["tdt_skip"], jnp.int32)
+        if self.ctc != ("ctc_prev" in z.files):
+            raise ValueError("snapshot/engine CTC-mode mismatch")
+        if self.ctc:
+            self.ctc_prev = z["ctc_prev"].astype(np.int64)
         has_beam = "beam/h" in z.files
         if (self.beam_state is not None) != has_beam:
             raise ValueError(

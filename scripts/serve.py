@@ -13,6 +13,8 @@ aggregate throughput and latency percentiles.
                                    # auto = device on TPU, native on CPU)
              [--beam K]            # on-device beam search per tick
              [--confidence]        # per-token log-posteriors (greedy)
+             [--ctc]               # decode with the hybrid CTC head
+                                   # (TDT checkpoints auto-switch decode)
                                    # (greedy-only in the reference)
              [--endpoint-silence S]  # utterance segmentation: endpoint
                                    # after S s of post-emission silence
@@ -151,6 +153,7 @@ def main(argv: list[str]) -> int:
                                  compute_dtype=jnp.bfloat16,
                                  beam_size=beam_k,
                                  confidence="--confidence" in argv,
+                                 ctc="--ctc" in argv,
                                  endpoint_silence_s=ep_s if ep_s > 0
                                  else None, endpoint_reset=ep_reset)
         except ValueError as e:
@@ -191,6 +194,7 @@ def main(argv: list[str]) -> int:
                                 dsp=opt("--dsp", "auto", str),
                                 beam_size=beam_k,
                                 confidence="--confidence" in argv,
+                                ctc="--ctc" in argv,
                                 endpoint_silence_s=ep_s if ep_s > 0
                                 else None, endpoint_reset=ep_reset)
         except ValueError as e:
