@@ -399,6 +399,10 @@ class ASRServer:
             "shift_samples": cc.shift_samples,
             "beam": self.engine.beam_size,
             "confidence": bool(self.engine.confidence),
+            "decode": ("ctc" if getattr(self.engine, "ctc", False)
+                       else "tdt" if getattr(self.engine, "tdt", False)
+                       else "beam" if self.engine.beam_size > 1
+                       else "greedy"),
             "endpointing": getattr(self.engine, "_ep_frames", None)
             is not None,
         }))

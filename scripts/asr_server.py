@@ -6,6 +6,8 @@
                   [--quantize q8_0|w8a8] [--kv-int8|--kv-int4]
                   [--dsp auto|native|numpy|device] [--beam K]
                   [--confidence] [--endpoint-silence S] [--endpoint-reset]
+                  [--ctc]           # hybrid CTC-head decode (TDT is
+                                    # auto-detected from the GGUF)
                   [--tick-ms T] [--http-stats PORT]
                   [--cpu]
                   [--stats-every SECONDS]
@@ -99,6 +101,7 @@ def main(argv: list[str]) -> int:
         engine = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
                                dsp=dsp, beam_size=beam_k,
                                confidence="--confidence" in argv,
+                               ctc="--ctc" in argv,
                                endpoint_silence_s=ep_s if ep_s > 0 else None,
                                endpoint_reset="--endpoint-reset" in argv)
     except ValueError as e:
