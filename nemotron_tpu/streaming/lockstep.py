@@ -216,6 +216,13 @@ class LockstepEngine:
         self.pcfg = PreprocessorConfig(n_mels=cfg.n_mels)
         self.vocab = vocab or []
         self.n_streams = n_streams
+        # Multihost (multi-process) subclasses preset n_local/_local_rows
+        # BEFORE delegating here: the device batch stays global (n_streams)
+        # while each process feeds/reads only its own rows
+        # (parallel/multihost.py). Single-process: local == global.
+        if not hasattr(self, "n_local"):
+            self.n_local = n_streams
+            self._local_rows = None
         self.dtype = compute_dtype
         self.mesh = mesh
         self.beam_size = beam_size
@@ -294,7 +301,8 @@ class LockstepEngine:
                 cfg, S, self.beam_size, self.max_beam_tokens, self.dtype)
         self._beam_dirty = False
         self.tdt_skip = jnp.zeros((S,), jnp.int32) if self.tdt else None
-        self.ctc_prev = np.full(S, -1, np.int64) if self.ctc else None
+        self.ctc_prev = (np.full(self.n_local, -1, np.int64)
+                         if self.ctc else None)
         self.front = init_frontend_state(S, self.pcfg)
         # 9-frame zero-seeded overlap (reference src/nemo-stream.cpp:58-60)
         cap = cc.chunk_mel_frames + cc.shift_mel_frames + 1
@@ -321,13 +329,13 @@ class LockstepEngine:
                     self.tdt_skip, jax.sharding.NamedSharding(
                         self.mesh, jax.sharding.PartitionSpec("data")))
         self.tokens: list[list[tuple[int, int]]] = [
-            [] for _ in range(self.n_streams)]
-        self.transcripts = [""] * self.n_streams
+            [] for _ in range(self.n_local)]
+        self.transcripts = [""] * self.n_local
         self.frame_offset = 0
         self.total_chunks = 0
-        self.ep_silence = np.zeros(S, np.int64)
-        self.ep_emitted = np.zeros(S, bool)
-        self.ep_utt_start = np.zeros(S, np.int64)
+        self.ep_silence = np.zeros(self.n_local, np.int64)
+        self.ep_emitted = np.zeros(self.n_local, bool)
+        self.ep_utt_start = np.zeros(self.n_local, np.int64)
         # (stream, end_idx) pairs; end_idx snapshotted at fire time so
         # later emissions never leak into the finished utterance's event
         self._ep_pending: list[tuple[int, int]] = []
@@ -336,6 +344,17 @@ class LockstepEngine:
         # canonical tick size (samples): fixed by the FIRST tick and used
         # to normalize ragged inputs afterwards (jit-signature reuse)
         self._tick_samples: int | None = None
+
+    # -- host<->device boundary hooks (overridden by the multihost engine) --
+
+    def _put_pcm(self, pcm_i16: np.ndarray):
+        """Host PCM block [n_local, N] -> device array [n_streams, N]."""
+        return jnp.asarray(pcm_i16, jnp.int16)
+
+    def _fetch_block(self, x, stream_axis: int) -> np.ndarray:
+        """Device output -> numpy rows owned by this process along
+        `stream_axis` (the whole array in single-process mode)."""
+        return np.asarray(x)
 
     def _chunks_in(self, fill: int) -> int:
         k = 0
@@ -347,7 +366,7 @@ class LockstepEngine:
     def _issue(self, pcm_i16: np.ndarray):
         """Dispatch one fused tick (async); returns (tokens_jax, frame
         offset base) to be materialized by _collect."""
-        assert pcm_i16.shape[0] == self.n_streams
+        assert pcm_i16.shape[0] == self.n_local
         cap = int(self.mel_buf.shape[1])
         f = frames_after(int(self.front.residue.shape[1]), pcm_i16.shape[1],
                          self.pcfg)
@@ -361,7 +380,7 @@ class LockstepEngine:
              self.beam_state) = _fused_tick_beam(
                 self.cfg, self.cc, self.pcfg, self.buf_len,
                 self.beam_size, self.beam_expansions, self.params,
-                jnp.asarray(pcm_i16, jnp.int16), self.front, self.mel_buf,
+                self._put_pcm(pcm_i16), self.front, self.mel_buf,
                 self.enc_state, self.beam_state, self.pos_heads,
                 self.window, self.filterbank)
             tokens = confs = ctc_ids = None
@@ -370,7 +389,7 @@ class LockstepEngine:
             (ctc_ids, self.front, self.mel_buf,
              self.enc_state) = _fused_tick_ctc(
                 self.cfg, self.cc, self.pcfg, self.buf_len, self.params,
-                jnp.asarray(pcm_i16, jnp.int16), self.front, self.mel_buf,
+                self._put_pcm(pcm_i16), self.front, self.mel_buf,
                 self.enc_state, self.pos_heads, self.window,
                 self.filterbank)
             tokens = confs = None
@@ -378,7 +397,7 @@ class LockstepEngine:
             (tokens, self.front, self.mel_buf, self.enc_state,
              self.dec_state, self.tdt_skip) = _fused_tick_tdt(
                 self.cfg, self.cc, self.pcfg, self.buf_len, self.params,
-                jnp.asarray(pcm_i16, jnp.int16), self.front, self.mel_buf,
+                self._put_pcm(pcm_i16), self.front, self.mel_buf,
                 self.enc_state, self.dec_state, self.pos_heads,
                 self.window, self.filterbank, self.tdt_skip)
             confs = ctc_ids = None
@@ -386,7 +405,7 @@ class LockstepEngine:
             (tokens, confs, self.front, self.mel_buf, self.enc_state,
              self.dec_state) = _fused_tick(
                 self.cfg, self.cc, self.pcfg, self.buf_len,
-                self.confidence, self.params, jnp.asarray(pcm_i16, jnp.int16),
+                self.confidence, self.params, self._put_pcm(pcm_i16),
                 self.front, self.mel_buf, self.enc_state,
                 self.dec_state, self.pos_heads, self.window,
                 self.filterbank)
@@ -403,7 +422,7 @@ class LockstepEngine:
         every stream, continuing each stream's carry."""
         blank = self.cfg.blank_token
         emitted: dict[int, list] = {}
-        for s in range(self.n_streams):
+        for s in range(self.n_local):
             prev, toks = int(self.ctc_prev[s]), []
             for t in range(ids.shape[1]):
                 i = int(ids[s, t])
@@ -422,11 +441,11 @@ class LockstepEngine:
             return out         # beam mode: transcripts fetched lazily
         k = (tokens if ctc_ids is None else ctc_ids).shape[0]
         if ctc_ids is not None:
-            ctc_ids = np.asarray(ctc_ids, np.int64)
+            ctc_ids = self._fetch_block(ctc_ids, 1).astype(np.int64)
         else:
-            tokens = np.asarray(tokens)
+            tokens = self._fetch_block(tokens, 1)
         if confs is not None:
-            confs = np.asarray(confs)
+            confs = self._fetch_block(confs, 1)
         for i in range(k):
             if ctc_ids is not None:
                 emitted = self._ctc_collapse_chunk(
@@ -434,7 +453,7 @@ class LockstepEngine:
             else:
                 emitted = dec_mod.extract_emitted(
                     tokens[i], self.cfg.blank_token,
-                    np.full(self.n_streams,
+                    np.full(self.n_local,
                             base + i * self.cc.valid_out_len, np.int64),
                     confs=confs[i] if confs is not None else None)
             for s, toks in emitted.items():
@@ -466,6 +485,10 @@ class LockstepEngine:
         if self._ep_reset:
             from .serving import _reset_decoder_slots
 
+            # device-global mask; `fired` holds LOCAL indices, so this is
+            # only valid when local == global (the multihost engine rejects
+            # endpoint_reset: firing is data-dependent per process and the
+            # collective reset call would desync the processes)
             mask = np.zeros(self.n_streams, bool)
             mask[fired] = True
             self.dec_state = _reset_decoder_slots(
@@ -539,8 +562,9 @@ class LockstepEngine:
 
             btok, blen, _ = beam_mod.best_hypothesis(self.beam_state,
                                                      length_norm=True)
-            btok, blen = np.asarray(btok), np.asarray(blen)
-            for s in range(self.n_streams):
+            btok = self._fetch_block(btok, 0)
+            blen = self._fetch_block(blen, 0)
+            for s in range(self.n_local):
                 toks = [(int(t), 0) for t in btok[s, : blen[s]]]
                 self.tokens[s] = toks
                 self.transcripts[s] = tokens_to_text(toks, self.vocab)
@@ -587,7 +611,7 @@ class LockstepEngine:
             flat["tdt_skip"] = np.asarray(self.tdt_skip)
         if self.ctc_prev is not None:
             flat["ctc_prev"] = self.ctc_prev
-        for s in range(self.n_streams):
+        for s in range(self.n_local):
             if self.confidence:   # (id, frame, log-posterior) triples
                 flat[f"tokens/{s}"] = np.asarray(
                     self.tokens[s], np.float64).reshape(-1, 3)
@@ -660,7 +684,7 @@ class LockstepEngine:
         self.tokens = [
             [(int(row[0]), int(row[1]), float(row[2])) if len(row) == 3
              else (int(row[0]), int(row[1])) for row in z[f"tokens/{s}"]]
-            for s in range(self.n_streams)]
+            for s in range(self.n_local)]
         self._pending = None
         if self.mesh is not None:
             from ..parallel.mesh import shard_state, shard_stream_major
@@ -689,7 +713,7 @@ class LockstepEngine:
         if pending > 0:
             need = (self.cc.chunk_mel_frames - self.buf_len) * \
                 self.pcfg.n_window_stride
-            pad = np.zeros((self.n_streams,
+            pad = np.zeros((self.n_local,
                             max(need, 0) + self.pcfg.n_fft), np.int16)
             self.tick(pad)
         return self.refresh_transcripts()
