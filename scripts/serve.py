@@ -20,6 +20,15 @@ aggregate throughput and latency percentiles.
                                    # after S s of post-emission silence
              [--endpoint-reset]    # also reset the prediction network at
                                    # each endpoint (see docs/SERVING.md)
+             [--coordinator H:P --num-processes N --process-id I]
+                                   # multihost: join a jax.distributed
+                                   # cluster; ONE lockstep slab spans all
+                                   # processes' devices (requires
+                                   # --lockstep; every process runs this
+                                   # same command with its own
+                                   # --process-id and feeds its local
+                                   # stream rows). With --cpu this uses
+                                   # gloo collectives (testing).
 
 Streams are staggered (each starts at a different offset into the audio,
 wrapping around) so the engine exercises admission at different phases.
@@ -55,6 +64,18 @@ def main(argv: list[str]) -> int:
     if mesh_n > 1:
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                    + f" --xla_force_host_platform_device_count={mesh_n}")
+    coordinator = opt("--coordinator", None, str)
+    if coordinator:
+        if "--lockstep" not in argv:
+            print("error: multihost serving requires --lockstep (the "
+                  "ragged ServingEngine's admission calls are per-process "
+                  "data-dependent)", file=sys.stderr)
+            return 1
+        from nemotron_tpu.parallel.multihost import init_multihost
+
+        init_multihost(coordinator, opt("--num-processes", 2, int),
+                       opt("--process-id", 0, int),
+                       cpu_gloo="--cpu" in argv or mesh_n > 1)
     if "--cpu" in argv or mesh_n > 1:
         import jax
 
@@ -147,24 +168,31 @@ def main(argv: list[str]) -> int:
         # fused PCM->tokens path: every stream advances every tick
         from nemotron_tpu.streaming.lockstep import LockstepEngine
 
+        kw = dict(n_streams=n_streams, compute_dtype=jnp.bfloat16,
+                  beam_size=beam_k, confidence="--confidence" in argv,
+                  ctc="--ctc" in argv,
+                  endpoint_silence_s=ep_s if ep_s > 0 else None,
+                  endpoint_reset=ep_reset)
         try:
-            eng = LockstepEngine(params, cfg, vocab, cc,
-                                 n_streams=n_streams, mesh=mesh,
-                                 compute_dtype=jnp.bfloat16,
-                                 beam_size=beam_k,
-                                 confidence="--confidence" in argv,
-                                 ctc="--ctc" in argv,
-                                 endpoint_silence_s=ep_s if ep_s > 0
-                                 else None, endpoint_reset=ep_reset)
-        except ValueError as e:
+            if coordinator:
+                # one slab over every process's devices; this process
+                # feeds/reads only its own rows (global row indices)
+                from nemotron_tpu.parallel.multihost import MultihostLockstep
+
+                eng = MultihostLockstep(params, cfg, vocab, cc, **kw)
+                rows = [int(r) for r in eng.local_rows]
+            else:
+                eng = LockstepEngine(params, cfg, vocab, cc, mesh=mesh, **kw)
+                rows = list(range(n_streams))
+        except (ValueError, RuntimeError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
-        slots = list(range(n_streams))
+        slots = list(range(len(rows)))  # engine-local indices
         tick_times = []
         n_utts = 0
         t0 = time.perf_counter()
         for _ in range(n_ticks):
-            pcm = np.stack([block_for(i) for i in range(n_streams)])
+            pcm = np.stack([block_for(r) for r in rows])
             tt = time.perf_counter()
             eng.tick_pipelined(pcm)
             tick_times.append(time.perf_counter() - tt)
