@@ -4,6 +4,7 @@
     transcribe.py <model.gguf> <audio.pcm|.wav> [more audio files...]
                   [--cpu] [--timestamps] [--confidence] [--beam=K]
                   [--nbest=N] [--boost=piece:weight,...] [--ctc]
+                  [--lm=lm.gguf] [--lm-weight=W]
 
 Multiple audio files are transcribed in ONE batched encoder/decode pass
 (length-masked; the reference is batch=1). --beam=K decodes with the
@@ -12,6 +13,9 @@ is greedy-only). --nbest=N prints the N best beam hypotheses per file
 with their total log-probs, best first (implies --beam=N when --beam is
 omitted; N must be <= K). --ctc decodes with a hybrid checkpoint's
 auxiliary CTC head (stateless greedy; requires ctc_decoder.* tensors).
+--lm=lm.gguf enables LM shallow fusion inside the beam search (labels
+score log P_rnnt + W * log P_lm, default W=0.3; requires --beam>1;
+models/lm.py) -- the reference has no LM anywhere.
 """
 
 import os
@@ -47,17 +51,32 @@ def main(argv: list[str]) -> int:
         return 1
     beam = 1
     nbest = None
+    lm_path, lm_weight = None, 0.3
     try:
         for f in flags:
             if f.startswith("--beam="):
                 beam = int(f.split("=", 1)[1])
             elif f.startswith("--nbest="):
                 nbest = int(f.split("=", 1)[1])
+            elif f.startswith("--lm="):
+                lm_path = f.split("=", 1)[1]
+            elif f.startswith("--lm-weight="):
+                lm_weight = float(f.split("=", 1)[1])
     except ValueError:
-        print("error: --beam/--nbest take an integer", file=sys.stderr)
+        print("error: --beam/--nbest take an integer, --lm-weight a float",
+              file=sys.stderr)
         return 1
     if nbest is not None and beam == 1:
         beam = nbest
+    lm = None
+    if lm_path is not None:
+        from nemotron_tpu.models.lm import load_lm
+
+        try:
+            lm = load_lm(lm_path)
+        except (OSError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
     for f in flags:
         if f.startswith("--boost="):
             # contextual biasing folded into the joint bias
@@ -75,7 +94,8 @@ def main(argv: list[str]) -> int:
         if nbest is not None:
             nbests = transcribe_batch(
                 params, cfg, vocab, audios if len(audios) > 1 else audios[0],
-                beam_size=beam, return_nbest=nbest)
+                beam_size=beam, return_nbest=nbest, lm=lm,
+                lm_weight=lm_weight)
             if len(audios) == 1:
                 nbests = [nbests]
             for path, hyps in zip(args[1:], nbests):
@@ -108,7 +128,8 @@ def main(argv: list[str]) -> int:
             texts = transcribe_batch(params, cfg, vocab,
                                      audios if len(audios) > 1 else audios[0],
                                      timestamp_words="--timestamps" in flags,
-                                     beam_size=beam, ctc="--ctc" in flags)
+                                     beam_size=beam, ctc="--ctc" in flags,
+                                     lm=lm, lm_weight=lm_weight)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -11,6 +11,7 @@ src/transcribe_stream.cpp:27-36):
                          [--calib=FILE]
                          [--kv-int8|--kv-int4] [--rc-by-layer=13,6,1,0]
                          [--beam=K] [--boost=piece:weight,...] [--ctc]
+                         [--lm=lm.gguf] [--lm-weight=W]
 
   - input: raw s16le 16 kHz mono PCM file, or '-' / '--stdin' for stdin;
     .wav files decode directly (PCM16 or float32, any sample rate --
@@ -176,12 +177,34 @@ def main(argv: list[str]) -> int:
           file=sys.stderr)
 
     beam = 1
-    for f in flags:
-        if f.startswith("--beam="):
-            beam = int(f.split("=", 1)[1])
+    lm_path, lm_weight = None, 0.3
+    try:
+        for f in flags:
+            if f.startswith("--beam="):
+                beam = int(f.split("=", 1)[1])
+            elif f.startswith("--lm="):
+                lm_path = f.split("=", 1)[1]
+            elif f.startswith("--lm-weight="):
+                lm_weight = float(f.split("=", 1)[1])
+    except ValueError:
+        print("error: --beam takes an integer, --lm-weight a float",
+              file=sys.stderr)
+        return 1
     if beam > 1:
         print(f"beam search: K={beam} (incremental output disabled; "
               "the best hypothesis may rewrite as chunks arrive)",
+              file=sys.stderr)
+    lm = None
+    if lm_path is not None:
+        # LM shallow fusion inside the beam (models/lm.py; needs --beam>1)
+        from nemotron_tpu.models.lm import load_lm
+
+        try:
+            lm = load_lm(lm_path)
+        except (OSError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        print(f"LM shallow fusion: {lm_path} (weight {lm_weight})",
               file=sys.stderr)
     try:
         # --confidence: annotate each word with {p=...}, its posterior from
@@ -192,7 +215,8 @@ def main(argv: list[str]) -> int:
         sess = StreamSession(params, cfg, vocab, cc, trace_dir=trace_dir,
                              timestamp_words="--timestamps" in flags,
                              confidence_words="--confidence" in flags,
-                             beam_size=beam, ctc="--ctc" in flags)
+                             beam_size=beam, ctc="--ctc" in flags,
+                             lm=lm, lm_weight=lm_weight)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -48,7 +48,12 @@ def _pytree_dataclass(cls):
 
 @_pytree_dataclass
 class BeamState:
-    """Per-stream beam of K hypotheses (carryable across chunks)."""
+    """Per-stream beam of K hypotheses (carryable across chunks).
+
+    lm_h/lm_c are present (non-None) only when decoding with LM shallow
+    fusion (models/lm.py): each hypothesis then also carries its language
+    model state, advanced on non-blank emissions exactly like the
+    prediction network's."""
 
     h: Any           # [B, K, L, H]
     c: Any           # [B, K, L, H]
@@ -56,13 +61,21 @@ class BeamState:
     scores: Any      # [B, K] f32 total log-prob (NEG_INF = empty slot)
     tokens: Any      # [B, K, U] int32 emitted labels (blank-padded)
     lengths: Any     # [B, K] int32
+    lm_h: Any = None  # [B, K, L_lm, H_lm] | None
+    lm_c: Any = None
 
 
 def init_beam_state(cfg: ModelConfig, batch: int, beam_size: int,
-                    max_tokens: int, dtype=jnp.float32) -> BeamState:
+                    max_tokens: int, dtype=jnp.float32,
+                    lm=None) -> BeamState:
     L, H = cfg.decoder_layers, cfg.decoder_dim
     scores = jnp.full((batch, beam_size), NEG_INF, jnp.float32)
     scores = scores.at[:, 0].set(0.0)
+    lm_h = lm_c = None
+    if lm is not None:
+        from .lm import init_lm_state
+
+        lm_h, lm_c = init_lm_state(lm, (batch, beam_size), dtype)
     return BeamState(
         h=jnp.zeros((batch, beam_size, L, H), dtype),
         c=jnp.zeros((batch, beam_size, L, H), dtype),
@@ -71,6 +84,7 @@ def init_beam_state(cfg: ModelConfig, batch: int, beam_size: int,
         tokens=jnp.full((batch, beam_size, max_tokens), cfg.blank_token,
                         jnp.int32),
         lengths=jnp.zeros((batch, beam_size), jnp.int32),
+        lm_h=lm_h, lm_c=lm_c,
     )
 
 
@@ -85,13 +99,18 @@ def _gather_k(tree_leaf, idx):
 def beam_decode(params: ModelParams, cfg: ModelConfig, enc,
                 state: BeamState, beam_size: int,
                 expansions: int = MAX_SYMBOLS_PER_STEP,
-                enc_lengths=None):
+                enc_lengths=None, lm=None, lm_weight: float = 0.3):
     """enc [B, T, D] -> (new BeamState, per-frame nothing); call
     `best_hypothesis` on the returned state for tokens.
 
     enc_lengths [B] (optional): frames >= a stream's length are skipped
     (hypotheses pass through unchanged), so ragged batches decode exactly
-    like solo runs."""
+    like solo runs.
+
+    lm (LMParams, optional): shallow fusion — label candidates score
+    log P_rnnt + lm_weight * log P_lm(label | emitted history); blank
+    keeps the pure transducer score (models/lm.py). The state must have
+    been created with the same lm (init_beam_state(..., lm=lm))."""
     dp: DecoderParams = params.decoder
     blank = cfg.blank_token
     B, T, _ = enc.shape
@@ -124,7 +143,7 @@ def beam_decode(params: ModelParams, cfg: ModelConfig, enc,
         fin_scores = jnp.full((B, K), NEG_INF, jnp.float32)
         fin = BeamState(h=st.h, c=st.c, prev_token=st.prev_token,
                         scores=fin_scores, tokens=st.tokens,
-                        lengths=st.lengths)
+                        lengths=st.lengths, lm_h=st.lm_h, lm_c=st.lm_c)
         live = st
 
         def expand(carry, _):
@@ -133,6 +152,7 @@ def beam_decode(params: ModelParams, cfg: ModelConfig, enc,
             cand = live.scores[..., None] + logp               # [B, K, V]
 
             # --- blank: hypothesis finishes the frame, state frozen ---
+            # (pure transducer score: blank is never LM-scored)
             blank_scores = cand[..., blank]                    # [B, K]
             # merge (fin ∪ newly-finished): top-K of 2K by score
             cat = lambda a, b: jnp.concatenate([a, b], axis=1)
@@ -144,9 +164,24 @@ def beam_decode(params: ModelParams, cfg: ModelConfig, enc,
                 prev_token=take2(fin.prev_token, live.prev_token),
                 scores=jnp.take_along_axis(m_scores, m_idx, axis=1),
                 tokens=take2(fin.tokens, live.tokens),
-                lengths=take2(fin.lengths, live.lengths))
+                lengths=take2(fin.lengths, live.lengths),
+                lm_h=(take2(fin.lm_h, live.lm_h) if lm is not None
+                      else None),
+                lm_c=(take2(fin.lm_c, live.lm_c) if lm is not None
+                      else None))
 
             # --- non-blank: extend; top-K over K*V candidates ---
+            lmh2 = lmc2 = None
+            if lm is not None:
+                from .lm import lm_logp
+
+                flat = lambda x: x.reshape((B * K,) + x.shape[2:])
+                lm_lp, lmh2, lmc2 = lm_logp(
+                    lm, flat(live.prev_token), flat(live.lm_h),
+                    flat(live.lm_c), blank)
+                unflat = lambda x: x.reshape((B, K) + x.shape[1:])
+                lm_lp, lmh2, lmc2 = map(unflat, (lm_lp, lmh2, lmc2))
+                cand = cand + jnp.float32(lm_weight) * lm_lp
             nb = cand.at[..., blank].set(NEG_INF)
             # a full hypothesis buffer cannot extend further
             nb = jnp.where((live.lengths >= U)[..., None], NEG_INF, nb)
@@ -164,7 +199,9 @@ def beam_decode(params: ModelParams, cfg: ModelConfig, enc,
             new_live = BeamState(
                 h=_gather_k(h2, parent), c=_gather_k(c2, parent),
                 prev_token=label, scores=top_scores,
-                tokens=new_tokens, lengths=new_len)
+                tokens=new_tokens, lengths=new_len,
+                lm_h=_gather_k(lmh2, parent) if lm is not None else None,
+                lm_c=_gather_k(lmc2, parent) if lm is not None else None)
             return (new_live, new_fin), None
 
         (live, fin), _ = jax.lax.scan(expand, (live, fin), None,
@@ -182,7 +219,9 @@ def beam_decode(params: ModelParams, cfg: ModelConfig, enc,
             prev_token=take2(fin.prev_token, live.prev_token),
             scores=jnp.take_along_axis(m_scores, m_idx, axis=1),
             tokens=take2(fin.tokens, live.tokens),
-            lengths=take2(fin.lengths, live.lengths))
+            lengths=take2(fin.lengths, live.lengths),
+            lm_h=take2(fin.lm_h, live.lm_h) if lm is not None else None,
+            lm_c=take2(fin.lm_c, live.lm_c) if lm is not None else None)
 
         # frames past a stream's enc_length leave its beam untouched
         keep = lambda new, old: jnp.where(

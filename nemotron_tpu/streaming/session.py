@@ -220,7 +220,8 @@ def chunk_step_masked(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
                    donate_argnums=(4, 5))
 def chunk_step_beam(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
                     mel_chunk, enc_state, beam_state, pos_heads,
-                    beam_size: int, expansions: int):
+                    beam_size: int, expansions: int,
+                    lm=None, lm_weight=0.3):
     """Fused streaming step with BEAM decode: cached encoder + on-device
     batched RNN-T beam search (models/beam.py). The beam state (K
     hypotheses per stream) is carried across chunks exactly like the
@@ -231,7 +232,8 @@ def chunk_step_beam(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     enc_out, enc_state = enc_mod.encode_chunk(params, cfg, cc, mel_chunk,
                                               enc_state, pos_heads)
     beam_state = beam_mod.beam_decode(params, cfg, enc_out, beam_state,
-                                      beam_size, expansions)
+                                      beam_size, expansions,
+                                      lm=lm, lm_weight=lm_weight)
     return enc_state, beam_state
 
 
@@ -240,7 +242,8 @@ def chunk_step_beam(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
 def chunk_step_masked_beam(params: ModelParams, cfg: ModelConfig,
                            cc: CacheConfig, mel_chunk, enc_state,
                            beam_state, pos_heads, step_mask,
-                           beam_size: int, expansions: int):
+                           beam_size: int, expansions: int,
+                           lm=None, lm_weight=0.3):
     """chunk_step_beam for continuous batching: `step_mask` [S] bool marks
     which slots advance; frozen slots keep caches AND their entire beam
     (all K hypotheses) untouched -- carried by beam_decode's enc_lengths
@@ -254,7 +257,8 @@ def chunk_step_masked_beam(params: ModelParams, cfg: ModelConfig,
     t_lim = jnp.where(step_mask, enc_out.shape[1], 0).astype(jnp.int32)
     beam_state = beam_mod.beam_decode(params, cfg, enc_out, beam_state,
                                       beam_size, expansions,
-                                      enc_lengths=t_lim)
+                                      enc_lengths=t_lim,
+                                      lm=lm, lm_weight=lm_weight)
     return enc_state, beam_state
 
 
@@ -322,7 +326,8 @@ class StreamSession:
                  max_beam_tokens: int = 4096,
                  confidence: bool = False,
                  confidence_words: bool = False,
-                 ctc: bool = False):
+                 ctc: bool = False,
+                 lm=None, lm_weight: float = 0.3):
         """trace_dir: when set, every chunk dumps named intermediates (mel,
         pre_encode_out, per-layer outputs, encoder_out, tokens) in the
         reference's binary dump format to that directory -- the analogue of
@@ -367,6 +372,14 @@ class StreamSession:
             if self.confidence:
                 raise ValueError("confidence requires greedy decode (beam "
                                  "hypotheses carry whole-sequence scores)")
+        # LM shallow fusion (models/lm.py): labels score
+        # log P_rnnt + lm_weight * log P_lm inside the beam search
+        if lm is not None and beam_size <= 1:
+            raise ValueError("LM shallow fusion requires beam_size > 1 "
+                             "(the LM rescored search IS the beam)")
+        self.lm = (None if lm is None
+                   else jax.tree_util.tree_map(jnp.asarray, lm))
+        self.lm_weight = float(lm_weight)
         if self.confidence and trace_dir is not None:
             raise ValueError("confidence and tracing are mutually exclusive "
                              "(the traced step has no confidence output)")
@@ -423,7 +436,8 @@ class StreamSession:
             from ..models import beam as beam_mod
 
             self.beam_state = beam_mod.init_beam_state(
-                cfg, S, self.beam_size, self.max_beam_tokens, self.dtype)
+                cfg, S, self.beam_size, self.max_beam_tokens, self.dtype,
+                lm=self.lm)
         # cross-chunk CTC collapse carry: the raw LAST frame argmax id of
         # the previous chunk per stream (-1 = stream start, matches nothing)
         self.ctc_prev = np.full(S, -1, np.int64)
@@ -483,7 +497,7 @@ class StreamSession:
                 self.enc_state, self.beam_state = chunk_step_beam(
                     self.params, self.cfg, cc, chunk, self.enc_state,
                     self.beam_state, self.pos_heads, self.beam_size,
-                    self.beam_expansions)
+                    self.beam_expansions, self.lm, self.lm_weight)
                 self.chunk_seconds += time.perf_counter() - t0
                 self.total_chunks += 1
                 self.mel_buffer = self.mel_buffer[:, cc.shift_mel_frames:]
@@ -608,6 +622,7 @@ class StreamSession:
         } | ({} if self.beam_state is None else {
             f"beam/{k}": np.asarray(getattr(self.beam_state, k))
             for k in ("h", "c", "prev_token", "scores", "tokens", "lengths")
+            + (("lm_h", "lm_c") if self.beam_state.lm_h is not None else ())
         }) | ({"ctc_prev": self.ctc_prev.copy()} if self.ctc else {}) \
           | ({"tdt_skip": np.asarray(self.tdt_skip)} if self.tdt else {})
 
@@ -666,6 +681,12 @@ class StreamSession:
         if has_beam:
             from ..models import beam as beam_mod
 
+            has_lm = "beam/lm_h" in st
+            if has_lm != (self.lm is not None):
+                raise ValueError(
+                    "snapshot/session LM-fusion mismatch: snapshot "
+                    f"{'carries' if has_lm else 'has no'} LM state, session "
+                    f"lm={'set' if self.lm is not None else 'None'}")
             self.beam_state = beam_mod.BeamState(
                 h=jnp.asarray(st["beam/h"], self.dtype),
                 c=jnp.asarray(st["beam/c"], self.dtype),
@@ -673,6 +694,10 @@ class StreamSession:
                 scores=jnp.asarray(st["beam/scores"], jnp.float32),
                 tokens=jnp.asarray(st["beam/tokens"], jnp.int32),
                 lengths=jnp.asarray(st["beam/lengths"], jnp.int32),
+                lm_h=(jnp.asarray(st["beam/lm_h"], self.dtype)
+                      if has_lm else None),
+                lm_c=(jnp.asarray(st["beam/lm_c"], self.dtype)
+                      if has_lm else None),
             )
         self.preproc.load_state_dict(st["preproc"])
         self.mel_buffer = np.asarray(st["mel_buffer"], np.float32).copy()
@@ -752,7 +777,8 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
                      beam_expansions: int | None = None,
                      return_confidence: bool = False,
                      return_nbest: int | None = None,
-                     ctc: bool = False):
+                     ctc: bool = False,
+                     lm=None, lm_weight: float = 0.3):
     """Offline full-utterance transcription (the reference `transcribe` CLI
     path: src/transcribe.cpp + nemo_transcribe_audio,
     src/nemo-ggml.cpp:1585-1598). Unlike the reference there is no 164 s
@@ -778,6 +804,9 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
         raise ValueError("confidence requires greedy decode")
     if return_nbest is not None and beam_size <= 1:
         raise ValueError("n-best output requires beam_size > 1")
+    if lm is not None and beam_size <= 1:
+        raise ValueError("LM shallow fusion requires beam_size > 1 "
+                         "(the LM rescored search IS the beam)")
     if ctc and (beam_size > 1 or return_confidence or timestamp_words):
         raise ValueError("ctc decode is plain greedy (no beam, "
                          "confidence or word timestamps)")
@@ -847,12 +876,15 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
                              "(beam hypotheses carry no frame alignment)")
         exp = (beam_expansions if beam_expansions is not None
                else MAX_SYMBOLS_PER_STEP)
+        if lm is not None:
+            lm = jax.tree_util.tree_map(jnp.asarray, lm)
         bstate = beam_mod.init_beam_state(
             cfg, len(mels), beam_size,
             max_tokens=int(enc.shape[1]) * MAX_SYMBOLS_PER_STEP,
-            dtype=compute_dtype)
+            dtype=compute_dtype, lm=lm)
         bstate = jax.jit(beam_mod.beam_decode, static_argnums=(1, 4, 5))(
-            params, cfg, enc, bstate, beam_size, exp, enc_lengths)
+            params, cfg, enc, bstate, beam_size, exp, enc_lengths,
+            lm, lm_weight)
         if return_nbest is not None:
             ntok, nlen, nsc = beam_mod.n_best(bstate, return_nbest,
                                               length_norm=True)

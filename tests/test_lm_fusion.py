@@ -1,0 +1,207 @@
+"""LM shallow fusion in beam decode (capability beyond the reference,
+which has no LM anywhere): on-device fused search vs the plain-Python
+oracle with the same LM, plus artifact round-trip and semantics gates."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nemotron_tpu.models import beam as beam_mod
+from nemotron_tpu.models import lm as lm_mod
+from nemotron_tpu.oracle.beam import OracleBeam
+
+
+@pytest.fixture(scope="module")
+def lm_setup(model_setup):
+    _, _, cfg = model_setup
+    arrays = lm_mod.random_lm_arrays(cfg.vocab_size, hidden=24, n_layers=2,
+                                     seed=7)
+    return arrays, lm_mod.lm_params_from_arrays(arrays)
+
+
+@pytest.fixture(scope="module")
+def enc_batch(model_setup):
+    _arrays, _params, cfg = model_setup
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((2, 4, cfg.d_model)).astype(np.float32) * 0.5
+
+
+def _run(params, cfg, enc, K, expansions, lm=None, lm_weight=0.3, U=32):
+    st = beam_mod.init_beam_state(cfg, enc.shape[0], K, U, lm=lm)
+    run = jax.jit(beam_mod.beam_decode, static_argnums=(1, 4, 5, 8))
+    st = run(params, cfg, jnp.asarray(enc), st, K, expansions, None, lm,
+             lm_weight)
+    t, l, s = beam_mod.best_hypothesis(st)
+    return np.asarray(t), np.asarray(l), np.asarray(s)
+
+
+def test_lm_gguf_roundtrip(lm_setup, tmp_path):
+    arrays, lm = lm_setup
+    path = str(tmp_path / "lm.gguf")
+    lm_mod.save_lm(path, arrays)
+    lm2 = lm_mod.load_lm(path)
+    for a, b in zip(jax.tree_util.tree_leaves(lm),
+                    jax.tree_util.tree_leaves(lm2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lm_logp_is_label_distribution(model_setup, lm_setup):
+    """Blank is renormalized out: probs over real labels sum to 1."""
+    _, _, cfg = model_setup
+    _, lm = lm_setup
+    h, c = lm_mod.init_lm_state(lm, (3,))
+    lp, h2, c2 = lm_mod.lm_logp(lm, jnp.array([cfg.blank_token, 0, 5]),
+                                h, c, cfg.blank_token)
+    p = np.exp(np.asarray(lp))
+    assert p[:, cfg.blank_token].max() == 0.0
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-4)
+    assert not np.allclose(np.asarray(h2), 0.0)
+
+
+@pytest.mark.parametrize("K,expansions", [(2, 3), (4, 2)])
+def test_fusion_matches_oracle(model_setup, lm_setup, enc_batch, K,
+                               expansions):
+    arrays, params, cfg = model_setup
+    lm_arrays, lm = lm_setup
+    U = 32
+    tokens, lengths, scores = _run(params, cfg, enc_batch, K, expansions,
+                                   lm=lm, lm_weight=0.4, U=U)
+    oracle = OracleBeam(arrays, cfg, lm=lm_arrays, lm_weight=0.4)
+    for b in range(enc_batch.shape[0]):
+        want = oracle.decode(enc_batch[b], K, expansions, max_tokens=U)
+        got = tokens[b, : lengths[b]].tolist()
+        assert got == want.tokens, (
+            f"stream {b} K={K}: {got} vs oracle {want.tokens}")
+        np.testing.assert_allclose(scores[b], want.score, rtol=2e-4)
+
+
+def test_zero_weight_matches_no_lm(model_setup, lm_setup, enc_batch):
+    """lm_weight=0 runs the LM but must decode exactly like no LM."""
+    _arrays, params, cfg = model_setup
+    _, lm = lm_setup
+    t0, l0, s0 = _run(params, cfg, enc_batch, 3, 3)
+    t1, l1, s1 = _run(params, cfg, enc_batch, 3, 3, lm=lm, lm_weight=0.0)
+    np.testing.assert_array_equal(l0, l1)
+    for b in range(enc_batch.shape[0]):
+        assert t0[b, : l0[b]].tolist() == t1[b, : l1[b]].tolist()
+    np.testing.assert_allclose(s0, s1, rtol=1e-5)
+
+
+def test_strong_lm_biases_labels(model_setup, lm_setup, enc_batch):
+    """An LM that loves one label pulls the beam toward it."""
+    _arrays, params, cfg = model_setup
+    fav = 7
+    arrays = lm_mod.random_lm_arrays(cfg.vocab_size, hidden=24, n_layers=1,
+                                     seed=1, scale=0.0)
+    arrays["lm.output.bias"][fav] = 25.0   # ~all LM mass on one label
+    lm = lm_mod.lm_params_from_arrays(arrays)
+    t0, l0, _ = _run(params, cfg, enc_batch, 4, 3)
+    t1, l1, _ = _run(params, cfg, enc_batch, 4, 3, lm=lm, lm_weight=5.0)
+    base = sum(int((t0[b, : l0[b]] == fav).sum()) for b in range(2))
+    fused = sum(int((t1[b, : l1[b]] == fav).sum()) for b in range(2))
+    assert fused >= base
+    assert fused == sum(int(l) for l in l1)   # every emission is fav
+
+
+def test_stream_session_lm_fusion(model_setup, lm_setup):
+    """StreamSession(beam, lm): chunked streaming == the same mel fed
+    through the manual encode_chunk + fused beam_decode pipeline;
+    snapshot/resume carries the LM state exactly; LM-mode mismatches on
+    load raise."""
+    import jax.numpy as jnp
+    from nemotron_tpu.config import (MAX_SYMBOLS_PER_STEP, CacheConfig,
+                                     PreprocessorConfig)
+    from nemotron_tpu.frontend.preprocessor import StreamingPreprocessor
+    from nemotron_tpu.models import encoder as enc_mod
+    from nemotron_tpu.streaming.session import StreamSession
+    from nemotron_tpu.utils.text import tokens_to_text
+
+    _arrays, params, cfg = model_setup
+    _, lm = lm_setup
+    rng = np.random.default_rng(5)
+    K = 2
+    cc = CacheConfig(att_right_context=6, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+    fb = np.abs(rng.standard_normal((cfg.n_mels, 257))).astype(np.float32)
+    win = np.hanning(400).astype(np.float32)
+
+    sess = StreamSession(params, cfg, vocab, cc, filterbank=fb, window=win,
+                         beam_size=K, max_beam_tokens=64, lm=lm,
+                         lm_weight=0.5)
+    n = 3 * cc.chunk_samples
+    audio = (rng.standard_normal((1, n)) * 8000).astype(np.int16)
+    sess.process(audio)
+
+    pre = StreamingPreprocessor(fb, win,
+                                cfg=PreprocessorConfig(n_mels=cfg.n_mels))
+    mel = pre.process(audio)
+    st = enc_mod.init_encoder_state(cfg, cc, 1)
+    ph = enc_mod.precompute_pos_heads(params, cfg, cc)
+    bstate = beam_mod.init_beam_state(cfg, 1, K, 64, lm=lm)
+    ofs = 0
+    while mel.shape[1] - ofs >= cc.chunk_mel_frames:
+        chunk = jnp.asarray(mel[:, ofs : ofs + cc.chunk_mel_frames])
+        enc_out, st = enc_mod.encode_chunk(params, cfg, cc, chunk, st, ph)
+        bstate = beam_mod.beam_decode(params, cfg, enc_out, bstate, K,
+                                      MAX_SYMBOLS_PER_STEP, lm=lm,
+                                      lm_weight=0.5)
+        ofs += cc.shift_mel_frames
+    btok, blen, _ = beam_mod.best_hypothesis(bstate, length_norm=True)
+    want = tokens_to_text(
+        [(int(t), 0) for t in np.asarray(btok)[0, : np.asarray(blen)[0]]],
+        vocab)
+    assert sess.get_transcript(0) == want
+
+    # snapshot/resume: LM state must survive exactly
+    sd = sess.state_dict()
+    assert "beam/lm_h" in sd
+    sess2 = StreamSession(params, cfg, vocab, cc, filterbank=fb, window=win,
+                          beam_size=K, max_beam_tokens=64, lm=lm,
+                          lm_weight=0.5)
+    sess2.load_state_dict(sd)
+    more = (rng.standard_normal((1, cc.chunk_samples)) * 8000).astype(
+        np.int16)
+    sess.process(more)
+    sess2.process(more)
+    assert sess.get_transcript(0) == sess2.get_transcript(0)
+    np.testing.assert_allclose(np.asarray(sess.beam_state.lm_h),
+                               np.asarray(sess2.beam_state.lm_h), atol=1e-6)
+
+    # mode mismatches raise
+    no_lm = StreamSession(params, cfg, vocab, cc, filterbank=fb, window=win,
+                          beam_size=K, max_beam_tokens=64)
+    with pytest.raises(ValueError, match="LM"):
+        no_lm.load_state_dict(sd)
+    with pytest.raises(ValueError, match="LM"):
+        sess2.load_state_dict(no_lm.state_dict())
+    with pytest.raises(ValueError, match="beam_size"):
+        StreamSession(params, cfg, vocab, cc, filterbank=fb, window=win,
+                      lm=lm)
+
+
+def test_transcribe_batch_lm(model_setup, lm_setup):
+    """transcribe_batch(beam, lm) == direct fused beam_decode over the
+    batch encoder output; lm without beam raises."""
+    from nemotron_tpu.streaming.session import transcribe_batch
+
+    _arrays, params, cfg = model_setup
+    _, lm = lm_setup
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+    fb = np.abs(rng.standard_normal((cfg.n_mels, 257))).astype(np.float32)
+    win = np.hanning(400).astype(np.float32)
+    audio = (rng.standard_normal(16000) * 8000).astype(np.int16)
+
+    t_lm = transcribe_batch(params, cfg, vocab, audio, filterbank=fb,
+                            window=win, beam_size=3, lm=lm, lm_weight=0.6)
+    t_no = transcribe_batch(params, cfg, vocab, audio, filterbank=fb,
+                            window=win, beam_size=3)
+    assert isinstance(t_lm, str)   # decodes end to end
+    # (with a random LM the outputs may or may not differ; the exactness
+    # gate is test_fusion_matches_oracle -- here we gate the plumbing)
+    assert isinstance(t_no, str)
+    with pytest.raises(ValueError, match="beam_size"):
+        transcribe_batch(params, cfg, vocab, audio, filterbank=fb,
+                         window=win, lm=lm)
