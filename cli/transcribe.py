@@ -4,7 +4,7 @@
     transcribe.py <model.gguf> <audio.pcm|.wav> [more audio files...]
                   [--cpu] [--timestamps] [--confidence] [--beam=K]
                   [--nbest=N] [--boost=piece:weight,...] [--ctc]
-                  [--lm=lm.gguf] [--lm-weight=W]
+                  [--lm=lm.gguf] [--lm-weight=W] [--lm-bonus=B]
 
 Multiple audio files are transcribed in ONE batched encoder/decode pass
 (length-masked; the reference is batch=1). --beam=K decodes with the
@@ -51,7 +51,7 @@ def main(argv: list[str]) -> int:
         return 1
     beam = 1
     nbest = None
-    lm_path, lm_weight = None, 0.3
+    lm_path, lm_weight, lm_bonus = None, 0.3, 0.0
     try:
         for f in flags:
             if f.startswith("--beam="):
@@ -62,6 +62,8 @@ def main(argv: list[str]) -> int:
                 lm_path = f.split("=", 1)[1]
             elif f.startswith("--lm-weight="):
                 lm_weight = float(f.split("=", 1)[1])
+            elif f.startswith("--lm-bonus="):
+                lm_bonus = float(f.split("=", 1)[1])
     except ValueError:
         print("error: --beam/--nbest take an integer, --lm-weight a float",
               file=sys.stderr)
@@ -95,7 +97,7 @@ def main(argv: list[str]) -> int:
             nbests = transcribe_batch(
                 params, cfg, vocab, audios if len(audios) > 1 else audios[0],
                 beam_size=beam, return_nbest=nbest, lm=lm,
-                lm_weight=lm_weight)
+                lm_weight=lm_weight, lm_bonus=lm_bonus)
             if len(audios) == 1:
                 nbests = [nbests]
             for path, hyps in zip(args[1:], nbests):
@@ -129,7 +131,8 @@ def main(argv: list[str]) -> int:
                                      audios if len(audios) > 1 else audios[0],
                                      timestamp_words="--timestamps" in flags,
                                      beam_size=beam, ctc="--ctc" in flags,
-                                     lm=lm, lm_weight=lm_weight)
+                                     lm=lm, lm_weight=lm_weight,
+                                     lm_bonus=lm_bonus)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -11,7 +11,7 @@ src/transcribe_stream.cpp:27-36):
                          [--calib=FILE]
                          [--kv-int8|--kv-int4] [--rc-by-layer=13,6,1,0]
                          [--beam=K] [--boost=piece:weight,...] [--ctc]
-                         [--lm=lm.gguf] [--lm-weight=W]
+                         [--lm=lm.gguf] [--lm-weight=W] [--lm-bonus=B]
 
   - input: raw s16le 16 kHz mono PCM file, or '-' / '--stdin' for stdin;
     .wav files decode directly (PCM16 or float32, any sample rate --
@@ -177,7 +177,7 @@ def main(argv: list[str]) -> int:
           file=sys.stderr)
 
     beam = 1
-    lm_path, lm_weight = None, 0.3
+    lm_path, lm_weight, lm_bonus = None, 0.3, 0.0
     try:
         for f in flags:
             if f.startswith("--beam="):
@@ -186,6 +186,8 @@ def main(argv: list[str]) -> int:
                 lm_path = f.split("=", 1)[1]
             elif f.startswith("--lm-weight="):
                 lm_weight = float(f.split("=", 1)[1])
+            elif f.startswith("--lm-bonus="):
+                lm_bonus = float(f.split("=", 1)[1])
     except ValueError:
         print("error: --beam takes an integer, --lm-weight a float",
               file=sys.stderr)
@@ -216,7 +218,8 @@ def main(argv: list[str]) -> int:
                              timestamp_words="--timestamps" in flags,
                              confidence_words="--confidence" in flags,
                              beam_size=beam, ctc="--ctc" in flags,
-                             lm=lm, lm_weight=lm_weight)
+                             lm=lm, lm_weight=lm_weight,
+                             lm_bonus=lm_bonus)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

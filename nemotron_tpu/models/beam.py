@@ -99,7 +99,8 @@ def _gather_k(tree_leaf, idx):
 def beam_decode(params: ModelParams, cfg: ModelConfig, enc,
                 state: BeamState, beam_size: int,
                 expansions: int = MAX_SYMBOLS_PER_STEP,
-                enc_lengths=None, lm=None, lm_weight: float = 0.3):
+                enc_lengths=None, lm=None, lm_weight: float = 0.3,
+                lm_bonus: float = 0.0):
     """enc [B, T, D] -> (new BeamState, per-frame nothing); call
     `best_hypothesis` on the returned state for tokens.
 
@@ -108,9 +109,16 @@ def beam_decode(params: ModelParams, cfg: ModelConfig, enc,
     like solo runs.
 
     lm (LMParams, optional): shallow fusion — label candidates score
-    log P_rnnt + lm_weight * log P_lm(label | emitted history); blank
-    keeps the pure transducer score (models/lm.py). The state must have
-    been created with the same lm (init_beam_state(..., lm=lm))."""
+    log P_rnnt + lm_weight * log P_lm(label | emitted history) + lm_bonus;
+    blank keeps the pure transducer score (models/lm.py). The state must
+    have been created with the same lm (init_beam_state(..., lm=lm)).
+
+    lm_bonus: per-label insertion bonus countering shallow fusion's
+    deletion bias (lm_weight * log P_lm is always <= 0, so labels are
+    taxed relative to blank, which is never LM-scored; the standard fix
+    is a flat bonus per emission — set it near lm_weight * H_lm, the
+    LM's per-token entropy, to zero-mean the tax on in-grammar labels
+    while out-of-grammar labels stay penalized)."""
     dp: DecoderParams = params.decoder
     blank = cfg.blank_token
     B, T, _ = enc.shape
@@ -181,7 +189,8 @@ def beam_decode(params: ModelParams, cfg: ModelConfig, enc,
                     flat(live.lm_c), blank)
                 unflat = lambda x: x.reshape((B, K) + x.shape[1:])
                 lm_lp, lmh2, lmc2 = map(unflat, (lm_lp, lmh2, lmc2))
-                cand = cand + jnp.float32(lm_weight) * lm_lp
+                cand = (cand + jnp.float32(lm_weight) * lm_lp
+                        + jnp.float32(lm_bonus))
             nb = cand.at[..., blank].set(NEG_INF)
             # a full hypothesis buffer cannot extend further
             nb = jnp.where((live.lengths >= U)[..., None], NEG_INF, nb)

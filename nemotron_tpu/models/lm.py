@@ -74,6 +74,34 @@ def lm_logp(lm: LMParams, prev_token, h, c, blank: int):
     return jax.nn.log_softmax(logits, axis=-1), h2, c2
 
 
+def lm_sequence_nll(lm: LMParams, labels, lengths, blank: int):
+    """Mean next-label negative log-likelihood over a batch of sequences
+    (the LM training objective, scripts/train_lm.py).
+
+    labels [B, U] int32 (positions >= lengths are ignored); the input at
+    step 0 is blank (<bos>, the prediction-network convention) and at
+    step t>0 the previous label — teacher forcing with exactly the
+    distribution lm_logp serves at decode time (blank renormalized out).
+    Differentiable; runs as one lax.scan over U."""
+    B, U = labels.shape
+    h, c = init_lm_state(lm, (B,), jnp.float32)
+    inputs = jnp.concatenate(
+        [jnp.full((B, 1), blank, labels.dtype), labels[:, :-1]], axis=1)
+
+    def step(carry, xs):
+        h, c = carry
+        inp, tgt, t = xs
+        logp, h, c = lm_logp(lm, inp, h, c, blank)
+        nll = -jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
+        valid = (t < lengths).astype(jnp.float32)
+        return (h, c), (nll * valid, valid)
+
+    ts = jnp.arange(U, dtype=jnp.int32)
+    (_, _), (nlls, valids) = jax.lax.scan(
+        step, (h, c), (inputs.T, labels.T, ts))
+    return jnp.sum(nlls) / jnp.maximum(jnp.sum(valids), 1.0)
+
+
 # ---------------------------------------------------------------------------
 # GGUF artifact (standalone; `nemo-lm` architecture)
 # ---------------------------------------------------------------------------
@@ -108,6 +136,22 @@ def lm_params_from_arrays(t: dict[str, np.ndarray]) -> LMParams:
         out_w=_linear(t["lm.output.weight"]),
         out_b=t["lm.output.bias"],
     )
+
+
+def lm_arrays_from_params(lm: LMParams) -> dict[str, np.ndarray]:
+    """Inverse of lm_params_from_arrays (for saving trained LMs)."""
+    t = {"lm.embedding.weight": np.asarray(lm.embedding, np.float32),
+         "lm.output.weight": np.ascontiguousarray(
+             np.asarray(lm.out_w, np.float32).T),
+         "lm.output.bias": np.asarray(lm.out_b, np.float32)}
+    for i in range(np.asarray(lm.w_ih).shape[0]):
+        t[f"lm.lstm.weight_ih_l{i}"] = np.ascontiguousarray(
+            np.asarray(lm.w_ih, np.float32)[i].T)
+        t[f"lm.lstm.weight_hh_l{i}"] = np.ascontiguousarray(
+            np.asarray(lm.w_hh, np.float32)[i].T)
+        t[f"lm.lstm.bias_ih_l{i}"] = np.asarray(lm.b_ih, np.float32)[i]
+        t[f"lm.lstm.bias_hh_l{i}"] = np.asarray(lm.b_hh, np.float32)[i]
+    return t
 
 
 def save_lm(path: str, arrays: dict[str, np.ndarray]) -> None:

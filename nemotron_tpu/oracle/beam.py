@@ -34,7 +34,7 @@ def log_softmax(x):
 
 class OracleBeam:
     def __init__(self, t: dict, cfg: ModelConfig, lm: dict | None = None,
-                 lm_weight: float = 0.3):
+                 lm_weight: float = 0.3, lm_bonus: float = 0.0):
         """lm: raw LM weight dict (models/lm.py naming) for shallow
         fusion -- labels score log P_rnnt + lm_weight * log P_lm, blank
         keeps the pure transducer score, LM state advances on non-blank."""
@@ -42,6 +42,7 @@ class OracleBeam:
         self.cfg = cfg
         self.lm = lm
         self.lm_weight = lm_weight
+        self.lm_bonus = lm_bonus
         if lm is not None:
             self.lm_layers = sum(1 for k in lm
                                  if k.startswith("lm.lstm.weight_ih_l"))
@@ -124,7 +125,7 @@ class OracleBeam:
                             continue
                         s = hyp.score + logp[v]
                         if lm_lp is not None:
-                            s += self.lm_weight * lm_lp[v]
+                            s += self.lm_weight * lm_lp[v] + self.lm_bonus
                         cands.append((s, i, v, (h2, c2, lmh2, lmc2)))
                 fin = sorted(fin, key=lambda x: -x.score)[:beam_size]
                 cands.sort(key=lambda x: -x[0])

@@ -117,7 +117,8 @@ def _fused_tick_beam(cfg: ModelConfig, cc: CacheConfig,
                      pcfg: PreprocessorConfig, buf_len: int,
                      beam_size: int, expansions: int, params, pcm_i16,
                      front: FrontendState, mel_buf, enc_state, beam_state,
-                     pos_heads, window, filterbank):
+                     pos_heads, window, filterbank, lm=None,
+                     lm_weight=0.3, lm_bonus=0.0):
     """One fused BEAM tick: same DSP/encoder front half, then the
     on-device batched beam search (models/beam.py) chained over the tick's
     chunks. No token tensor leaves the device -- transcripts are fetched
@@ -128,8 +129,11 @@ def _fused_tick_beam(cfg: ModelConfig, cc: CacheConfig,
         cfg, cc, pcfg, buf_len, params, pcm_i16, front, mel_buf, enc_state,
         pos_heads, window, filterbank)
     for enc_out in enc_outs:
-        beam_state = beam_mod.beam_decode(params, cfg, enc_out, beam_state,
-                                          beam_size, expansions)
+        beam_state = beam_mod.beam_decode(params, cfg, enc_out,
+                                          beam_state, beam_size,
+                                          expansions, lm=lm,
+                                          lm_weight=lm_weight,
+                                          lm_bonus=lm_bonus)
     return front, mel_buf, enc_state, beam_state
 
 
@@ -201,7 +205,9 @@ class LockstepEngine:
                  confidence: bool = False,
                  endpoint_silence_s: float | None = None,
                  endpoint_reset: bool = False,
-                 ctc: bool = False):
+                 ctc: bool = False,
+                 lm=None, lm_weight: float = 0.3,
+                 lm_bonus: float = 0.0):
         """beam_size > 1 switches every tick to the fused on-device beam
         search (accuracy-sensitive decode at serving scale -- capability
         beyond both the greedy-only reference and the greedy engines).
@@ -235,6 +241,14 @@ class LockstepEngine:
         self.confidence = confidence
         if confidence and beam_size > 1:
             raise ValueError("confidence requires greedy decode")
+        # LM shallow fusion (models/lm.py): engine parity with
+        # StreamSession's beam decode
+        if lm is not None and beam_size <= 1:
+            raise ValueError("LM shallow fusion requires beam_size > 1")
+        self.lm = (None if lm is None
+                   else jax.tree_util.tree_map(jnp.asarray, lm))
+        self.lm_weight = float(lm_weight)
+        self.lm_bonus = float(lm_bonus)
         # decode-mode widening (engine parity with StreamSession): ctc=True
         # uses the hybrid checkpoint's auxiliary head; TDT checkpoints
         # auto-switch to the duration-aware walk with a per-stream
@@ -298,7 +312,8 @@ class LockstepEngine:
             from ..models import beam as beam_mod
 
             self.beam_state = beam_mod.init_beam_state(
-                cfg, S, self.beam_size, self.max_beam_tokens, self.dtype)
+                cfg, S, self.beam_size, self.max_beam_tokens, self.dtype,
+                lm=self.lm)
         self._beam_dirty = False
         self.tdt_skip = jnp.zeros((S,), jnp.int32) if self.tdt else None
         self.ctc_prev = (np.full(self.n_local, -1, np.int64)
@@ -382,7 +397,8 @@ class LockstepEngine:
                 self.beam_size, self.beam_expansions, self.params,
                 self._put_pcm(pcm_i16), self.front, self.mel_buf,
                 self.enc_state, self.beam_state, self.pos_heads,
-                self.window, self.filterbank)
+                self.window, self.filterbank, self.lm, self.lm_weight,
+                self.lm_bonus)
             tokens = confs = ctc_ids = None
             self._beam_dirty = True
         elif self.ctc:
@@ -605,7 +621,10 @@ class LockstepEngine:
         if self.beam_state is not None:
             self.refresh_transcripts()
             flat["transcripts"] = np.asarray(self.transcripts, dtype=object)
-            for k in ("h", "c", "prev_token", "scores", "tokens", "lengths"):
+            keys = ("h", "c", "prev_token", "scores", "tokens", "lengths")
+            if self.beam_state.lm_h is not None:
+                keys += ("lm_h", "lm_c")
+            for k in keys:
                 flat[f"beam/{k}"] = np.asarray(getattr(self.beam_state, k))
         if self.tdt_skip is not None:
             flat["tdt_skip"] = np.asarray(self.tdt_skip)
@@ -659,13 +678,23 @@ class LockstepEngine:
                 raise ValueError(
                     f"snapshot beam width K={z['beam/h'].shape[1]} != "
                     f"engine beam_size={self.beam_size}")
+            has_lm = "beam/lm_h" in z.files
+            if has_lm != (self.lm is not None):
+                raise ValueError(
+                    "snapshot/engine LM-fusion mismatch: snapshot "
+                    f"{'carries' if has_lm else 'has no'} LM state, engine "
+                    f"lm={'set' if self.lm is not None else 'None'}")
             self.beam_state = beam_mod.BeamState(
                 h=jnp.asarray(z["beam/h"], self.dtype),
                 c=jnp.asarray(z["beam/c"], self.dtype),
                 prev_token=jnp.asarray(z["beam/prev_token"], jnp.int32),
                 scores=jnp.asarray(z["beam/scores"], jnp.float32),
                 tokens=jnp.asarray(z["beam/tokens"], jnp.int32),
-                lengths=jnp.asarray(z["beam/lengths"], jnp.int32))
+                lengths=jnp.asarray(z["beam/lengths"], jnp.int32),
+                lm_h=(jnp.asarray(z["beam/lm_h"], self.dtype)
+                      if has_lm else None),
+                lm_c=(jnp.asarray(z["beam/lm_c"], self.dtype)
+                      if has_lm else None))
             self._beam_dirty = True
         self.front = FrontendState(
             last_sample=jnp.asarray(z["front/last_sample"], jnp.float32),

@@ -136,6 +136,10 @@ def _reset_beam_slots(beam_state, mask, blank_token):
         c=jnp.where(mask[:, None, None, None], 0, beam_state.c),
         prev_token=jnp.where(m2, blank_token, beam_state.prev_token),
         scores=jnp.where(m2, fresh_scores[None], beam_state.scores),
+        lm_h=(None if beam_state.lm_h is None else
+              jnp.where(mask[:, None, None, None], 0, beam_state.lm_h)),
+        lm_c=(None if beam_state.lm_c is None else
+              jnp.where(mask[:, None, None, None], 0, beam_state.lm_c)),
         tokens=jnp.where(mask[:, None, None], blank_token,
                          beam_state.tokens),
         lengths=jnp.where(m2, 0, beam_state.lengths))
@@ -248,7 +252,8 @@ def _device_dsp_tick_beam(params, cfg: ModelConfig, cc: CacheConfig, pcfg,
                           pcm_i16, front_res, front_last, mel_buf,
                           enc_state, beam_state, pos_heads, window,
                           filterbank, masks, beam_size: int,
-                          expansions: int):
+                          expansions: int, lm=None, lm_weight=0.3,
+                          lm_bonus=0.0):
     """_device_dsp_tick with the on-device batched BEAM search as the
     decode back half: frozen slots keep their entire beam untouched
     (beam_decode's enc_lengths mechanism with a 0 frame limit). `masks` is
@@ -265,7 +270,9 @@ def _device_dsp_tick_beam(params, cfg: ModelConfig, cc: CacheConfig, pcfg,
     t_lim = jnp.where(consume_mask, enc_out.shape[1], 0).astype(jnp.int32)
     beam_state = beam_mod.beam_decode(params, cfg, enc_out, beam_state,
                                       beam_size, expansions,
-                                      enc_lengths=t_lim)
+                                      enc_lengths=t_lim, lm=lm,
+                                      lm_weight=lm_weight,
+                                      lm_bonus=lm_bonus)
     mel_buf = _mel_buf_shift(cc, mel_buf, consume_mask)
     return front_res, front_last, mel_buf, enc_state, beam_state
 
@@ -359,7 +366,9 @@ class ServingEngine:
                  confidence: bool = False,
                  endpoint_silence_s: float | None = None,
                  endpoint_reset: bool = False,
-                 ctc: bool = False):
+                 ctc: bool = False,
+                 lm=None, lm_weight: float = 0.3,
+                 lm_bonus: float = 0.0):
         """beam_size > 1 switches every tick's decode to the fused
         on-device beam search (chunk_step_masked_beam): frozen slots keep
         their entire beam untouched, so raggedness works exactly as in
@@ -383,6 +392,15 @@ class ServingEngine:
         self.confidence = confidence
         if confidence and beam_size > 1:
             raise ValueError("confidence requires greedy decode")
+        # LM shallow fusion (models/lm.py): engine parity with
+        # StreamSession -- the per-hypothesis LM state lives in the
+        # BeamState slab and resets with the slot
+        if lm is not None and beam_size <= 1:
+            raise ValueError("LM shallow fusion requires beam_size > 1")
+        self.lm = (None if lm is None
+                   else jax.tree_util.tree_map(jnp.asarray, lm))
+        self.lm_weight = float(lm_weight)
+        self.lm_bonus = float(lm_bonus)
         # ctc=True: decode every tick with the hybrid checkpoint's
         # auxiliary CTC head (stateless over frames; the per-slot collapse
         # carry lives on the host). TDT checkpoints (cfg.tdt_durations)
@@ -449,7 +467,8 @@ class ServingEngine:
             from ..models import beam as beam_mod
 
             self.beam_state = beam_mod.init_beam_state(
-                cfg, n_slots, beam_size, max_beam_tokens, compute_dtype)
+                cfg, n_slots, beam_size, max_beam_tokens, compute_dtype,
+                lm=self.lm)
         if mesh is not None:
             from ..parallel.mesh import (param_shardings, shard_params,
                                          shard_state, shard_stream_major)
@@ -896,7 +915,8 @@ class ServingEngine:
                 self.enc_state, self.beam_state = chunk_step_masked_beam(
                     self.params, self.cfg, cc, chunk, self.enc_state,
                     self.beam_state, self.pos_heads, mask,
-                    self.beam_size, self.beam_expansions)
+                    self.beam_size, self.beam_expansions, self.lm,
+                    self.lm_weight, self.lm_bonus)
                 self._beam_dirty = True
                 tokens = confs = ctc_ids = None
             elif self.ctc:
@@ -1030,7 +1050,8 @@ class ServingEngine:
                     self.pos_heads, self._window, self._filterbank,
                     (jnp.asarray(dsp), jnp.asarray(fresh),
                      jnp.asarray(consume)),
-                    self.beam_size, self.beam_expansions)
+                    self.beam_size, self.beam_expansions, self.lm,
+                    self.lm_weight, self.lm_bonus)
                 self._beam_dirty = True
                 tokens = confs = ctc_ids = None
             elif self.ctc:
@@ -1129,7 +1150,10 @@ class ServingEngine:
             flat["ep/pending"] = np.asarray(self._ep_pending,
                                             np.int64).reshape(-1, 2)
         if self.beam_state is not None:
-            for k in ("h", "c", "prev_token", "scores", "tokens", "lengths"):
+            keys = ("h", "c", "prev_token", "scores", "tokens", "lengths")
+            if self.beam_state.lm_h is not None:
+                keys += ("lm_h", "lm_c")
+            for k in keys:
                 flat[f"beam/{k}"] = np.asarray(getattr(self.beam_state, k))
         if self.tdt_skip is not None:
             flat["tdt_skip"] = np.asarray(self.tdt_skip)
@@ -1200,13 +1224,23 @@ class ServingEngine:
                 raise ValueError(
                     f"snapshot beam width K={z['beam/h'].shape[1]} != "
                     f"engine beam_size={self.beam_size}")
+            has_lm = "beam/lm_h" in z.files
+            if has_lm != (self.lm is not None):
+                raise ValueError(
+                    "snapshot/engine LM-fusion mismatch: snapshot "
+                    f"{'carries' if has_lm else 'has no'} LM state, engine "
+                    f"lm={'set' if self.lm is not None else 'None'}")
             self.beam_state = beam_mod.BeamState(
                 h=jnp.asarray(z["beam/h"], self.dtype),
                 c=jnp.asarray(z["beam/c"], self.dtype),
                 prev_token=jnp.asarray(z["beam/prev_token"], jnp.int32),
                 scores=jnp.asarray(z["beam/scores"], jnp.float32),
                 tokens=jnp.asarray(z["beam/tokens"], jnp.int32),
-                lengths=jnp.asarray(z["beam/lengths"], jnp.int32))
+                lengths=jnp.asarray(z["beam/lengths"], jnp.int32),
+                lm_h=(jnp.asarray(z["beam/lm_h"], self.dtype)
+                      if has_lm else None),
+                lm_c=(jnp.asarray(z["beam/lm_c"], self.dtype)
+                      if has_lm else None))
             self._beam_dirty = True
         if self.mesh is not None:
             from ..parallel.mesh import shard_state, shard_stream_major

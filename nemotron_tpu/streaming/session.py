@@ -221,7 +221,7 @@ def chunk_step_masked(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
 def chunk_step_beam(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
                     mel_chunk, enc_state, beam_state, pos_heads,
                     beam_size: int, expansions: int,
-                    lm=None, lm_weight=0.3):
+                    lm=None, lm_weight=0.3, lm_bonus=0.0):
     """Fused streaming step with BEAM decode: cached encoder + on-device
     batched RNN-T beam search (models/beam.py). The beam state (K
     hypotheses per stream) is carried across chunks exactly like the
@@ -232,8 +232,9 @@ def chunk_step_beam(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     enc_out, enc_state = enc_mod.encode_chunk(params, cfg, cc, mel_chunk,
                                               enc_state, pos_heads)
     beam_state = beam_mod.beam_decode(params, cfg, enc_out, beam_state,
-                                      beam_size, expansions,
-                                      lm=lm, lm_weight=lm_weight)
+                                      beam_size, expansions, lm=lm,
+                                      lm_weight=lm_weight,
+                                      lm_bonus=lm_bonus)
     return enc_state, beam_state
 
 
@@ -243,7 +244,7 @@ def chunk_step_masked_beam(params: ModelParams, cfg: ModelConfig,
                            cc: CacheConfig, mel_chunk, enc_state,
                            beam_state, pos_heads, step_mask,
                            beam_size: int, expansions: int,
-                           lm=None, lm_weight=0.3):
+                           lm=None, lm_weight=0.3, lm_bonus=0.0):
     """chunk_step_beam for continuous batching: `step_mask` [S] bool marks
     which slots advance; frozen slots keep caches AND their entire beam
     (all K hypotheses) untouched -- carried by beam_decode's enc_lengths
@@ -257,8 +258,9 @@ def chunk_step_masked_beam(params: ModelParams, cfg: ModelConfig,
     t_lim = jnp.where(step_mask, enc_out.shape[1], 0).astype(jnp.int32)
     beam_state = beam_mod.beam_decode(params, cfg, enc_out, beam_state,
                                       beam_size, expansions,
-                                      enc_lengths=t_lim,
-                                      lm=lm, lm_weight=lm_weight)
+                                      enc_lengths=t_lim, lm=lm,
+                                      lm_weight=lm_weight,
+                                      lm_bonus=lm_bonus)
     return enc_state, beam_state
 
 
@@ -327,7 +329,8 @@ class StreamSession:
                  confidence: bool = False,
                  confidence_words: bool = False,
                  ctc: bool = False,
-                 lm=None, lm_weight: float = 0.3):
+                 lm=None, lm_weight: float = 0.3,
+                 lm_bonus: float = 0.0):
         """trace_dir: when set, every chunk dumps named intermediates (mel,
         pre_encode_out, per-layer outputs, encoder_out, tokens) in the
         reference's binary dump format to that directory -- the analogue of
@@ -380,6 +383,7 @@ class StreamSession:
         self.lm = (None if lm is None
                    else jax.tree_util.tree_map(jnp.asarray, lm))
         self.lm_weight = float(lm_weight)
+        self.lm_bonus = float(lm_bonus)
         if self.confidence and trace_dir is not None:
             raise ValueError("confidence and tracing are mutually exclusive "
                              "(the traced step has no confidence output)")
@@ -497,7 +501,8 @@ class StreamSession:
                 self.enc_state, self.beam_state = chunk_step_beam(
                     self.params, self.cfg, cc, chunk, self.enc_state,
                     self.beam_state, self.pos_heads, self.beam_size,
-                    self.beam_expansions, self.lm, self.lm_weight)
+                    self.beam_expansions, self.lm, self.lm_weight,
+                    self.lm_bonus)
                 self.chunk_seconds += time.perf_counter() - t0
                 self.total_chunks += 1
                 self.mel_buffer = self.mel_buffer[:, cc.shift_mel_frames:]
@@ -778,7 +783,8 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
                      return_confidence: bool = False,
                      return_nbest: int | None = None,
                      ctc: bool = False,
-                     lm=None, lm_weight: float = 0.3):
+                     lm=None, lm_weight: float = 0.3,
+                     lm_bonus: float = 0.0):
     """Offline full-utterance transcription (the reference `transcribe` CLI
     path: src/transcribe.cpp + nemo_transcribe_audio,
     src/nemo-ggml.cpp:1585-1598). Unlike the reference there is no 164 s
@@ -884,7 +890,7 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
             dtype=compute_dtype, lm=lm)
         bstate = jax.jit(beam_mod.beam_decode, static_argnums=(1, 4, 5))(
             params, cfg, enc, bstate, beam_size, exp, enc_lengths,
-            lm, lm_weight)
+            lm, lm_weight, lm_bonus)
         if return_nbest is not None:
             ntok, nlen, nsc = beam_mod.n_best(bstate, return_nbest,
                                               length_norm=True)

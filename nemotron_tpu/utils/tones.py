@@ -242,10 +242,38 @@ class TonesSampler:
         return out
 
 
+def grammar_transitions(n_tones: int, branch: int = 3,
+                        seed: int = 17) -> np.ndarray:
+    """A sparse Markov label grammar: token i may only be followed by
+    `branch` fixed successors (uniform among them). The structured label
+    source for LM shallow-fusion evidence (scripts/train_lm.py /
+    lm_quality.py): an acoustic model trained on UNIFORM labels carries
+    no sequence prior, so whatever the grammar adds at decode time is
+    attributable to the fused LM. Returns [n_tones, branch] int32
+    successor table (deterministic in seed)."""
+    rng = np.random.default_rng(seed)
+    return np.stack([rng.choice(n_tones, size=branch, replace=False)
+                     for _ in range(n_tones)]).astype(np.int32)
+
+
+def markov_labels(rng: np.random.Generator, n: int,
+                  trans: np.ndarray) -> np.ndarray:
+    """Sample a length-n label sequence from a grammar_transitions table
+    (uniform start, then uniform over each token's successor row)."""
+    out = np.empty(n, np.int64)
+    cur = int(rng.integers(0, trans.shape[0]))
+    for i in range(n):
+        out[i] = cur
+        cur = int(trans[cur, rng.integers(0, trans.shape[1])])
+    return out
+
+
 def make_eval_streams(n_streams: int, seconds: float, n_tones: int,
                       seed: int = 0,
                       dur_range: tuple[float, float] = (0.20, 0.32),
-                      return_onsets: bool = False):
+                      return_onsets: bool = False,
+                      noise: float = 0.02,
+                      label_sampler=None):
     """Continuous tone streams for the serving-config accuracy harness.
 
     Returns (audio [S, N] int16, truths: list of per-stream label lists).
@@ -253,6 +281,11 @@ def make_eval_streams(n_streams: int, seconds: float, n_tones: int,
     keeps exactly the tones whose onset falls inside the window (a final
     tone cut at the boundary stays in the truth -- the latency modes'
     lookahead sees most of it, and every config faces the same edge).
+
+    noise: white-noise floor amplitude (default matches training; raise
+    it to create the acoustic ambiguity the LM-fusion harness needs).
+    label_sampler: optional callable (rng, n) -> labels overriding the
+    uniform draw (e.g. markov_labels with a grammar_transitions table).
 
     return_onsets=True additionally returns per-stream onset times in
     SECONDS (same length as each truth list) -- the ground truth for the
@@ -265,14 +298,15 @@ def make_eval_streams(n_streams: int, seconds: float, n_tones: int,
     onsets: list[list[float]] = []
     for s in range(n_streams):
         approx = int(seconds / dur_range[0]) + 2
-        labs = rng.integers(0, n_tones, approx)
+        labs = (rng.integers(0, n_tones, approx) if label_sampler is None
+                else np.asarray(label_sampler(rng, approx), np.int64))
         durs = rng.uniform(*dur_range, approx)
         gaps = rng.uniform(*GAP_RANGE, approx)
         starts = np.concatenate(
             [[0.0], np.cumsum(durs + gaps)[:-1]]) * SAMPLE_RATE
         keep = starts < n
         audio[s] = render_tones(labs[keep], durs[keep], rng, n_tones, n,
-                                gaps=gaps[keep])
+                                gaps=gaps[keep], noise=noise)
         truths.append([int(x) for x in labs[keep]])
         onsets.append([float(x) / SAMPLE_RATE for x in starts[keep]])
     if return_onsets:

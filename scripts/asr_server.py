@@ -5,6 +5,7 @@
                   [--right-context R] [--rc-by-layer 13,6,1,0]
                   [--quantize q8_0|w8a8] [--kv-int8|--kv-int4]
                   [--dsp auto|native|numpy|device] [--beam K]
+                  [--lm lm.gguf --lm-weight W]
                   [--confidence] [--endpoint-silence S] [--endpoint-reset]
                   [--ctc]           # hybrid CTC-head decode (TDT is
                                     # auto-detected from the GGUF)
@@ -56,6 +57,9 @@ def main(argv: list[str]) -> int:
     n_slots = opt("--slots", 64, int)
     R = opt("--right-context", 13, int)
     beam_k = opt("--beam", 1, int)
+    lm_path = opt("--lm", None, str)
+    lm_weight = opt("--lm-weight", 0.3, float)
+    lm_bonus = opt("--lm-bonus", 0.0, float)
     dsp = opt("--dsp", "auto", str)
     tick_ms = opt("--tick-ms", 0.0, float)
     stats_every = opt("--stats-every", 30.0, float)
@@ -71,6 +75,16 @@ def main(argv: list[str]) -> int:
     from nemotron_tpu.streaming.serving import ServingEngine
 
     params, cfg, vocab = load_model(args[0])
+    lm = None
+    if lm_path:
+        # LM shallow fusion in the beam decode (needs --beam > 1)
+        from nemotron_tpu.models.lm import load_lm
+
+        try:
+            lm = load_lm(lm_path)
+        except (OSError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
     if quant_mode:
         try:
             params = quantize_model_params(params, mode=quant_mode)
@@ -99,7 +113,8 @@ def main(argv: list[str]) -> int:
 
     try:
         engine = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
-                               dsp=dsp, beam_size=beam_k,
+                               dsp=dsp, beam_size=beam_k, lm=lm,
+                               lm_weight=lm_weight, lm_bonus=lm_bonus,
                                confidence="--confidence" in argv,
                                ctc="--ctc" in argv,
                                endpoint_silence_s=ep_s if ep_s > 0 else None,

@@ -12,6 +12,8 @@ aggregate throughput and latency percentiles.
                                    # (device = DSP fused into the step;
                                    # auto = device on TPU, native on CPU)
              [--beam K]            # on-device beam search per tick
+             [--lm lm.gguf --lm-weight W]   # LM shallow fusion in the
+                                   # beam (models/lm.py; needs --beam>1)
              [--confidence]        # per-token log-posteriors (greedy)
              [--ctc]               # decode with the hybrid CTC head
                                    # (TDT checkpoints auto-switch decode)
@@ -86,6 +88,9 @@ def main(argv: list[str]) -> int:
     seconds = opt("--seconds", 10.0, float)
     quant_mode = opt("--quantize", None, str)
     beam_k = opt("--beam", 1, int)
+    lm_path = opt("--lm", None, str)
+    lm_weight = opt("--lm-weight", 0.3, float)
+    lm_bonus = opt("--lm-bonus", 0.0, float)
     ep_s = opt("--endpoint-silence", 0.0, float)
     ep_reset = "--endpoint-reset" in argv
 
@@ -99,6 +104,15 @@ def main(argv: list[str]) -> int:
     sq_modes = ("w8a8-sq", "w8a8-sq-static")
     params, cfg, vocab = load_model(
         args[0], keep_quantized=quant_mode not in sq_modes)
+    lm = None
+    if lm_path:
+        from nemotron_tpu.models.lm import load_lm
+
+        try:
+            lm = load_lm(lm_path)
+        except (OSError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
     cc = CacheConfig(att_right_context=R, n_mels=cfg.n_mels)
     if quant_mode in sq_modes:
         # SmoothQuant: calibrate on the serving audio itself (exact fold in
@@ -170,7 +184,8 @@ def main(argv: list[str]) -> int:
 
         kw = dict(n_streams=n_streams, compute_dtype=jnp.bfloat16,
                   beam_size=beam_k, confidence="--confidence" in argv,
-                  ctc="--ctc" in argv,
+                  ctc="--ctc" in argv, lm=lm, lm_weight=lm_weight,
+                  lm_bonus=lm_bonus,
                   endpoint_silence_s=ep_s if ep_s > 0 else None,
                   endpoint_reset=ep_reset)
         try:
@@ -220,7 +235,8 @@ def main(argv: list[str]) -> int:
             eng = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
                                 mesh=mesh, compute_dtype=jnp.bfloat16,
                                 dsp=opt("--dsp", "auto", str),
-                                beam_size=beam_k,
+                                beam_size=beam_k, lm=lm,
+                                lm_weight=lm_weight, lm_bonus=lm_bonus,
                                 confidence="--confidence" in argv,
                                 ctc="--ctc" in argv,
                                 endpoint_silence_s=ep_s if ep_s > 0

@@ -27,11 +27,12 @@ def enc_batch(model_setup):
     return rng.standard_normal((2, 4, cfg.d_model)).astype(np.float32) * 0.5
 
 
-def _run(params, cfg, enc, K, expansions, lm=None, lm_weight=0.3, U=32):
+def _run(params, cfg, enc, K, expansions, lm=None, lm_weight=0.3, U=32,
+         lm_bonus=0.0):
     st = beam_mod.init_beam_state(cfg, enc.shape[0], K, U, lm=lm)
     run = jax.jit(beam_mod.beam_decode, static_argnums=(1, 4, 5, 8))
     st = run(params, cfg, jnp.asarray(enc), st, K, expansions, None, lm,
-             lm_weight)
+             lm_weight, lm_bonus)
     t, l, s = beam_mod.best_hypothesis(st)
     return np.asarray(t), np.asarray(l), np.asarray(s)
 
@@ -66,8 +67,9 @@ def test_fusion_matches_oracle(model_setup, lm_setup, enc_batch, K,
     lm_arrays, lm = lm_setup
     U = 32
     tokens, lengths, scores = _run(params, cfg, enc_batch, K, expansions,
-                                   lm=lm, lm_weight=0.4, U=U)
-    oracle = OracleBeam(arrays, cfg, lm=lm_arrays, lm_weight=0.4)
+                                   lm=lm, lm_weight=0.4, U=U, lm_bonus=0.35)
+    oracle = OracleBeam(arrays, cfg, lm=lm_arrays, lm_weight=0.4,
+                        lm_bonus=0.35)
     for b in range(enc_batch.shape[0]):
         want = oracle.decode(enc_batch[b], K, expansions, max_tokens=U)
         got = tokens[b, : lengths[b]].tolist()
@@ -205,3 +207,55 @@ def test_transcribe_batch_lm(model_setup, lm_setup):
     with pytest.raises(ValueError, match="beam_size"):
         transcribe_batch(params, cfg, vocab, audio, filterbank=fb,
                          window=win, lm=lm)
+
+
+def test_engines_lm_fusion_match_session(model_setup, lm_setup):
+    """Engine parity: LockstepEngine and ServingEngine with LM fusion
+    equal a StreamSession with the same LM (state and transcripts);
+    engine snapshot/resume carries the LM state; lm without beam raises."""
+    from test_serving import assert_beams_equal, biased_params
+
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.streaming.lockstep import LockstepEngine
+    from nemotron_tpu.streaming.serving import ServingEngine
+    from nemotron_tpu.streaming.session import StreamSession
+
+    _, _, cfg = model_setup
+    _, lm = lm_setup
+    params = biased_params(model_setup)
+    cc = CacheConfig(att_right_context=1, att_left_context=12,
+                     n_mels=cfg.n_mels)
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    S, n = 2, cc.shift_samples
+    rng = np.random.default_rng(31)
+    audio = (rng.standard_normal((S, 4 * n)) * 8000).astype(np.int16)
+
+    sess = StreamSession(params, cfg, vocab, cc, n_streams=S, beam_size=2,
+                         max_beam_tokens=64, lm=lm, lm_weight=0.5)
+    sess.process(audio)
+
+    lock = LockstepEngine(params, cfg, vocab, cc, n_streams=S,
+                          compute_dtype=jnp.float32, beam_size=2,
+                          max_beam_tokens=64, lm=lm, lm_weight=0.5)
+    for t in range(4):
+        lock.tick(audio[:, t * n:(t + 1) * n])
+    assert_beams_equal(lock.beam_state, sess.beam_state)
+    assert lock.refresh_transcripts() == list(sess.transcripts)
+    np.testing.assert_allclose(np.asarray(lock.beam_state.lm_h),
+                               np.asarray(sess.beam_state.lm_h), atol=1e-4)
+
+    serv = ServingEngine(params, cfg, vocab, cc, n_slots=S,
+                         compute_dtype=jnp.float32, beam_size=2,
+                         max_beam_tokens=64, lm=lm, lm_weight=0.5)
+    slots = serv.add_streams(S)
+    for t in range(4):
+        serv.feed_audio({s: audio[i, t * n:(t + 1) * n]
+                         for i, s in enumerate(slots)})
+        serv.step()
+    assert_beams_equal(serv.beam_state, sess.beam_state)
+    assert serv.refresh_transcripts() == list(sess.transcripts)
+
+    with pytest.raises(ValueError, match="beam_size"):
+        LockstepEngine(params, cfg, vocab, cc, n_streams=S, lm=lm)
+    with pytest.raises(ValueError, match="beam_size"):
+        ServingEngine(params, cfg, vocab, cc, n_slots=S, lm=lm)
