@@ -74,7 +74,8 @@ def lm_logp(lm: LMParams, prev_token, h, c, blank: int):
     return jax.nn.log_softmax(logits, axis=-1), h2, c2
 
 
-def lm_sequence_nll(lm: LMParams, labels, lengths, blank: int):
+def lm_sequence_nll(lm: LMParams, labels, lengths, blank: int,
+                    inputs=None):
     """Mean next-label negative log-likelihood over a batch of sequences
     (the LM training objective, scripts/train_lm.py).
 
@@ -82,11 +83,17 @@ def lm_sequence_nll(lm: LMParams, labels, lengths, blank: int):
     step 0 is blank (<bos>, the prediction-network convention) and at
     step t>0 the previous label — teacher forcing with exactly the
     distribution lm_logp serves at decode time (blank renormalized out).
+    `inputs` [B, U] (optional) overrides the teacher-forced history —
+    pass a CORRUPTED copy of the shifted labels to train the LM to stay
+    calibrated on the error-containing hypotheses it conditions on
+    during beam fusion (scripts/train_lm.py --input-noise).
     Differentiable; runs as one lax.scan over U."""
     B, U = labels.shape
     h, c = init_lm_state(lm, (B,), jnp.float32)
-    inputs = jnp.concatenate(
-        [jnp.full((B, 1), blank, labels.dtype), labels[:, :-1]], axis=1)
+    if inputs is None:
+        inputs = jnp.concatenate(
+            [jnp.full((B, 1), blank, labels.dtype), labels[:, :-1]],
+            axis=1)
 
     def step(carry, xs):
         h, c = carry

@@ -9,9 +9,21 @@ was trained on uniform labels (no sequence prior), the LM on the grammar
 (scripts/train_lm.py). Whatever beam+LM gains over plain beam is the
 fusion's contribution.
 
+Two regimes, both measured and recorded:
+  --utterances N  per-utterance batch decoding (the classic fusion
+                  setting: the LM history resets with each utterance) --
+                  this is where shallow fusion earns its keep;
+  default         continuous unsegmented streams (--seconds/--streams):
+                  past ~15 s the LM conditions on minutes of
+                  error-containing history and fusion measured WORSE than
+                  plain beam (see docs/lm_quality.json) -- the honest
+                  negative; segment with endpointing (docs/SERVING.md)
+                  before fusing on long streams.
+
 Usage: lm_quality.py [asr.gguf] [lm.gguf] [--beam K] [--lm-weight W]
-                     [--noise X] [--seconds S] [--streams N] [--seeds M]
-                     [--modes 0,13] [--tones T] [--branch B]
+                     [--lm-bonus B] [--noise X] [--utterances N]
+                     [--utt-tones U] [--seconds S] [--streams N]
+                     [--seeds M] [--modes 0,13] [--tones T] [--branch B]
                      [--grammar-seed 17] [--json out.json] [--cpu]
 """
 
@@ -43,6 +55,10 @@ def main() -> int:
                          "lm_weight*log(branch) (zero-means the LM tax "
                          "on in-grammar labels)")
     ap.add_argument("--noise", type=float, default=0.25)
+    ap.add_argument("--utterances", type=int, default=0,
+                    help="per-utterance batch mode: decode N independent "
+                         "grammar utterances instead of continuous streams")
+    ap.add_argument("--utt-tones", type=int, default=10)
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--streams", type=int, default=4)
     ap.add_argument("--seeds", type=int, default=2)
@@ -68,7 +84,7 @@ def main() -> int:
     from nemotron_tpu.streaming.session import StreamSession
     from nemotron_tpu.utils import tones as tones_mod
 
-    params, cfg, _ = load_model(args.gguf, keep_quantized=False)
+    params, cfg, vocab = load_model(args.gguf, keep_quantized=False)
     lm = load_lm(args.lm_gguf)
     if args.lm_bonus is None:
         args.lm_bonus = args.lm_weight * float(np.log(args.branch))
@@ -79,7 +95,39 @@ def main() -> int:
     configs = [("greedy", 1, None), (f"beam{args.beam}", args.beam, None),
                (f"beam{args.beam}+lm", args.beam, lm)]
     results = {}
-    for mode in (int(m) for m in args.modes.split(",")):
+    if args.utterances:
+        from nemotron_tpu.streaming.session import transcribe_batch
+        from nemotron_tpu.utils.tones import GAP_RANGE, render_tones
+
+        for seed in range(args.seeds):
+            rng = np.random.default_rng(3000 + seed)
+            utts, truths = [], []
+            for _ in range(args.utterances):
+                labs = tones_mod.markov_labels(rng, args.utt_tones, trans)
+                durs = rng.uniform(0.20, 0.32, args.utt_tones)
+                gaps = rng.uniform(*GAP_RANGE, args.utt_tones)
+                n = int((durs + gaps).sum() * 16000) + 3200
+                utts.append(render_tones(labs, durs, rng, args.tones, n,
+                                         noise=args.noise, gaps=gaps))
+                truths.append([int(x) for x in labs])
+            row = {}
+            for name, k, use_lm in configs:
+                kw = dict(beam_size=k) if k > 1 else {}
+                if use_lm is not None:
+                    kw.update(lm=use_lm, lm_weight=args.lm_weight,
+                              lm_bonus=args.lm_bonus)
+                texts = transcribe_batch(params, cfg, vocab, utts, **kw)
+                got = [[int(w[1:]) for w in t.split()
+                        if w[1:].isdigit()] for t in texts]
+                total = sum(len(t) for t in truths)
+                dist = sum(levenshtein(g, t) for g, t in zip(got, truths))
+                row[name] = round(dist / max(total, 1), 4)
+            results[f"utt/seed{seed}"] = row
+            print(f"utterances seed={seed} noise={args.noise}: " + "  ".join(
+                f"{n} TER {v*100:.2f}%" for n, v in row.items()),
+                file=sys.stderr)
+    for mode in ([] if args.utterances else
+                 [int(m) for m in args.modes.split(",")]):
         cc = CacheConfig(att_right_context=mode, n_mels=cfg.n_mels)
         for seed in range(args.seeds):
             audio, truths = tones_mod.make_eval_streams(

@@ -39,7 +39,16 @@ def main() -> int:
     ap.add_argument("--grammar-seed", type=int, default=17)
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--seq-len", type=int, default=40)
+    ap.add_argument("--seq-len", type=int, default=128)
+    ap.add_argument("--input-noise", type=float, default=0.15,
+                    help="fraction of TEACHER-FORCED input labels replaced "
+                         "by random ones (targets unchanged). At decode "
+                         "time the LM conditions on the BEAM's hypothesis, "
+                         "which contains recognition errors; an LM trained "
+                         "only on clean histories mis-scores every token "
+                         "after an error (the grammar makes the true "
+                         "successor look illegal), compounding instead of "
+                         "correcting. Noisy histories keep it calibrated.")
     ap.add_argument("--hidden", type=int, default=48)
     ap.add_argument("--layers", type=int, default=1)
     ap.add_argument("--lr", type=float, default=3e-3)
@@ -75,28 +84,38 @@ def main() -> int:
     opt_state = opt.init(lm)
 
     @jax.jit
-    def train_step(lm, opt_state, labels, lengths):
+    def train_step(lm, opt_state, labels, lengths, inputs):
         loss, grads = jax.value_and_grad(lm_mod.lm_sequence_nll)(
-            lm, labels, lengths, blank)
+            lm, labels, lengths, blank, inputs)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(lm, updates), opt_state, loss
 
-    def batch(rng):
+    def batch(rng, input_noise):
         labs = np.stack([markov_labels(rng, args.seq_len, trans)
                          for _ in range(args.batch)]).astype(np.int32)
         lens = np.full(args.batch, args.seq_len, np.int32)
-        return jnp.asarray(labs), jnp.asarray(lens)
+        inputs = np.concatenate(
+            [np.full((args.batch, 1), blank, np.int32), labs[:, :-1]],
+            axis=1)
+        if input_noise > 0:
+            flip = rng.random(inputs.shape) < input_noise
+            flip[:, 0] = False   # keep <bos>
+            inputs = np.where(
+                flip, rng.integers(0, args.tones, inputs.shape), inputs
+            ).astype(np.int32)
+        return jnp.asarray(labs), jnp.asarray(lens), jnp.asarray(inputs)
 
     rng = np.random.default_rng(args.seed)
     for step in range(args.steps):
-        labels, lengths = batch(rng)
-        lm, opt_state, loss = train_step(lm, opt_state, labels, lengths)
+        labels, lengths, inputs = batch(rng, args.input_noise)
+        lm, opt_state, loss = train_step(lm, opt_state, labels, lengths,
+                                         inputs)
         if step % 50 == 0 or step == args.steps - 1:
             print(f"step {step}: nll {float(loss):.4f}", file=sys.stderr)
 
     # held-out eval: fresh grammar sequences, plus the uniform baseline
     eval_rng = np.random.default_rng(args.seed + 999)
-    labels, lengths = batch(eval_rng)
+    labels, lengths, _ = batch(eval_rng, 0.0)
     nll = float(lm_mod.lm_sequence_nll(lm, labels, lengths, blank))
     uniform = float(np.log(args.tones))
     floor = float(np.log(args.branch))
