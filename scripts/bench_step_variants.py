@@ -32,6 +32,11 @@ def main() -> int:
                     help="comma list: xla,pallas (NEMOTRON_TPU_ATTN)")
     ap.add_argument("--attn-block", default="8")
     ap.add_argument("--modes", default="w8a8-int8kv")
+    ap.add_argument("--fuse", default="1",
+                    help="comma list of K: trace K chained chunk steps in ONE "
+                         "jitted program (amortizes the per-call K/V ring "
+                         "parameter relayout across K chunks; reported "
+                         "ms/step is per CHUNK)")
     ap.add_argument("--chains", type=int, default=4)
     ap.add_argument("--len", type=int, default=10, dest="chain_len")
     ap.add_argument("--quick", action="store_true")
@@ -134,22 +139,30 @@ def main() -> int:
         for mode, (params, cc_run) in params_by_mode.items():
             pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc_run,
                                                      dtype=dtype)
-            for B in batches:
+            for fuse in [int(k) for k in args.fuse.split(",")]:
+              for B in batches:
                 # fresh jit cache per variant (env knob is trace-time)
-                step = jax.jit(
-                    lambda p, mel, es, ds, ph, _cc=cc_run: (
-                        sess_mod._chunk_step_jit.__wrapped__(
-                            p, cfg, _cc, mel, es, ds, ph)),
-                    donate_argnums=(2, 3))
+                def fused(p, mels, es, ds, ph, _cc=cc_run, _k=fuse):
+                    # K chained chunk steps traced into ONE program: the
+                    # K/V ring parameter relayout (the dominant
+                    # data-formatting tax, PERFORMANCE.md floor analysis)
+                    # happens once per CALL, not once per chunk.
+                    out = []
+                    for i in range(_k):
+                        toks, es, ds = sess_mod._chunk_step_jit.__wrapped__(
+                            p, cfg, _cc, mels[i], es, ds, ph)
+                        out.append(toks)
+                    return jnp.stack(out), es, ds
+                step = jax.jit(fused, donate_argnums=(2, 3))
                 es = enc_mod.init_encoder_state(cfg, cc_run, B, dtype)
                 ds = dec_mod.init_decoder_state(cfg, B, dtype)
                 mel = jnp.asarray(rng.standard_normal(
-                    (B, cc_run.chunk_mel_frames, cfg.n_mels)), dtype)
+                    (fuse, B, cc_run.chunk_mel_frames, cfg.n_mels)), dtype)
                 try:
                     toks, es, ds = step(params, mel, es, ds, pos_heads)
                     sync(toks)
                 except Exception as e:
-                    print(f"unroll={unroll} {mode} B={B}: "
+                    print(f"unroll={unroll} {mode} fuse={fuse} B={B}: "
                           f"{type(e).__name__}: {e}", file=sys.stderr)
                     continue
                 rtts = []
@@ -165,8 +178,9 @@ def main() -> int:
                         toks, es, ds = step(params, mel, es, ds, pos_heads)
                     sync(toks)
                     est.append(max(time.perf_counter() - t0 - rtt, 0)
-                               / args.chain_len)
-                key = f"unroll{unroll}-{attn}/{mode}/B{B}"
+                               / (args.chain_len * fuse))
+                key = f"unroll{unroll}-{attn}/{mode}/B{B}" + (
+                    f"/fuse{fuse}" if fuse != 1 else "")
                 ms = sorted(x * 1e3 for x in est)
                 results[key] = {"p50_ms": round(ms[len(ms) // 2], 2),
                                 "min_ms": round(ms[0], 2),
