@@ -106,6 +106,40 @@ def put_stream_rows(mesh, local_block: np.ndarray, n_streams: int, spans):
     return jax.make_array_from_single_device_arrays(gshape, sh, arrays)
 
 
+def put_stream_rows_axis(mesh, local_block: np.ndarray, n_streams: int,
+                         spans, stream_axis: int, dtype=None):
+    """`put_stream_rows` generalized to a stream axis other than 0 (encoder
+    caches are [L, B, ...]): assemble the global array sharded P('data') at
+    `stream_axis` from this process's local rows along that axis."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    gshape = list(local_block.shape)
+    gshape[stream_axis] = n_streams
+    gshape = tuple(gshape)
+    spec = [None] * local_block.ndim
+    spec[stream_axis] = "data"
+    sh = NamedSharding(mesh, P(*spec))
+    offsets, off = {}, 0
+    for a, b in spans:
+        offsets[a] = off
+        off += b - a
+
+    def cb(index):
+        import jax.numpy as jnp
+
+        sl = index[stream_axis]
+        a = sl.start or 0
+        b = n_streams if sl.stop is None else sl.stop
+        lo = offsets[a]
+        idx = list(index)
+        idx[stream_axis] = slice(lo, lo + (b - a))
+        blk = local_block[tuple(idx)]
+        return blk if dtype is None else jnp.asarray(blk, dtype)
+
+    return jax.make_array_from_callback(gshape, sh, cb)
+
+
 def fetch_stream_rows(x, stream_axis: int, rows) -> np.ndarray:
     """Materialize the given global stream rows of a (possibly
     non-fully-addressable) device array as numpy. Robust to whatever
@@ -142,9 +176,14 @@ class MultihostLockstep(LockstepEngine):
         a divergent call sequence desyncs the SPMD programs).
 
     Not supported multihost: `endpoint_reset` (the reset is a collective
-    whose firing is data-dependent per process) and `save`/`load`
-    (per-process shard snapshotting; planned). Plain endpointing (events
+    whose firing is data-dependent per process). Plain endpointing (events
     without decoder reset) is pure host accounting and works.
+
+    `save`/`load` are per-process shard snapshots: every process calls
+    them COLLECTIVELY with the SAME path; each writes/reads its own
+    `<path>.p<process_index>.npz` holding only the stream rows its devices
+    own (no host ever materializes the global slab). Load requires the
+    same process count/row ownership the snapshot was taken with.
     """
 
     def __init__(self, params, cfg, vocab=None, cache_config=None,
@@ -194,12 +233,25 @@ class MultihostLockstep(LockstepEngine):
     def _fetch_block(self, x, stream_axis: int) -> np.ndarray:
         return fetch_stream_rows(x, stream_axis, self._local_rows)
 
+    def _unsnap_rows(self, a, dtype, stream_axis: int):
+        from ..utils.npz import npz_decode
+
+        return put_stream_rows_axis(self.mesh, npz_decode(a),
+                                    self.n_streams, self._spans,
+                                    stream_axis, dtype=dtype)
+
+    def _shard_loaded_state(self) -> None:
+        pass   # _unsnap_rows already materialized globally-sharded arrays
+
+    def _rank_path(self, path: str) -> str:
+        import jax
+
+        base = path[:-4] if path.endswith(".npz") else path
+        return f"{base}.p{jax.process_index()}.npz"
+
     def save(self, path: str) -> None:
-        raise NotImplementedError("multihost snapshot/resume is not "
-                                  "implemented (needs per-process shard "
-                                  "snapshots)")
+        """Collective per-process shard snapshot (see class docstring)."""
+        super().save(self._rank_path(path))
 
     def load(self, path: str) -> None:
-        raise NotImplementedError("multihost snapshot/resume is not "
-                                  "implemented (needs per-process shard "
-                                  "snapshots)")
+        super().load(self._rank_path(path))

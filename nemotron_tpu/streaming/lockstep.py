@@ -589,24 +589,37 @@ class LockstepEngine:
 
     # -- checkpoint / resume --------------------------------------------------
 
+    def _unsnap_rows(self, a: np.ndarray, dtype, stream_axis: int):
+        """Inverse of `_fetch_block` for snapshot restore: numpy rows owned
+        by this process along `stream_axis` -> device array. Single-process:
+        the rows ARE the whole array (multihost engines reassemble the
+        global sharded array from each process's rows)."""
+        from ..utils.npz import npz_decode
+
+        return jnp.asarray(npz_decode(a), dtype)
+
     def save(self, path: str) -> None:
         """Snapshot all device state + transcripts (exact resume, the same
-        contract as StreamSession/ServingEngine.save)."""
+        contract as StreamSession/ServingEngine.save).
+
+        Per-stream device leaves go through `_fetch_block`, so a multihost
+        engine snapshots only the rows its process owns."""
         self.flush_pipeline()
+        fetch = self._fetch_block
         flat = {
-            "enc/k_cache": np.asarray(self.enc_state.k_cache),
-            "enc/v_cache": np.asarray(self.enc_state.v_cache),
-            "enc/k_scale": np.asarray(self.enc_state.k_scale),
-            "enc/v_scale": np.asarray(self.enc_state.v_scale),
-            "enc/conv_cache": np.asarray(self.enc_state.conv_cache),
-            "enc/valid_len": np.asarray(self.enc_state.valid_len),
-            "enc/phase": np.asarray(self.enc_state.phase),
-            "dec/h": np.asarray(self.dec_state.h),
-            "dec/c": np.asarray(self.dec_state.c),
-            "dec/prev_token": np.asarray(self.dec_state.prev_token),
-            "front/last_sample": np.asarray(self.front.last_sample),
-            "front/residue": np.asarray(self.front.residue),
-            "mel_buf": np.asarray(self.mel_buf, np.float32),
+            "enc/k_cache": fetch(self.enc_state.k_cache, 1),
+            "enc/v_cache": fetch(self.enc_state.v_cache, 1),
+            "enc/k_scale": fetch(self.enc_state.k_scale, 1),
+            "enc/v_scale": fetch(self.enc_state.v_scale, 1),
+            "enc/conv_cache": fetch(self.enc_state.conv_cache, 1),
+            "enc/valid_len": fetch(self.enc_state.valid_len, 0),
+            "enc/phase": fetch(self.enc_state.phase, 0),
+            "dec/h": fetch(self.dec_state.h, 0),
+            "dec/c": fetch(self.dec_state.c, 0),
+            "dec/prev_token": fetch(self.dec_state.prev_token, 0),
+            "front/last_sample": fetch(self.front.last_sample, 0),
+            "front/residue": fetch(self.front.residue, 0),
+            "mel_buf": np.asarray(fetch(self.mel_buf, 0), np.float32),
             "buf_len": np.int64(self.buf_len),
             "frame_offset": np.int64(self.frame_offset),
             "total_chunks": np.int64(self.total_chunks),
@@ -625,9 +638,9 @@ class LockstepEngine:
             if self.beam_state.lm_h is not None:
                 keys += ("lm_h", "lm_c")
             for k in keys:
-                flat[f"beam/{k}"] = np.asarray(getattr(self.beam_state, k))
+                flat[f"beam/{k}"] = fetch(getattr(self.beam_state, k), 0)
         if self.tdt_skip is not None:
-            flat["tdt_skip"] = np.asarray(self.tdt_skip)
+            flat["tdt_skip"] = fetch(self.tdt_skip, 0)
         if self.ctc_prev is not None:
             flat["ctc_prev"] = self.ctc_prev
         for s in range(self.n_local):
@@ -637,30 +650,39 @@ class LockstepEngine:
             else:
                 flat[f"tokens/{s}"] = np.asarray(
                     self.tokens[s], np.int64).reshape(-1, 2)
-        np.savez(path, **flat)
+        from ..utils.npz import savez_bf16_safe
+
+        savez_bf16_safe(path, flat)
 
     def load(self, path: str) -> None:
         from ..frontend.device_frontend import FrontendState
 
-        z = np.load(path, allow_pickle=True)
+        from ..utils.npz import NpzView
+
+        z = NpzView(np.load(path, allow_pickle=True))
+        if len(z["dec/prev_token"]) != self.n_local:
+            raise ValueError(
+                f"snapshot holds {len(z['dec/prev_token'])} stream rows, "
+                f"engine owns {self.n_local}")
         ring_dtype = (jnp.int8 if self.cc.kv_quant_max is not None
                       else self.dtype)
+        un = self._unsnap_rows
         self.enc_state = enc_mod.EncoderState(
-            k_cache=jnp.asarray(z["enc/k_cache"], ring_dtype),
-            v_cache=jnp.asarray(z["enc/v_cache"], ring_dtype),
-            k_scale=jnp.asarray(z["enc/k_scale"], jnp.float32),
-            v_scale=jnp.asarray(z["enc/v_scale"], jnp.float32),
-            conv_cache=jnp.asarray(z["enc/conv_cache"], self.dtype),
-            valid_len=jnp.asarray(z["enc/valid_len"], jnp.int32),
-            phase=jnp.asarray(z["enc/phase"], jnp.int32))
+            k_cache=un(z["enc/k_cache"], ring_dtype, 1),
+            v_cache=un(z["enc/v_cache"], ring_dtype, 1),
+            k_scale=un(z["enc/k_scale"], jnp.float32, 1),
+            v_scale=un(z["enc/v_scale"], jnp.float32, 1),
+            conv_cache=un(z["enc/conv_cache"], self.dtype, 1),
+            valid_len=un(z["enc/valid_len"], jnp.int32, 0),
+            phase=un(z["enc/phase"], jnp.int32, 0))
         self.dec_state = dec_mod.DecoderState(
-            h=jnp.asarray(z["dec/h"], self.dtype),
-            c=jnp.asarray(z["dec/c"], self.dtype),
-            prev_token=jnp.asarray(z["dec/prev_token"], jnp.int32))
+            h=un(z["dec/h"], self.dtype, 0),
+            c=un(z["dec/c"], self.dtype, 0),
+            prev_token=un(z["dec/prev_token"], jnp.int32, 0))
         if self.tdt != ("tdt_skip" in z.files):
             raise ValueError("snapshot/engine TDT-mode mismatch")
         if self.tdt:
-            self.tdt_skip = jnp.asarray(z["tdt_skip"], jnp.int32)
+            self.tdt_skip = un(z["tdt_skip"], jnp.int32, 0)
         if self.ctc != ("ctc_prev" in z.files):
             raise ValueError("snapshot/engine CTC-mode mismatch")
         if self.ctc:
@@ -685,21 +707,21 @@ class LockstepEngine:
                     f"{'carries' if has_lm else 'has no'} LM state, engine "
                     f"lm={'set' if self.lm is not None else 'None'}")
             self.beam_state = beam_mod.BeamState(
-                h=jnp.asarray(z["beam/h"], self.dtype),
-                c=jnp.asarray(z["beam/c"], self.dtype),
-                prev_token=jnp.asarray(z["beam/prev_token"], jnp.int32),
-                scores=jnp.asarray(z["beam/scores"], jnp.float32),
-                tokens=jnp.asarray(z["beam/tokens"], jnp.int32),
-                lengths=jnp.asarray(z["beam/lengths"], jnp.int32),
-                lm_h=(jnp.asarray(z["beam/lm_h"], self.dtype)
+                h=un(z["beam/h"], self.dtype, 0),
+                c=un(z["beam/c"], self.dtype, 0),
+                prev_token=un(z["beam/prev_token"], jnp.int32, 0),
+                scores=un(z["beam/scores"], jnp.float32, 0),
+                tokens=un(z["beam/tokens"], jnp.int32, 0),
+                lengths=un(z["beam/lengths"], jnp.int32, 0),
+                lm_h=(un(z["beam/lm_h"], self.dtype, 0)
                       if has_lm else None),
-                lm_c=(jnp.asarray(z["beam/lm_c"], self.dtype)
+                lm_c=(un(z["beam/lm_c"], self.dtype, 0)
                       if has_lm else None))
             self._beam_dirty = True
         self.front = FrontendState(
-            last_sample=jnp.asarray(z["front/last_sample"], jnp.float32),
-            residue=jnp.asarray(z["front/residue"], jnp.float32))
-        self.mel_buf = jnp.asarray(z["mel_buf"], self.dtype)
+            last_sample=un(z["front/last_sample"], jnp.float32, 0),
+            residue=un(z["front/residue"], jnp.float32, 0))
+        self.mel_buf = un(z["mel_buf"], self.dtype, 0)
         self.buf_len = int(z["buf_len"])
         self.frame_offset = int(z["frame_offset"])
         self.total_chunks = int(z["total_chunks"])
@@ -715,6 +737,12 @@ class LockstepEngine:
              else (int(row[0]), int(row[1])) for row in z[f"tokens/{s}"]]
             for s in range(self.n_local)]
         self._pending = None
+        self._shard_loaded_state()
+
+    def _shard_loaded_state(self) -> None:
+        """Re-shard the freshly-loaded (single-device) state over the mesh.
+        Multihost engines override this to a no-op: their `_unsnap_rows`
+        already materializes globally-sharded arrays."""
         if self.mesh is not None:
             from ..parallel.mesh import shard_state, shard_stream_major
 

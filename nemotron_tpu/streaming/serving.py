@@ -1179,7 +1179,9 @@ class ServingEngine:
                 flat[f"devdsp/fifo/{s}"] = (
                     np.concatenate(fifo.parts) if fifo.parts
                     else np.zeros(0, np.int16))
-        np.savez(path, **flat)
+        from ..utils.npz import savez_bf16_safe
+
+        savez_bf16_safe(path, flat)
 
     def load(self, path: str) -> None:
         import jax.numpy as jnp
@@ -1187,7 +1189,9 @@ class ServingEngine:
         from ..models.decoder import DecoderState
         from ..models.encoder import EncoderState
 
-        z = np.load(path, allow_pickle=True)
+        from ..utils.npz import NpzView
+
+        z = NpzView(np.load(path, allow_pickle=True))
         assert z["active"].shape == (self.n_slots,), "n_slots mismatch"
         ring_dtype = (jnp.int8 if self.cc.kv_quant_max is not None
                       else self.dtype)

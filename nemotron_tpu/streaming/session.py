@@ -724,11 +724,15 @@ class StreamSession:
                 flat[f"tokens/{s}"] = np.asarray(
                     toks, np.int64).reshape(-1, 2)
         flat["transcripts"] = np.asarray(st["transcripts"], dtype=object)
-        np.savez(path, **flat)
+        from ..utils.npz import savez_bf16_safe
+
+        savez_bf16_safe(path, flat)
 
     def load(self, path: str) -> None:
+        from ..utils.npz import npz_decode
+
         z = np.load(path, allow_pickle=True)
-        st = {k: z[k] for k in z.files
+        st = {k: npz_decode(z[k]) for k in z.files
               if not k.startswith(("preproc/", "tokens/"))
               and k not in ("transcripts", "frame_offset")}
         st["preproc"] = {"last_sample": z["preproc/last_sample"],

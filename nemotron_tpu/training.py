@@ -166,8 +166,10 @@ def save_train_state(path: str, params, opt_state, step: int = 0) -> None:
     asserted on load)."""
     import numpy as np
 
+    from .utils.npz import npz_encode
+
     leaves, treedef = jax.tree_util.tree_flatten((params, opt_state))
-    flat = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    flat = {f"leaf_{i}": npz_encode(x) for i, x in enumerate(leaves)}
     flat["__step"] = np.int64(step)
     flat["__treedef"] = np.asarray(str(treedef))
     np.savez(path, **flat)
@@ -178,12 +180,17 @@ def load_train_state(path: str, params_like, opt_state_like):
     structure of the given templates."""
     import numpy as np
 
+    from .utils.npz import npz_decode
+
     z = np.load(path, allow_pickle=True)
     leaves_like, treedef = jax.tree_util.tree_flatten(
         (params_like, opt_state_like))
     assert str(treedef) == str(z["__treedef"]), (
         "checkpoint structure does not match the model/optimizer")
-    leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(len(leaves_like))]
+    # cast to the template leaf's dtype: bf16 leaves were upcast-encoded
+    leaves = [jnp.asarray(npz_decode(z[f"leaf_{i}"]),
+                          jnp.asarray(leaves_like[i]).dtype)
+              for i in range(len(leaves_like))]
     params, opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
     return params, opt_state, int(z["__step"])
 

@@ -94,6 +94,45 @@ def test_session_snapshot_resume(model_setup, tmp_path):
     assert sess2.get_transcript(0) == want_text
 
 
+def test_engine_snapshot_bf16(model_setup, tmp_path):
+    """Snapshots taken at the TPU serving dtype (bf16) must load.
+
+    numpy writes ml_dtypes.bfloat16 into .npz as raw '|V2' void bytes
+    (dtype metadata lost), so snapshot leaves are upcast-encoded to f32 on
+    save (exact: bf16 values are a subset of f32) and cast back on load
+    (utils/npz.py). Regression: pre-fix, loading any bf16 snapshot raised
+    'No cast function available' — the exact-resume tests all ran f32 and
+    missed it."""
+    import jax.numpy as jnp
+
+    from nemotron_tpu.streaming.lockstep import LockstepEngine
+
+    _, params, cfg = model_setup
+    cc = CacheConfig(att_right_context=1, n_mels=cfg.n_mels)
+    vocab = [f"t{i}" for i in range(cfg.vocab_size)]
+
+    def make():
+        return LockstepEngine(params, cfg, vocab, cc, n_streams=2,
+                              compute_dtype=jnp.bfloat16)
+
+    N = cc.shift_samples
+    audio = np.stack([synth(N * 4, seed=3), synth(N * 4, seed=4)])
+    eng = make()
+    for t in range(2):
+        eng.tick(audio[:, t * N:(t + 1) * N])
+    snap = str(tmp_path / "bf16.npz")
+    eng.save(snap)
+    eng2 = make()
+    eng2.load(snap)
+    for t in range(2, 4):
+        eng.tick(audio[:, t * N:(t + 1) * N])
+        eng2.tick(audio[:, t * N:(t + 1) * N])
+    eng.finalize()
+    eng2.finalize()
+    assert eng2.transcripts == eng.transcripts
+    assert eng2.tokens == eng.tokens
+
+
 def test_traced_session_dumps(model_setup, tmp_path):
     _, params, cfg = model_setup
     d1 = str(tmp_path / "run1")

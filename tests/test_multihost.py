@@ -24,7 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r'''
 import json, sys
-repo, addr, pid, gguf, out = sys.argv[1:6]
+repo, addr, pid, gguf, out, mode = sys.argv[1:7]
 sys.path.insert(0, repo)
 from nemotron_tpu.parallel.multihost import MultihostLockstep, init_multihost
 init_multihost(addr, 2, int(pid), cpu_gloo=True)
@@ -46,8 +46,25 @@ def synth(n, seed):
 N = cc.shift_samples
 rows = [int(r) for r in eng.local_rows]
 audio = {r: synth(N * 4, 1000 + r) for r in rows}
-for t in range(4):
-    eng.tick(np.stack([audio[r][t * N:(t + 1) * N] for r in rows]))
+
+def block(t):
+    return np.stack([audio[r][t * N:(t + 1) * N] for r in rows])
+
+if mode == "resume":
+    # 2 ticks -> collective shard snapshot -> FRESH engine -> load ->
+    # 2 more ticks: must equal 4 uninterrupted ticks exactly
+    for t in range(2):
+        eng.tick(block(t))
+    snap = out + ".snap"
+    eng.save(snap)
+    eng = MultihostLockstep(params, cfg, vocab, cc, n_streams=8,
+                            compute_dtype=jnp.float32)
+    eng.load(snap)
+    for t in range(2, 4):
+        eng.tick(block(t))
+else:
+    for t in range(4):
+        eng.tick(block(t))
 eng.finalize()
 res = {str(r): {"text": eng.transcripts[i],
                 "tokens": [[int(t), int(f)] for t, f in eng.tokens[i]]}
@@ -86,6 +103,27 @@ def test_multihost_requires_cluster(model_setup):
         MultihostLockstep(params, cfg)
 
 
+def _run_two_process(tmp_path, gguf, mode: str) -> dict:
+    addr = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    outs = [str(tmp_path / f"out-{mode}{p}.json") for p in (0, 1)]
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", WORKER, REPO, addr, str(p), gguf, outs[p],
+         mode],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for p in (0, 1)]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        logs.append(out.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+    multi = {}
+    for o in outs:
+        multi.update(json.load(open(o)))
+    return multi
+
+
 def test_two_process_lockstep_matches_single(model_setup, tmp_path):
     """2-process global slab (gloo) == single-process engine, exactly."""
     from conftest import write_tiny_gguf
@@ -99,22 +137,7 @@ def test_two_process_lockstep_matches_single(model_setup, tmp_path):
     gguf = str(tmp_path / "tiny.gguf")
     write_tiny_gguf(gguf, arrays, cfg)
 
-    addr = f"127.0.0.1:{_free_port()}"
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=4")
-    outs = [str(tmp_path / f"out{p}.json") for p in (0, 1)]
-    procs = [subprocess.Popen(
-        [sys.executable, "-c", WORKER, REPO, addr, str(p), gguf, outs[p]],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for p in (0, 1)]
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        logs.append(out.decode(errors="replace"))
-    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
-    multi = {}
-    for o in outs:
-        multi.update(json.load(open(o)))
+    multi = _run_two_process(tmp_path, gguf, "straight")
     assert sorted(map(int, multi)) == list(range(8))
 
     # single-process reference on the same audio (same GGUF load path)
@@ -137,3 +160,10 @@ def test_two_process_lockstep_matches_single(model_setup, tmp_path):
         assert multi[str(r)]["text"] == eng.transcripts[r], f"row {r}"
         assert multi[str(r)]["tokens"] == [[t, f] for t, f in
                                            eng.tokens[r]], f"row {r}"
+
+    # per-process shard snapshot/resume: 2 ticks -> save -> fresh engines
+    # -> load -> 2 ticks must equal the 4 uninterrupted ticks exactly
+    resumed = _run_two_process(tmp_path, gguf, "resume")
+    assert sorted(map(int, resumed)) == list(range(8))
+    for r in range(8):
+        assert resumed[str(r)] == multi[str(r)], f"row {r} (resume)"
