@@ -149,3 +149,86 @@ class ASRClient:
 
     def __exit__(self, *exc):
         self.close()
+
+
+# -- WebSocket variant --------------------------------------------------------
+
+_WS_SEND = {T_START: "start", T_END: "end", T_STATS: "stats"}
+_WS_RECV = {"ready": T_READY, "partial": T_PARTIAL, "final": T_FINAL,
+            "error": T_ERROR, "stats": T_STATS_R, "utterance": T_UTTERANCE}
+
+
+class WSASRClient(ASRClient):
+    """The same session surface over the server's WebSocket transport
+    (ASRServer(ws_port=...)). Browsers speak this natively; this blocking
+    Python client exists for tests and feed pipelines that want one
+    protocol everywhere. Control goes as masked TEXT frames
+    ({"type": "start"|"end"|"stats", ...}), audio as masked BINARY frames;
+    events arrive as TEXT JSON with a "type" field, mapped back onto the
+    shared ASRClient event machinery."""
+
+    def __init__(self, host: str, port: int, timeout: float = 120.0,
+                 path: str = "/"):
+        super().__init__(host, port, timeout=timeout)
+        from . import websocket as ws
+        self._ws = ws
+        req, expect = ws.client_handshake_request(f"{host}:{port}", path)
+        self.sock.sendall(req)
+        # read the HTTP response head; anything past it is WS frames
+        head = b""
+        self.sock.settimeout(timeout)
+        while b"\r\n\r\n" not in head:
+            data = self.sock.recv(1 << 16)
+            if not data:
+                raise ConnectionError("server closed during WS handshake")
+            head += data
+            if len(head) > (1 << 16):
+                raise ValueError("oversized WS handshake response")
+        head, _, rest = head.partition(b"\r\n\r\n")
+        lines = head.decode("latin-1").split("\r\n")
+        if " 101 " not in lines[0] + " ":
+            raise ConnectionError(f"WS upgrade refused: {lines[0]}")
+        accept = ""
+        for ln in lines[1:]:
+            name, _, value = ln.partition(":")
+            if name.strip().lower() == "sec-websocket-accept":
+                accept = value.strip()
+        if accept != expect:
+            raise ConnectionError("bad Sec-WebSocket-Accept")
+        self._rbuf = rest
+
+    def _send(self, ftype: int, payload: bytes = b"") -> None:
+        ws = self._ws
+        if ftype == T_AUDIO:
+            frame = ws.encode_frame(ws.OP_BINARY, payload, mask=True)
+        else:
+            obj = json.loads(payload.decode("utf-8")) if payload else {}
+            obj["type"] = _WS_SEND[ftype]
+            frame = ws.encode_frame(
+                ws.OP_TEXT, json.dumps(obj).encode("utf-8"), mask=True)
+        self.sock.sendall(frame)
+
+    def _pop_frame(self) -> tuple[int, bytes] | None:
+        ws = self._ws
+        while True:
+            res = ws.parse_frame(self._rbuf)
+            if res is None:
+                return None
+            fin, opcode, _masked, payload, consumed = res
+            if not fin:
+                raise ValueError("fragmented server frame (server never "
+                                 "fragments)")
+            self._rbuf = self._rbuf[consumed:]
+            if opcode == ws.OP_PING:
+                self.sock.sendall(
+                    ws.encode_frame(ws.OP_PONG, payload, mask=True))
+                continue
+            if opcode == ws.OP_CLOSE:
+                raise ConnectionError("server closed the WebSocket")
+            if opcode != ws.OP_TEXT:
+                continue
+            obj = json.loads(payload.decode("utf-8"))
+            ftype = _WS_RECV[obj.pop("type")]
+            # re-encode without "type" so the shared _handle sees exactly
+            # the TCP-protocol payload
+            return ftype, json.dumps(obj).encode("utf-8")

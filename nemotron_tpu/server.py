@@ -35,6 +35,15 @@ A connection returns to the idle state after FINAL and may START again.
 All engine calls are serialized behind one lock and executed off the event
 loop (JAX dispatch blocks); the ticker coroutine batches every
 connection's staged audio into one feed_audio + step per interval.
+
+WebSocket transport (ws_port): the same session semantics for browser
+clients (which cannot speak raw TCP), over RFC 6455 frames
+(nemotron_tpu/websocket.py). Client->server: TEXT frames carry JSON
+control ({"type": "start"|"end"|"stats", ...options}); BINARY frames
+carry raw s16le PCM. Server->client: TEXT frames with the same JSON
+payloads as the TCP protocol plus a "type" field ("ready"/"partial"/
+"final"/"error"/"stats"/"utterance"). Both transports multiplex onto the
+SAME engine slab and ticker.
 """
 
 from __future__ import annotations
@@ -45,6 +54,8 @@ import struct
 import time
 
 import numpy as np
+
+from . import websocket as ws
 
 # frame types
 T_START = 0x01
@@ -87,18 +98,26 @@ async def read_frame(reader: asyncio.StreamReader) -> tuple[int, bytes]:
 
 
 class _Conn:
-    """Per-connection state."""
+    """Per-connection state. `is_ws` selects the outbound framing: TCP
+    length-prefixed frames or WebSocket TEXT frames (same JSON)."""
 
     __slots__ = ("writer", "slot", "sent_len", "last_text", "pending",
-                 "utterances")
+                 "utterances", "is_ws")
 
-    def __init__(self, writer: asyncio.StreamWriter):
+    def __init__(self, writer: asyncio.StreamWriter, is_ws: bool = False):
         self.writer = writer
         self.slot: int | None = None
         self.sent_len = 0          # chars of transcript already pushed
         self.last_text = ""        # beam mode: last full transcript sent
         self.pending = 0           # staged-but-unticked samples
         self.utterances = 0        # endpoint events relayed (UTTERANCE idx)
+        self.is_ws = is_ws
+
+
+# WebSocket event names for each server->client frame type (the TCP
+# protocol distinguishes events by the u8 type; WS JSON carries it inline)
+_WS_EVENT = {T_READY: "ready", T_PARTIAL: "partial", T_FINAL: "final",
+             T_ERROR: "error", T_STATS_R: "stats", T_UTTERANCE: "utterance"}
 
 
 class ASRServer:
@@ -111,15 +130,19 @@ class ASRServer:
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
                  tick_interval: float | None = None,
-                 http_stats_port: int | None = None):
+                 http_stats_port: int | None = None,
+                 ws_port: int | None = None):
         """http_stats_port: additionally serve `GET /metrics`
         (Prometheus text exposition of stats()) and `GET /stats` (JSON)
         on that port — 0 picks an ephemeral port (read back from
-        `self.http_stats_port` after start()); None disables."""
+        `self.http_stats_port` after start()); None disables.
+        ws_port: additionally accept WebSocket clients (browsers) on that
+        port — same semantics: 0 ephemeral, None disabled."""
         self.engine = engine
         self.host = host
         self.port = port
         self.http_stats_port = http_stats_port
+        self.ws_port = ws_port
         if tick_interval is None:
             tick_interval = max(
                 0.01, engine.cc.chunk_samples / 16000.0 / 4.0)
@@ -144,6 +167,11 @@ class ASRServer:
                 self._handle_http, self.host, self.http_stats_port)
             self.http_stats_port = \
                 self._http_server.sockets[0].getsockname()[1]
+        self._ws_server = None
+        if self.ws_port is not None:
+            self._ws_server = await asyncio.start_server(
+                self._handle_ws, self.host, self.ws_port)
+            self.ws_port = self._ws_server.sockets[0].getsockname()[1]
         self._ticker = asyncio.get_running_loop().create_task(
             self._tick_loop())
 
@@ -160,6 +188,9 @@ class ASRServer:
         if getattr(self, "_http_server", None) is not None:
             self._http_server.close()
             await self._http_server.wait_closed()
+        if getattr(self, "_ws_server", None) is not None:
+            self._ws_server.close()
+            await self._ws_server.wait_closed()
         for conn in list(self._conns.values()):
             conn.writer.close()
         self._conns.clear()
@@ -190,8 +221,7 @@ class ASRServer:
                 # an engine failure poisons every stream: surface it to all
                 # clients rather than dying silently
                 for conn in list(self._conns.values()):
-                    self._send(conn.writer,
-                               pack_json(T_ERROR, {"error": repr(e)}))
+                    self._emit(conn, T_ERROR, {"error": repr(e)})
 
     async def _tick_once(self) -> None:
         async with self._lock:
@@ -223,13 +253,12 @@ class ASRServer:
             if eng.beam_state is not None:
                 if full != conn.last_text:
                     conn.last_text = full
-                    self._send(conn.writer, pack_json(
-                        T_PARTIAL, {"text": full, "replace": True}))
+                    self._emit(conn, T_PARTIAL, {"text": full, "replace": True})
             elif len(full) > conn.sent_len:
                 delta = full[conn.sent_len:]
                 conn.sent_len = len(full)
-                self._send(conn.writer, pack_json(
-                    T_PARTIAL, {"text": delta, "replace": False}))
+                self._emit(conn, T_PARTIAL,
+                           {"text": delta, "replace": False})
 
     async def _push_endpoints(self) -> None:
         """Relay utterance-endpoint events (engines built with
@@ -242,10 +271,10 @@ class ASRServer:
             conn = self._conns.get(slot)
             if conn is None or conn.slot is None:
                 continue
-            self._send(conn.writer, pack_json(T_UTTERANCE, {
+            self._emit(conn, T_UTTERANCE, {
                 "index": conn.utterances,
                 "text": text,
-                "tokens": [list(t) for t in toks]}))
+                "tokens": [list(t) for t in toks]})
             conn.utterances += 1
 
     # -- HTTP stats (observability sidecar) ----------------------------------
@@ -329,6 +358,19 @@ class ASRServer:
             return
         writer.write(data)
 
+    def _emit(self, conn: _Conn, ftype: int, obj: dict) -> None:
+        """One server->client event, framed for the connection's
+        transport: TCP length-prefixed JSON, or a WebSocket TEXT frame
+        with the event name inlined as "type"."""
+        if conn.is_ws:
+            payload = json.dumps(
+                {"type": _WS_EVENT[ftype], **obj},
+                default=lambda o: o.item() if hasattr(o, "item") else str(o))
+            self._send(conn.writer,
+                       ws.encode_frame(ws.OP_TEXT, payload.encode("utf-8")))
+        else:
+            self._send(conn.writer, pack_json(ftype, obj))
+
     async def _handle_conn(self, reader: asyncio.StreamReader,
                            writer: asyncio.StreamWriter) -> None:
         self.connections_total += 1
@@ -346,7 +388,7 @@ class ASRServer:
                 elif ftype == T_END:
                     await self._on_end(conn)
                 elif ftype == T_STATS:
-                    st = await self._engine_call(self.engine.stats)
+                    st = await self._engine_call(self.stats)
                     self._send(writer, pack_json(T_STATS_R, st))
                 else:
                     self._send(writer, pack_json(
@@ -355,35 +397,97 @@ class ASRServer:
         except ValueError as e:
             self._send(writer, pack_json(T_ERROR, {"error": str(e)}))
         finally:
-            # drop the slot of a connection that vanished mid-stream
-            if conn.slot is not None:
-                async with self._lock:
-                    slot, conn.slot = conn.slot, None
-                    self._conns.pop(slot, None)
-                    self._staged.pop(slot, None)
-                    if self.engine.active[slot]:
-                        await self._engine_call(
-                            self.engine.remove_stream, slot)
+            await self._cleanup_conn(conn)
+            writer.close()
+
+    async def _cleanup_conn(self, conn: _Conn) -> None:
+        """Drop the slot of a connection that vanished mid-stream."""
+        if conn.slot is not None:
+            async with self._lock:
+                slot, conn.slot = conn.slot, None
+                self._conns.pop(slot, None)
+                self._staged.pop(slot, None)
+                if self.engine.active[slot]:
+                    await self._engine_call(
+                        self.engine.remove_stream, slot)
+
+    async def _handle_ws(self, reader: asyncio.StreamReader,
+                         writer: asyncio.StreamWriter) -> None:
+        """One WebSocket client: RFC 6455 upgrade, then TEXT frames for
+        JSON control ({"type": "start"|"end"|"stats", ...}) and BINARY
+        frames for s16le PCM. Outbound events go through _emit as TEXT
+        frames. The session semantics are identical to the TCP path —
+        both transports share _on_start/_on_audio/_on_end and the slab."""
+        self.connections_total += 1
+        conn = _Conn(writer, is_ws=True)
+        try:
+            if not await ws.server_handshake(reader, writer):
+                return
+            messages = ws.MessageReader(reader, MAX_FRAME_BYTES)
+            while True:
+                try:
+                    opcode, payload = await messages.next()
+                except (asyncio.IncompleteReadError, ConnectionError):
+                    break
+                if opcode == ws.OP_CLOSE:
+                    # echo the close (status code payload, if any) per §5.5.1
+                    self._send(writer,
+                               ws.encode_frame(ws.OP_CLOSE, payload[:2]))
+                    break
+                if opcode == ws.OP_PING:
+                    self._send(writer, ws.encode_frame(ws.OP_PONG, payload))
+                elif opcode == ws.OP_PONG:
+                    pass
+                elif opcode == ws.OP_BINARY:
+                    await self._on_audio(conn, payload)
+                elif opcode == ws.OP_TEXT:
+                    try:
+                        msg = json.loads(payload.decode("utf-8"))
+                        mtype = msg.pop("type")
+                    except (UnicodeDecodeError, json.JSONDecodeError,
+                            KeyError, AttributeError):
+                        self._emit(conn, T_ERROR, {
+                            "error": "control message must be JSON with "
+                                     "a \"type\" field"})
+                        await writer.drain()
+                        continue
+                    if mtype == "start":
+                        await self._on_start(
+                            conn, json.dumps(msg).encode("utf-8"))
+                    elif mtype == "end":
+                        await self._on_end(conn)
+                    elif mtype == "stats":
+                        st = await self._engine_call(self.stats)
+                        self._emit(conn, T_STATS_R, st)
+                    else:
+                        self._emit(conn, T_ERROR, {
+                            "error": f"unknown control type {mtype!r}"})
+                else:
+                    self._emit(conn, T_ERROR, {
+                        "error": f"unsupported WS opcode {opcode}"})
+                await writer.drain()
+        except ws.WSProtocolError as e:
+            self._emit(conn, T_ERROR, {"error": str(e)})
+        finally:
+            await self._cleanup_conn(conn)
             writer.close()
 
     async def _on_start(self, conn: _Conn, payload: bytes) -> None:
         if conn.slot is not None:
-            self._send(conn.writer, pack_json(
-                T_ERROR, {"error": "stream already started"}))
+            self._emit(conn, T_ERROR, {"error": "stream already started"})
             return
         if payload:
             try:
                 json.loads(payload.decode("utf-8"))  # reserved for options
             except (UnicodeDecodeError, json.JSONDecodeError):
-                self._send(conn.writer, pack_json(
-                    T_ERROR, {"error": "START payload is not JSON"}))
+                self._emit(conn, T_ERROR,
+                           {"error": "START payload is not JSON"})
                 return
         async with self._lock:
             try:
                 slot = await self._engine_call(self.engine.add_stream)
             except RuntimeError as e:          # slab full
-                self._send(conn.writer, pack_json(T_ERROR,
-                                                  {"error": str(e)}))
+                self._emit(conn, T_ERROR, {"error": str(e)})
                 return
             conn.slot = slot
             conn.sent_len = 0
@@ -392,7 +496,7 @@ class ASRServer:
             conn.utterances = 0
             self._conns[slot] = conn
         cc = self.engine.cc
-        self._send(conn.writer, pack_json(T_READY, {
+        self._emit(conn, T_READY, {
             "slot": slot,
             "sample_rate": 16000,
             "chunk_samples": cc.chunk_samples,
@@ -405,30 +509,28 @@ class ASRServer:
                        else "greedy"),
             "endpointing": getattr(self.engine, "_ep_frames", None)
             is not None,
-        }))
+        })
 
     async def _on_audio(self, conn: _Conn, payload: bytes) -> None:
         if conn.slot is None:
-            self._send(conn.writer, pack_json(
-                T_ERROR, {"error": "AUDIO before START"}))
+            self._emit(conn, T_ERROR, {"error": "AUDIO before START"})
             return
         if len(payload) % 2:
-            self._send(conn.writer, pack_json(
-                T_ERROR, {"error": "odd-length PCM payload (s16le)"}))
+            self._emit(conn, T_ERROR,
+                       {"error": "odd-length PCM payload (s16le)"})
             return
         pcm = np.frombuffer(payload, np.int16)
         conn.pending += pcm.size
         if conn.pending > MAX_PENDING_SECONDS * 16000:
-            self._send(conn.writer, pack_json(T_ERROR, {
+            self._emit(conn, T_ERROR, {
                 "error": f"over {MAX_PENDING_SECONDS:.0f} s of audio "
-                         "staged and unprocessed; slow down"}))
+                         "staged and unprocessed; slow down"})
             return
         self._staged.setdefault(conn.slot, []).append(pcm)
 
     async def _on_end(self, conn: _Conn) -> None:
         if conn.slot is None:
-            self._send(conn.writer, pack_json(
-                T_ERROR, {"error": "END before START"}))
+            self._emit(conn, T_ERROR, {"error": "END before START"})
             return
         async with self._lock:
             slot, conn.slot = conn.slot, None
@@ -442,10 +544,10 @@ class ASRServer:
                 self.engine.finalize_stream, slot, return_tokens=True)
             # finalize's internal steps may have advanced OTHER slots too
             await self._push_partials()
-        self._send(conn.writer, pack_json(T_FINAL, {
+        self._emit(conn, T_FINAL, {
             "text": text,
             "tokens": [list(t) for t in toks],
-        }))
+        })
 
     def stats(self) -> dict:
         st = dict(self.engine.stats())

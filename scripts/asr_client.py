@@ -4,7 +4,7 @@ the incremental transcript -- the reference CLI's UX
 (src/transcribe_stream.cpp:143-191) over the network.
 
     asr_client.py <host:port> <audio.pcm|audio.wav|-> [--rate real|max]
-                  [--block-ms MS] [--stats]
+                  [--block-ms MS] [--stats] [--ws]
 
 --rate real paces the upload at real time (one block per block's worth of
 wall clock), max streams as fast as the socket takes it. Incremental text
@@ -47,7 +47,7 @@ def main(argv: list[str]) -> int:
     rate = opt("--rate", "real", str)
     block_ms = opt("--block-ms", 100.0, float)
 
-    from nemotron_tpu.client import ASRClient
+    from nemotron_tpu.client import ASRClient, WSASRClient
     from nemotron_tpu.utils.audio import read_audio_bytes, read_audio_file
 
     if args[1] == "-":
@@ -55,7 +55,9 @@ def main(argv: list[str]) -> int:
     else:
         audio = read_audio_file(args[1])
 
-    client = ASRClient(host, port)
+    # --ws speaks the server's WebSocket transport (asr_server.py
+    # --ws-port) instead of the raw TCP protocol; same session semantics
+    client = (WSASRClient if "--ws" in argv else ASRClient)(host, port)
     info = client.start()
     print(f"connected: slot={info['slot']} "
           f"chunk={info['chunk_samples']} samples", file=sys.stderr)

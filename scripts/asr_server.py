@@ -9,7 +9,7 @@
                   [--confidence] [--endpoint-silence S] [--endpoint-reset]
                   [--ctc]           # hybrid CTC-head decode (TDT is
                                     # auto-detected from the GGUF)
-                  [--tick-ms T] [--http-stats PORT]
+                  [--tick-ms T] [--http-stats PORT] [--ws-port PORT]
                   [--cpu]
                   [--stats-every SECONDS]
 
@@ -67,6 +67,7 @@ def main(argv: list[str]) -> int:
     # slot fires an UTTERANCE event and its prediction network restarts
     ep_s = opt("--endpoint-silence", 0.0, float)
     http_stats = opt("--http-stats", -1, int)   # GET /metrics + /stats
+    ws_port = opt("--ws-port", -1, int)         # WebSocket transport
     quant_mode = opt("--quantize", None, str)
 
     from nemotron_tpu.config import CacheConfig
@@ -125,7 +126,8 @@ def main(argv: list[str]) -> int:
     server = ASRServer(engine, host=host, port=port,
                        tick_interval=tick_ms / 1000.0 if tick_ms else None,
                        http_stats_port=http_stats if http_stats >= 0
-                       else None)
+                       else None,
+                       ws_port=ws_port if ws_port >= 0 else None)
 
     async def run():
         await server.start()
@@ -136,6 +138,9 @@ def main(argv: list[str]) -> int:
         if server.http_stats_port is not None:
             print(f"http stats on {server.host}:{server.http_stats_port} "
                   "(/metrics, /stats)", file=sys.stderr, flush=True)
+        if server.ws_port is not None:
+            print(f"websocket on ws://{server.host}:{server.ws_port}/",
+                  file=sys.stderr, flush=True)
         last = time.time()
         try:
             while True:

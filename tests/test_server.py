@@ -43,9 +43,10 @@ def synth(n, seed):
 class _Server:
     """Run an ASRServer on its own event loop in a daemon thread."""
 
-    def __init__(self, engine, tick_interval=0.02):
+    def __init__(self, engine, tick_interval=0.02, **srv_kw):
         self.loop = asyncio.new_event_loop()
-        self.srv = ASRServer(engine, port=0, tick_interval=tick_interval)
+        self.srv = ASRServer(engine, port=0, tick_interval=tick_interval,
+                             **srv_kw)
         started = threading.Event()
 
         def run():
@@ -73,9 +74,9 @@ class _Server:
 def server_factory(model_setup, cc):
     servers = []
 
-    def make(**engine_kw):
+    def make(_srv_kw=None, **engine_kw):
         eng = make_engine(model_setup, cc, **engine_kw)
-        s = _Server(eng)
+        s = _Server(eng, **(_srv_kw or {}))
         servers.append(s)
         return s
 
@@ -318,3 +319,121 @@ def test_http_stats_endpoint(model_setup, cc):
             urllib.request.urlopen(f"{base}/nope", timeout=30)
     finally:
         s.stop()
+
+
+# -- WebSocket transport ------------------------------------------------------
+
+def test_ws_roundtrip_matches_tcp(model_setup, cc, server_factory):
+    """The same audio over the WebSocket transport and the TCP transport
+    (same server, same slab) must produce identical FINALs, and both must
+    match the directly-driven engine."""
+    from nemotron_tpu.client import WSASRClient
+
+    s = server_factory(_srv_kw={"ws_port": 0})
+    n = cc.chunk_samples
+    audio = np.concatenate([synth(n, 41), synth(n, 42), synth(n // 2, 43)])
+
+    with WSASRClient("127.0.0.1", s.srv.ws_port) as wclient:
+        info = wclient.start()
+        assert info["sample_rate"] == 16000
+        for i in range(0, len(audio), 777):
+            wclient.send_audio(audio[i:i + 777])
+        ws_final = wclient.end()
+        ws_stats = wclient.stats()
+    assert ws_stats["connections_total"] >= 1
+
+    with ASRClient(*s.addr) as tclient:
+        tclient.start()
+        for i in range(0, len(audio), 1000):
+            tclient.send_audio(audio[i:i + 1000])
+        tcp_final = tclient.end()
+
+    want_text, want_toks = _reference_final(model_setup, cc, audio, n)
+    assert ws_final["text"] == want_text
+    assert [tuple(t) for t in ws_final["tokens"]] == want_toks
+    assert tcp_final["text"] == want_text
+    assert wclient.transcript == want_text  # partials accumulated over WS
+
+
+def test_ws_protocol_errors_and_ping(model_setup, cc, server_factory):
+    """Control errors arrive as WS "error" events; ping is answered with
+    pong carrying the same payload; close is echoed."""
+    import json as _json
+    import socket as _socket
+
+    from nemotron_tpu import websocket as ws
+    from nemotron_tpu.client import ASRServerError, WSASRClient
+
+    s = server_factory(_srv_kw={"ws_port": 0})
+
+    c = WSASRClient("127.0.0.1", s.srv.ws_port)
+    # audio before start -> error event. Send WITHOUT pump() (send_audio
+    # pumps, and pump() records-but-does-not-raise an ERROR that has
+    # already arrived, which would leave _wait_for hanging).
+    with pytest.raises(ASRServerError, match="AUDIO before START"):
+        c._send(0x02, synth(100, 1).tobytes())
+        c._wait_for(0x7F)  # no such type; first ERROR raises
+    c.close()
+
+    # raw socket: handshake, then ping and a bogus control type
+    sock = _socket.create_connection(("127.0.0.1", s.srv.ws_port), timeout=30)
+    req, expect = ws.client_handshake_request("x")
+    sock.sendall(req)
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += sock.recv(1 << 16)
+    head, _, buf = buf.partition(b"\r\n\r\n")
+    assert b" 101 " in head.split(b"\r\n")[0]
+    assert expect.encode() in head
+
+    def read_one():
+        nonlocal buf
+        while True:
+            res = ws.parse_frame(buf)
+            if res is not None:
+                fin, opcode, _m, payload, consumed = res
+                buf = buf[consumed:]
+                return opcode, payload
+            data = sock.recv(1 << 16)
+            if not data:
+                raise ConnectionError("eof")
+            buf += data
+
+    sock.sendall(ws.encode_frame(ws.OP_PING, b"hb-17", mask=True))
+    opcode, payload = read_one()
+    assert (opcode, payload) == (ws.OP_PONG, b"hb-17")
+
+    sock.sendall(ws.encode_frame(
+        ws.OP_TEXT, _json.dumps({"type": "bogus"}).encode(), mask=True))
+    opcode, payload = read_one()
+    assert opcode == ws.OP_TEXT
+    assert "unknown control type" in _json.loads(payload)["error"]
+
+    # unmasked client frame violates RFC 6455 5.1 -> protocol error event
+    sock.sendall(ws.encode_frame(ws.OP_BINARY, b"\0\0", mask=False))
+    opcode, payload = read_one()
+    assert "unmasked" in _json.loads(payload)["error"]
+
+    sock.close()
+
+
+def test_ws_disconnect_frees_slot(model_setup, cc, server_factory):
+    """A WS client that vanishes mid-stream releases its engine slot."""
+    from nemotron_tpu.client import WSASRClient
+
+    s = server_factory(_srv_kw={"ws_port": 0}, n_slots=1)
+    c = WSASRClient("127.0.0.1", s.srv.ws_port)
+    c.start()
+    c.send_audio(synth(cc.chunk_samples, 5))
+    c.sock.close()  # vanish without END / Close frame
+
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        with WSASRClient("127.0.0.1", s.srv.ws_port) as c2:
+            try:
+                c2.start()
+                break
+            except Exception:
+                time.sleep(0.1)
+    else:
+        pytest.fail("slot was never reclaimed after WS disconnect")
