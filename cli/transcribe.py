@@ -5,6 +5,7 @@
                   [--cpu] [--timestamps] [--confidence] [--beam=K]
                   [--nbest=N] [--boost=piece:weight,...] [--ctc]
                   [--lm=lm.gguf] [--lm-weight=W] [--lm-bonus=B]
+                  [--lm-rescore]
 
 Multiple audio files are transcribed in ONE batched encoder/decode pass
 (length-masked; the reference is batch=1). --beam=K decodes with the
@@ -15,7 +16,11 @@ omitted; N must be <= K). --ctc decodes with a hybrid checkpoint's
 auxiliary CTC head (stateless greedy; requires ctc_decoder.* tensors).
 --lm=lm.gguf enables LM shallow fusion inside the beam search (labels
 score log P_rnnt + W * log P_lm, default W=0.3; requires --beam>1;
-models/lm.py) -- the reference has no LM anywhere.
+models/lm.py) -- the reference has no LM anywhere. --lm-rescore switches
+the LM to second-pass n-best rescoring instead: the beam runs
+acoustic-only and the finished K-hypothesis list is reranked by
+raw_score + W * LM_sequence_logp + B * length (one LM pass per
+utterance; models/lm.py rescore_nbest).
 """
 
 import os
@@ -97,7 +102,8 @@ def main(argv: list[str]) -> int:
             nbests = transcribe_batch(
                 params, cfg, vocab, audios if len(audios) > 1 else audios[0],
                 beam_size=beam, return_nbest=nbest, lm=lm,
-                lm_weight=lm_weight, lm_bonus=lm_bonus)
+                lm_weight=lm_weight, lm_bonus=lm_bonus,
+                lm_rescore="--lm-rescore" in flags)
             if len(audios) == 1:
                 nbests = [nbests]
             for path, hyps in zip(args[1:], nbests):
@@ -132,7 +138,8 @@ def main(argv: list[str]) -> int:
                                      timestamp_words="--timestamps" in flags,
                                      beam_size=beam, ctc="--ctc" in flags,
                                      lm=lm, lm_weight=lm_weight,
-                                     lm_bonus=lm_bonus)
+                                     lm_bonus=lm_bonus,
+                                     lm_rescore="--lm-rescore" in flags)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -109,6 +109,67 @@ def lm_sequence_nll(lm: LMParams, labels, lengths, blank: int,
     return jnp.sum(nlls) / jnp.maximum(jnp.sum(valids), 1.0)
 
 
+def lm_sequence_logp(lm: LMParams, labels, lengths, blank: int):
+    """Total label log-likelihood per sequence, [B] f32.
+
+    Teacher-forced over labels [B, U] int32 (positions >= lengths are
+    ignored; step-0 input is blank = <bos>), scoring with exactly the
+    distribution shallow fusion serves at decode time (lm_logp: blank
+    renormalized out). This is the second-pass rescoring score —
+    rescore_nbest combines it with the transducer's raw hypothesis
+    scores. One lax.scan over U; B folds every (stream, hypothesis)
+    pair so a whole n-best list scores in one program."""
+    B, U = labels.shape
+    h, c = init_lm_state(lm, (B,), jnp.float32)
+    inputs = jnp.concatenate(
+        [jnp.full((B, 1), blank, labels.dtype), labels[:, :-1]], axis=1)
+
+    def step(carry, xs):
+        h, c = carry
+        inp, tgt, t = xs
+        logp, h, c = lm_logp(lm, inp, h, c, blank)
+        lp = jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
+        # where, not multiply: padded targets are blank, whose logp is
+        # -inf, and -inf * 0 would poison the sum with NaN
+        return (h, c), jnp.where(t < lengths, lp, 0.0)
+
+    ts = jnp.arange(U, dtype=jnp.int32)
+    (_, _), lps = jax.lax.scan(step, (h, c), (inputs.T, labels.T, ts))
+    return jnp.sum(lps, axis=0)
+
+
+def rescore_nbest(lm: LMParams, tokens, lengths, scores, blank: int,
+                  lm_weight: float, lm_bonus: float = 0.0,
+                  length_norm: bool = True):
+    """Second-pass LM rescoring of a beam n-best list (models/beam.py
+    n_best output): rerank the N hypotheses of each stream by
+
+        combined = raw_transducer_score
+                   + lm_weight * lm_sequence_logp + lm_bonus * length
+
+    Returns (order [B, N] int32, best first by the — optionally
+    length-normalized — combined score; combined [B, N] f32 raw).
+
+    vs shallow fusion (lm= in beam_decode): fusion steers the SEARCH
+    (candidates the acoustic model alone would prune survive) but pays
+    the LM on the conditioning hypothesis every step; rescoring only
+    reranks what the acoustic beam already found — weaker when the truth
+    fell out of the beam, immune to in-search LM noise, and one LM pass
+    per utterance instead of one per expansion. Both are gated in
+    scripts/lm_quality.py. The reference has no LM anywhere."""
+    B, N, U = tokens.shape
+    lm_lp = lm_sequence_logp(
+        lm, tokens.reshape(B * N, U),
+        lengths.reshape(B * N).astype(jnp.int32), blank).reshape(B, N)
+    lengths_f = lengths.astype(jnp.float32)
+    combined = (scores.astype(jnp.float32)
+                + jnp.float32(lm_weight) * lm_lp
+                + jnp.float32(lm_bonus) * lengths_f)
+    sel = combined / jnp.maximum(lengths_f, 1.0) if length_norm else combined
+    order = jnp.argsort(-sel, axis=1).astype(jnp.int32)
+    return order, combined
+
+
 # ---------------------------------------------------------------------------
 # GGUF artifact (standalone; `nemo-lm` architecture)
 # ---------------------------------------------------------------------------

@@ -788,7 +788,8 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
                      return_nbest: int | None = None,
                      ctc: bool = False,
                      lm=None, lm_weight: float = 0.3,
-                     lm_bonus: float = 0.0):
+                     lm_bonus: float = 0.0,
+                     lm_rescore: bool = False):
     """Offline full-utterance transcription (the reference `transcribe` CLI
     path: src/transcribe.cpp + nemo_transcribe_audio,
     src/nemo-ggml.cpp:1585-1598). Unlike the reference there is no 164 s
@@ -807,6 +808,13 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
     hypotheses as (text, raw_total_log_prob) tuples sorted best first
     (length-normalized ranking, raw scores -- models/beam.py n_best).
 
+    lm_rescore=True (with lm=, beam only) switches the LM from in-search
+    shallow fusion to SECOND-PASS rescoring: the beam runs acoustic-only,
+    then the full K-hypothesis list is reranked by
+    raw_score + lm_weight * lm_sequence_logp + lm_bonus * length
+    (models/lm.py rescore_nbest; one LM pass per utterance instead of one
+    per expansion). return_nbest then reports the combined scores.
+
     ctc=True decodes with the hybrid checkpoint's auxiliary CTC head
     (models/ctc.py; requires params.ctc) instead of the RNN-T label
     loop -- stateless over frames, no prediction network."""
@@ -817,6 +825,8 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
     if lm is not None and beam_size <= 1:
         raise ValueError("LM shallow fusion requires beam_size > 1 "
                          "(the LM rescored search IS the beam)")
+    if lm_rescore and lm is None:
+        raise ValueError("lm_rescore needs an LM (lm=)")
     if ctc and (beam_size > 1 or return_confidence or timestamp_words):
         raise ValueError("ctc decode is plain greedy (no beam, "
                          "confidence or word timestamps)")
@@ -888,13 +898,47 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
                else MAX_SYMBOLS_PER_STEP)
         if lm is not None:
             lm = jax.tree_util.tree_map(jnp.asarray, lm)
+        # second-pass rescoring runs the SEARCH acoustic-only; the LM
+        # reranks the finished n-best list below (models/lm.py)
+        lm_search = None if lm_rescore else lm
         bstate = beam_mod.init_beam_state(
             cfg, len(mels), beam_size,
             max_tokens=int(enc.shape[1]) * MAX_SYMBOLS_PER_STEP,
-            dtype=compute_dtype, lm=lm)
+            dtype=compute_dtype, lm=lm_search)
         bstate = jax.jit(beam_mod.beam_decode, static_argnums=(1, 4, 5))(
             params, cfg, enc, bstate, beam_size, exp, enc_lengths,
-            lm, lm_weight, lm_bonus)
+            lm_search, lm_weight, lm_bonus)
+        if lm_rescore:
+            from ..models import lm as lm_mod
+
+            # rescore the FULL beam, then slice the requested n
+            ntok, nlen, nsc = beam_mod.n_best(bstate, None,
+                                              length_norm=False)
+            order, comb = jax.jit(
+                lm_mod.rescore_nbest, static_argnums=(4,))(
+                lm, ntok, nlen, nsc, cfg.blank_token,
+                lm_weight, lm_bonus)
+            order, comb = np.asarray(order), np.asarray(comb)
+            ntok, nlen = np.asarray(ntok), np.asarray(nlen)
+            if return_nbest is not None:
+                nbest = [
+                    [(tokens_to_text(
+                        [(int(t), 0)
+                         for t in ntok[i, j, : nlen[i, j]]], vocab),
+                      float(comb[i, j]))
+                     for j in order[i, :return_nbest]]
+                    for i in range(len(mels))]
+                return (nbest[0]
+                        if not isinstance(audio_i16, (list, tuple))
+                        else nbest)
+            texts = [
+                tokens_to_text(
+                    [(int(t), 0)
+                     for t in ntok[i, order[i, 0], : nlen[i, order[i, 0]]]],
+                    vocab)
+                for i in range(len(mels))]
+            return (texts[0] if not isinstance(audio_i16, (list, tuple))
+                    else texts)
         if return_nbest is not None:
             ntok, nlen, nsc = beam_mod.n_best(bstate, return_nbest,
                                               length_norm=True)

@@ -92,8 +92,13 @@ def main() -> int:
                                           args.grammar_seed)
     sampler = lambda rng, n: tones_mod.markov_labels(rng, n, trans)
 
-    configs = [("greedy", 1, None), (f"beam{args.beam}", args.beam, None),
-               (f"beam{args.beam}+lm", args.beam, lm)]
+    configs = [("greedy", 1, None, False),
+               (f"beam{args.beam}", args.beam, None, False),
+               (f"beam{args.beam}+lm", args.beam, lm, False)]
+    if args.utterances:
+        # second-pass n-best rescoring (models/lm.py rescore_nbest) is a
+        # batch-decode capability; streaming sessions fuse in-search only
+        configs.append((f"beam{args.beam}+rescore", args.beam, lm, True))
     results = {}
     if args.utterances:
         from nemotron_tpu.streaming.session import transcribe_batch
@@ -111,11 +116,11 @@ def main() -> int:
                                          noise=args.noise, gaps=gaps))
                 truths.append([int(x) for x in labs])
             row = {}
-            for name, k, use_lm in configs:
+            for name, k, use_lm, rescore in configs:
                 kw = dict(beam_size=k) if k > 1 else {}
                 if use_lm is not None:
                     kw.update(lm=use_lm, lm_weight=args.lm_weight,
-                              lm_bonus=args.lm_bonus)
+                              lm_bonus=args.lm_bonus, lm_rescore=rescore)
                 texts = transcribe_batch(params, cfg, vocab, utts, **kw)
                 got = [[int(w[1:]) for w in t.split()
                         if w[1:].isdigit()] for t in texts]
@@ -134,7 +139,7 @@ def main() -> int:
                 args.streams, args.seconds, args.tones, seed=2000 + seed,
                 noise=args.noise, label_sampler=sampler)
             row = {}
-            for name, k, use_lm in configs:
+            for name, k, use_lm, _rescore in configs:
                 sess = StreamSession(params, cfg, None, cc,
                                      n_streams=audio.shape[0],
                                      compute_dtype=jnp.float32,

@@ -259,3 +259,112 @@ def test_engines_lm_fusion_match_session(model_setup, lm_setup):
         LockstepEngine(params, cfg, vocab, cc, n_streams=S, lm=lm)
     with pytest.raises(ValueError, match="beam_size"):
         ServingEngine(params, cfg, vocab, cc, n_slots=S, lm=lm)
+
+
+# -- second-pass n-best rescoring (models/lm.py rescore_nbest) ----------------
+
+def test_sequence_logp_matches_oracle_walk(model_setup, lm_setup):
+    """lm_sequence_logp == summing the oracle's per-step _lm_step logps
+    over each sequence (independent numpy LSTM walk)."""
+    arrays, params, cfg = model_setup
+    lm_arrays, lm = lm_setup
+    blank = cfg.blank_token
+    rng = np.random.default_rng(3)
+    B, U = 3, 7
+    labels = rng.integers(0, cfg.vocab_size - 1, (B, U)).astype(np.int32)
+    lengths = np.array([7, 4, 0], np.int32)
+    labels[1, 4:] = blank   # padding positions must be ignored
+
+    got = np.asarray(lm_mod.lm_sequence_logp(
+        lm, jnp.asarray(labels), jnp.asarray(lengths), blank))
+
+    oracle = OracleBeam(arrays, cfg, lm=lm_arrays)
+    for b in range(B):
+        h = np.zeros((oracle.lm_layers, oracle.lm_hidden), np.float32)
+        c = np.zeros_like(h)
+        prev, total = blank, 0.0
+        for u in range(int(lengths[b])):
+            logp, h, c = oracle._lm_step(prev, h, c)
+            total += logp[labels[b, u]]
+            prev = int(labels[b, u])
+        assert got[b] == pytest.approx(total, abs=1e-4), f"seq {b}"
+
+
+def test_rescore_zero_weight_keeps_ranking(model_setup, lm_setup,
+                                           enc_batch):
+    """lm_weight=0, lm_bonus=0: rescoring must reproduce n_best's own
+    length-normalized ranking and raw scores."""
+    _, params, cfg = model_setup
+    _, lm = lm_setup
+    st = beam_mod.init_beam_state(cfg, enc_batch.shape[0], 4, 32)
+    st = jax.jit(beam_mod.beam_decode, static_argnums=(1, 4, 5))(
+        params, cfg, jnp.asarray(enc_batch), st, 4, 3, None)
+    ntok, nlen, nsc = beam_mod.n_best(st, None, length_norm=False)
+    order, comb = lm_mod.rescore_nbest(lm, ntok, nlen, nsc,
+                                       cfg.blank_token, lm_weight=0.0)
+    np.testing.assert_allclose(np.asarray(comb), np.asarray(nsc),
+                               rtol=1e-6)
+    want_sel = np.asarray(nsc) / np.maximum(np.asarray(nlen), 1)
+    for b in range(want_sel.shape[0]):
+        got_rank = np.asarray(order)[b]
+        want_rank = np.argsort(-want_sel[b], kind="stable")
+        # ties (identical normalized scores) may order arbitrarily;
+        # compare the score sequence, not the indices
+        np.testing.assert_allclose(want_sel[b][got_rank],
+                                   want_sel[b][want_rank], rtol=1e-6)
+
+
+def test_rescore_biased_lm_reranks(model_setup, lm_setup):
+    """An LM with ~all mass on one label must promote the hypothesis
+    made of that label over a higher-acoustic-score alternative."""
+    _, params, cfg = model_setup
+    blank = cfg.blank_token
+    fav = 3
+    arrays = lm_mod.random_lm_arrays(cfg.vocab_size, hidden=16, n_layers=1,
+                                     seed=11)
+    arrays["lm.output.bias"][fav] = 25.0
+    lm = lm_mod.lm_params_from_arrays(arrays)
+
+    # hand-built n-best: hyp 0 = [1, 2] (acoustically better),
+    # hyp 1 = [fav, fav]
+    tokens = jnp.asarray([[[1, 2], [fav, fav]]], jnp.int32)   # [1, 2, 2]
+    lengths = jnp.asarray([[2, 2]], jnp.int32)
+    scores = jnp.asarray([[-1.0, -2.0]], jnp.float32)
+    order0, _ = lm_mod.rescore_nbest(lm, tokens, lengths, scores, blank,
+                                     lm_weight=0.0)
+    assert np.asarray(order0)[0, 0] == 0          # acoustics alone: hyp 0
+    order1, comb1 = lm_mod.rescore_nbest(lm, tokens, lengths, scores,
+                                         blank, lm_weight=1.0)
+    assert np.asarray(order1)[0, 0] == 1          # LM flips the ranking
+    assert np.asarray(comb1)[0, 1] > np.asarray(comb1)[0, 0]
+
+
+def test_transcribe_batch_lm_rescore(model_setup, lm_setup):
+    """End-to-end: lm_rescore with weight 0 returns exactly the plain
+    beam transcript; the n-best variant returns combined scores sorted
+    by the reranked order."""
+    from nemotron_tpu.streaming.session import transcribe_batch
+
+    arrays, params, cfg = model_setup
+    _, lm = lm_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000) * 8000).astype(np.int16)
+
+    plain = transcribe_batch(params, cfg, vocab, audio, beam_size=3)
+    res0 = transcribe_batch(params, cfg, vocab, audio, beam_size=3,
+                            lm=lm, lm_weight=0.0, lm_rescore=True)
+    assert res0 == plain
+
+    nb = transcribe_batch(params, cfg, vocab, audio, beam_size=3,
+                          return_nbest=3, lm=lm, lm_weight=0.4,
+                          lm_rescore=True)
+    assert len(nb) == 3
+    # sorted best-first by length-normalized combined score is not
+    # directly assertable from text alone, but scores must be finite
+    # and the top text must be a real hypothesis string
+    assert all(np.isfinite(s) for _t, s in nb)
+
+    with pytest.raises(ValueError, match="lm_rescore needs"):
+        transcribe_batch(params, cfg, vocab, audio, beam_size=3,
+                         lm_rescore=True)
