@@ -363,8 +363,9 @@ class ASRServer:
         transport: TCP length-prefixed JSON, or a WebSocket TEXT frame
         with the event name inlined as "type"."""
         if conn.is_ws:
+            # event name LAST so no payload key can clobber it
             payload = json.dumps(
-                {"type": _WS_EVENT[ftype], **obj},
+                {**obj, "type": _WS_EVENT[ftype]},
                 default=lambda o: o.item() if hasattr(o, "item") else str(o))
             self._send(conn.writer,
                        ws.encode_frame(ws.OP_TEXT, payload.encode("utf-8")))

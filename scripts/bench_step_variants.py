@@ -32,6 +32,10 @@ def main() -> int:
                     help="comma list: xla,pallas (NEMOTRON_TPU_ATTN)")
     ap.add_argument("--attn-block", default="8")
     ap.add_argument("--modes", default="w8a8-int8kv")
+    ap.add_argument("--rc", default="13",
+                    help="comma list of right-context latency modes "
+                         "(0,1,6,13): per-step real-time budget is the "
+                         "mode's shift span (80/160/560/1120 ms)")
     ap.add_argument("--fuse", default="1",
                     help="comma list of K: trace K chained chunk steps in ONE "
                          "jitted program (amortizes the per-call K/V ring "
@@ -75,12 +79,13 @@ def main() -> int:
         cfg = ModelConfig()
         batches = [int(b) for b in args.batches.split(",")]
     dtype = jnp.float32 if args.quick else jnp.bfloat16
-    cc = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
+    rcs = [int(r) for r in args.rc.split(",")]
 
     arrays = P.random_weight_arrays(cfg, seed=0)
     arrays["joint.joint_net.2.bias"][cfg.vocab_size - 1] = 12.0
     base = P.params_from_arrays(arrays, cfg)
     params_by_mode = {}
+    cc = CacheConfig(att_right_context=rcs[0], n_mels=cfg.n_mels)
     for m in args.modes.split(","):
         if m == "bf16":
             params_by_mode[m] = (P.cast_params(base, dtype), cc)
@@ -136,7 +141,9 @@ def main() -> int:
         unroll, attn = int(variant[0]), variant[1]
         os.environ["NEMOTRON_TPU_SCAN_UNROLL"] = str(unroll)
         os.environ["NEMOTRON_TPU_ATTN"] = attn
-        for mode, (params, cc_run) in params_by_mode.items():
+        for mode, (params, cc_mode) in params_by_mode.items():
+          for rc in rcs:
+            cc_run = dataclasses.replace(cc_mode, att_right_context=rc)
             pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc_run,
                                                      dtype=dtype)
             for fuse in [int(k) for k in args.fuse.split(",")]:
@@ -180,7 +187,8 @@ def main() -> int:
                     est.append(max(time.perf_counter() - t0 - rtt, 0)
                                / (args.chain_len * fuse))
                 key = f"unroll{unroll}-{attn}/{mode}/B{B}" + (
-                    f"/fuse{fuse}" if fuse != 1 else "")
+                    f"/fuse{fuse}" if fuse != 1 else "") + (
+                    f"/R{rc}" if rc != 13 else "")
                 ms = sorted(x * 1e3 for x in est)
                 results[key] = {"p50_ms": round(ms[len(ms) // 2], 2),
                                 "min_ms": round(ms[0], 2),
