@@ -232,6 +232,22 @@ def test_bench_engine_quick():
     assert any(k.startswith("engine/") for k in d)
 
 
+def test_bench_step_variants_quick():
+    """Step-variant benchmark --quick across two latency modes: one JSON
+    result per (variant, mode, batch, rc) with sane timing fields."""
+    r = run_script("bench_step_variants.py", "--quick", "--rc", "0,13",
+                   "--unroll", "1", "--chains", "2", "--len", "2",
+                   timeout=900)
+    assert r.returncode == 0, r.stderr
+    import json
+
+    d = json.loads(r.stdout)
+    assert any(k.endswith("/R0") for k in d)            # rc axis present
+    assert any("/R" not in k for k in d)                # default R=13 key
+    for v in d.values():
+        assert v["min_ms"] <= v["p50_ms"] <= v["max_ms"]
+
+
 def test_debug_conv_layers(tiny_gguf):
     r = run_script("debug_conv_layers.py", tiny_gguf, "--cpu", timeout=400)
     assert r.returncode == 0, r.stdout + r.stderr
