@@ -131,14 +131,24 @@ class ASRServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
                  tick_interval: float | None = None,
                  http_stats_port: int | None = None,
-                 ws_port: int | None = None):
+                 ws_port: int | None = None,
+                 refiner=None):
         """http_stats_port: additionally serve `GET /metrics`
         (Prometheus text exposition of stats()) and `GET /stats` (JSON)
         on that port — 0 picks an ephemeral port (read back from
         `self.http_stats_port` after start()); None disables.
         ws_port: additionally accept WebSocket clients (browsers) on that
-        port — same semantics: 0 ephemeral, None disabled."""
+        port — same semantics: 0 ephemeral, None disabled.
+        refiner: a streaming.refine.SegmentRefiner for two-pass serving
+        (the engine must be built with endpointing + keep_segment_audio):
+        each UTTERANCE event then carries a "refined" field with the
+        offline beam(+LM) re-decode of the segment."""
         self.engine = engine
+        self.refiner = refiner
+        if refiner is not None and not getattr(engine, "keep_segment_audio",
+                                               False):
+            raise ValueError("a refiner needs an engine built with "
+                             "keep_segment_audio=True")
         self.host = host
         self.port = port
         self.http_stats_port = http_stats_port
@@ -267,14 +277,26 @@ class ASRServer:
         eng = self.engine
         if getattr(eng, "_ep_frames", None) is None:
             return
-        for slot, text, toks in eng.poll_endpoints():
+        if self.refiner is not None:
+            events = eng.poll_endpoints(with_audio=True)
+            refined = await self._engine_call(
+                self.refiner.refine, [seg for *_x, seg in events])
+            events = [(s, text, toks, r) for (s, text, toks, _seg), r
+                      in zip(events, refined)]
+        else:
+            events = [(s, text, toks, None)
+                      for s, text, toks in eng.poll_endpoints()]
+        for slot, text, toks, refined_text in events:
             conn = self._conns.get(slot)
             if conn is None or conn.slot is None:
                 continue
-            self._emit(conn, T_UTTERANCE, {
+            payload = {
                 "index": conn.utterances,
                 "text": text,
-                "tokens": [list(t) for t in toks]})
+                "tokens": [list(t) for t in toks]}
+            if refined_text is not None:
+                payload["refined"] = refined_text
+            self._emit(conn, T_UTTERANCE, payload)
             conn.utterances += 1
 
     # -- HTTP stats (observability sidecar) ----------------------------------
@@ -510,6 +532,7 @@ class ASRServer:
                        else "greedy"),
             "endpointing": getattr(self.engine, "_ep_frames", None)
             is not None,
+            "refined": self.refiner is not None,
         })
 
     async def _on_audio(self, conn: _Conn, payload: bytes) -> None:

@@ -60,6 +60,55 @@ class _MelBuffer:
         self.count -= k
 
 
+class _SegmentBuffer:
+    """Per-slot raw-PCM retention for two-pass refinement
+    (keep_segment_audio): holds the samples of the CURRENT utterance,
+    addressed in absolute samples since slot admission so segment cuts
+    can land exactly on the endpointer's processed-frame boundary (any
+    buffered-but-unprocessed audio — which may already contain the next
+    utterance's onset — stays in the buffer). Bounded by `cap` samples:
+    overflowing drops the oldest audio and marks the segment truncated."""
+
+    __slots__ = ("parts", "abs0", "total", "cap", "truncated")
+
+    def __init__(self, cap: int):
+        self.parts: list[np.ndarray] = []
+        self.abs0 = 0          # absolute sample index of parts[0][0]
+        self.total = 0         # buffered samples
+        self.cap = cap
+        self.truncated = False
+
+    def append(self, pcm: np.ndarray) -> None:
+        self.parts.append(pcm)
+        self.total += pcm.size
+        if self.total > self.cap:
+            buf = np.concatenate(self.parts) if len(self.parts) > 1 \
+                else self.parts[0]
+            drop = self.total - self.cap
+            self.parts = [buf[drop:]]
+            self.abs0 += drop
+            self.total = self.cap
+            self.truncated = True
+
+    def cut(self, upto_abs: int) -> np.ndarray:
+        """Return buffered samples in [abs0, upto_abs) and drop them."""
+        buf = (np.concatenate(self.parts) if len(self.parts) > 1
+               else self.parts[0] if self.parts
+               else np.zeros(0, np.int16))
+        k = max(0, min(int(upto_abs) - self.abs0, buf.size))
+        seg, rest = buf[:k], buf[k:]
+        self.parts = [rest] if rest.size else []
+        self.abs0 += k
+        self.total = rest.size
+        self.truncated = False
+        return seg
+
+    def compact(self) -> np.ndarray:
+        if len(self.parts) > 1:
+            self.parts = [np.concatenate(self.parts)]
+        return self.parts[0] if self.parts else np.zeros(0, np.int16)
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _reset_slot(enc_state, dec_state, slot, blank_token):
     """Zero one slot's caches and decoder state on device (admission and
@@ -368,7 +417,9 @@ class ServingEngine:
                  endpoint_reset: bool = False,
                  ctc: bool = False,
                  lm=None, lm_weight: float = 0.3,
-                 lm_bonus: float = 0.0):
+                 lm_bonus: float = 0.0,
+                 keep_segment_audio: bool = False,
+                 max_segment_s: float = 120.0):
         """beam_size > 1 switches every tick's decode to the fused
         on-device beam search (chunk_step_masked_beam): frozen slots keep
         their entire beam untouched, so raggedness works exactly as in
@@ -447,6 +498,22 @@ class ServingEngine:
             frame_s = (self.cc.subsampling_factor * self.cc.hop_length
                        / self.cc.sample_rate)
             self._ep_frames = max(1, round(endpoint_silence_s / frame_s))
+        # keep_segment_audio=True retains each slot's raw PCM for the
+        # CURRENT utterance so endpoint events can carry the segment's
+        # audio (poll_endpoints(with_audio=True)) — the input to two-pass
+        # refinement (streaming/refine.py): online greedy segments, then
+        # each finished utterance is re-decoded offline with beam(+LM).
+        self.keep_segment_audio = bool(keep_segment_audio)
+        if self.keep_segment_audio:
+            if self._ep_frames is None:
+                raise ValueError("keep_segment_audio needs endpointing "
+                                 "(endpoint_silence_s) to bound segments")
+            self._seg_cap = int(max_segment_s * self.cc.sample_rate)
+            self.seg_buffers = [_SegmentBuffer(self._seg_cap)
+                                for _ in range(n_slots)]
+            # samples of one encoder output frame (the endpointer's unit)
+            self._seg_spf = (self.cc.subsampling_factor
+                             * self.cc.hop_length)
 
         from ..params import cast_params
 
@@ -760,6 +827,8 @@ class ServingEngine:
         self.ep_emitted[slot] = False
         self.ep_utt_start[slot] = 0
         self._ep_pending = [p for p in self._ep_pending if p[0] != slot]
+        if self.keep_segment_audio:
+            self.seg_buffers[slot] = _SegmentBuffer(self._seg_cap)
         self.slot_phase[slot] = 0  # device phase reset to 0; realigned on
         # the slot's first step to the engine's global phase
 
@@ -771,6 +840,10 @@ class ServingEngine:
         ticks, its device state frozen via the step mask)."""
         for slot in audio_by_slot:
             assert self.active[slot], f"slot {slot} inactive"
+        if self.keep_segment_audio:
+            for slot, audio in audio_by_slot.items():
+                self.seg_buffers[slot].append(
+                    np.asarray(audio, np.int16).ravel())
         if self.dsp_mode == "device":
             # stage raw PCM only; all DSP happens inside the fused step
             for slot, audio in audio_by_slot.items():
@@ -854,7 +927,20 @@ class ServingEngine:
         if not fired:
             return
         for s in fired:
-            self._ep_pending.append((s, len(self.tokens[s])))
+            seg = None
+            if self.keep_segment_audio:
+                if self.seg_buffers[s].truncated:
+                    import sys
+
+                    print(f"warning: slot {s} utterance exceeded the "
+                          f"{self._seg_cap / self.cc.sample_rate:.0f} s "
+                          "retention cap; its refinement segment is "
+                          "missing its oldest audio", file=sys.stderr)
+                # cut at the PROCESSED-frame boundary: buffered audio past
+                # it (possibly the next utterance's onset) stays put
+                seg = self.seg_buffers[s].cut(
+                    int(self.frame_offsets[s]) * self._seg_spf)
+            self._ep_pending.append((s, len(self.tokens[s]), seg))
             self.ep_emitted[s] = False
             self.ep_silence[s] = 0
         if self._ep_reset:
@@ -864,19 +950,27 @@ class ServingEngine:
                 self.dec_state, jnp.asarray(mask),
                 jnp.int32(self.cfg.blank_token))
 
-    def poll_endpoints(self) -> list[tuple[int, str, list]]:
+    def poll_endpoints(self, with_audio: bool = False):
         """Drain utterance-endpoint events (greedy engines constructed with
         endpoint_silence_s): one (slot, text, tokens) per utterance that
         ended since the last poll — the slot emitted tokens, then stayed
         silent for the configured span (with endpoint_reset=True its
         prediction network was also restarted at the fire). The utterance
         boundary was snapshotted AT FIRE TIME, and the slot's cumulative
-        transcript is untouched (segmentation is layered on top of it)."""
+        transcript is untouched (segmentation is layered on top of it).
+
+        with_audio=True (engines built with keep_segment_audio) appends
+        the segment's raw PCM as a 4th element (slot, text, tokens, pcm)
+        — the two-pass refinement input (streaming/refine.py)."""
+        if with_audio and not self.keep_segment_audio:
+            raise ValueError("with_audio needs keep_segment_audio=True")
         out = []
-        for s, end in self._ep_pending:
+        for s, end, seg in self._ep_pending:
             start = int(self.ep_utt_start[s])
             toks = self.tokens[s][start:end]
-            out.append((s, tokens_to_text(toks, self.vocab), toks))
+            text = tokens_to_text(toks, self.vocab)
+            out.append((s, text, toks, seg) if with_audio
+                       else (s, text, toks))
             self.ep_utt_start[s] = end
             self.utterances_retired += 1
         self._ep_pending = []
@@ -1147,8 +1241,18 @@ class ServingEngine:
             flat["ep/silence"] = self.ep_silence
             flat["ep/emitted"] = self.ep_emitted
             flat["ep/utt_start"] = self.ep_utt_start
-            flat["ep/pending"] = np.asarray(self._ep_pending,
-                                            np.int64).reshape(-1, 2)
+            flat["ep/pending"] = np.asarray(
+                [(s, e) for s, e, _seg in self._ep_pending],
+                np.int64).reshape(-1, 2)
+            for i, (_s, _e, seg) in enumerate(self._ep_pending):
+                if seg is not None:
+                    flat[f"ep/pending_seg/{i}"] = seg
+        if self.keep_segment_audio:
+            for s in range(self.n_slots):
+                sb = self.seg_buffers[s]
+                flat[f"seg/pcm/{s}"] = sb.compact()
+                flat[f"seg/meta/{s}"] = np.asarray(
+                    [sb.abs0, int(sb.truncated)], np.int64)
         if self.beam_state is not None:
             keys = ("h", "c", "prev_token", "scores", "tokens", "lengths")
             if self.beam_state.lm_h is not None:
@@ -1262,8 +1366,23 @@ class ServingEngine:
             self.ep_silence = z["ep/silence"].astype(np.int64)
             self.ep_emitted = z["ep/emitted"].astype(bool)
             self.ep_utt_start = z["ep/utt_start"].astype(np.int64)
-            self._ep_pending = [(int(s), int(e))
-                                for s, e in z["ep/pending"].reshape(-1, 2)]
+            self._ep_pending = [
+                (int(s), int(e),
+                 z[f"ep/pending_seg/{i}"].astype(np.int16)
+                 if f"ep/pending_seg/{i}" in z.files else None)
+                for i, (s, e) in enumerate(z["ep/pending"].reshape(-1, 2))]
+        if self.keep_segment_audio:
+            for s in range(self.n_slots):
+                sb = _SegmentBuffer(self._seg_cap)
+                if f"seg/pcm/{s}" in z.files:
+                    pcm = z[f"seg/pcm/{s}"].astype(np.int16)
+                    meta = z[f"seg/meta/{s}"]
+                    if pcm.size:
+                        sb.parts = [pcm]
+                        sb.total = pcm.size
+                    sb.abs0 = int(meta[0])
+                    sb.truncated = bool(meta[1])
+                self.seg_buffers[s] = sb
         self.transcripts = [str(t) for t in z["transcripts"]]
         self.tokens = [
             [(int(row[0]), int(row[1]), float(row[2])) if len(row) == 3

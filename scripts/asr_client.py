@@ -78,8 +78,10 @@ def main(argv: list[str]) -> int:
         sys.stdout.flush()
         # endpoint events (server started with --endpoint-silence)
         for utt in client.utterances[shown_utts:]:
-            print(f"[utterance {utt['index']}] {utt['text'].strip()}",
-                  file=sys.stderr)
+            line = f"[utterance {utt['index']}] {utt['text'].strip()}"
+            if "refined" in utt:   # two-pass server (--refine)
+                line += f"  => {utt['refined'].strip()}"
+            print(line, file=sys.stderr)
         shown_utts = len(client.utterances)
 
     t0 = time.time()

@@ -10,6 +10,8 @@
                   [--ctc]           # hybrid CTC-head decode (TDT is
                                     # auto-detected from the GGUF)
                   [--tick-ms T] [--http-stats PORT] [--ws-port PORT]
+                  [--refine] [--refine-beam K]   # two-pass: refined
+                                    # per-utterance beam(+--lm) re-decode
                   [--cpu]
                   [--stats-every SECONDS]
 
@@ -68,6 +70,11 @@ def main(argv: list[str]) -> int:
     ep_s = opt("--endpoint-silence", 0.0, float)
     http_stats = opt("--http-stats", -1, int)   # GET /metrics + /stats
     ws_port = opt("--ws-port", -1, int)         # WebSocket transport
+    # two-pass serving: --refine re-decodes each endpointed utterance
+    # offline with a beam (+ the --lm, if given) and adds a "refined"
+    # field to UTTERANCE events; requires --endpoint-silence
+    refine = "--refine" in argv
+    refine_beam = opt("--refine-beam", 4, int)
     quant_mode = opt("--quantize", None, str)
 
     from nemotron_tpu.config import CacheConfig
@@ -114,20 +121,35 @@ def main(argv: list[str]) -> int:
 
     try:
         engine = ServingEngine(params, cfg, vocab, cc, n_slots=n_slots,
-                               dsp=dsp, beam_size=beam_k, lm=lm,
+                               dsp=dsp, beam_size=beam_k, lm=None if refine
+                               else lm,
                                lm_weight=lm_weight, lm_bonus=lm_bonus,
                                confidence="--confidence" in argv,
                                ctc="--ctc" in argv,
                                endpoint_silence_s=ep_s if ep_s > 0 else None,
-                               endpoint_reset="--endpoint-reset" in argv)
+                               endpoint_reset="--endpoint-reset" in argv,
+                               keep_segment_audio=refine)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    refiner = None
+    if refine:
+        from nemotron_tpu.streaming.refine import SegmentRefiner
+
+        try:
+            refiner = SegmentRefiner(params, cfg, vocab,
+                                     beam_size=refine_beam, lm=lm,
+                                     lm_weight=lm_weight,
+                                     lm_bonus=lm_bonus)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
     server = ASRServer(engine, host=host, port=port,
                        tick_interval=tick_ms / 1000.0 if tick_ms else None,
                        http_stats_port=http_stats if http_stats >= 0
                        else None,
-                       ws_port=ws_port if ws_port >= 0 else None)
+                       ws_port=ws_port if ws_port >= 0 else None,
+                       refiner=refiner)
 
     async def run():
         await server.start()

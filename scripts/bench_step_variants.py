@@ -161,11 +161,15 @@ def main() -> int:
                         out.append(toks)
                     return jnp.stack(out), es, ds
                 step = jax.jit(fused, donate_argnums=(2, 3))
-                es = enc_mod.init_encoder_state(cfg, cc_run, B, dtype)
-                ds = dec_mod.init_decoder_state(cfg, B, dtype)
-                mel = jnp.asarray(rng.standard_normal(
-                    (fuse, B, cc_run.chunk_mel_frames, cfg.n_mels)), dtype)
                 try:
+                    # state init is itself a device allocation: an OOM at
+                    # a too-big batch must skip the point, not kill the
+                    # whole ladder
+                    es = enc_mod.init_encoder_state(cfg, cc_run, B, dtype)
+                    ds = dec_mod.init_decoder_state(cfg, B, dtype)
+                    mel = jnp.asarray(rng.standard_normal(
+                        (fuse, B, cc_run.chunk_mel_frames, cfg.n_mels)),
+                        dtype)
                     toks, es, ds = step(params, mel, es, ds, pos_heads)
                     sync(toks)
                 except Exception as e:

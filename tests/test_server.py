@@ -258,7 +258,7 @@ def test_utterance_endpoint_events(model_setup, cc, server_factory):
         # inject the endpoint (as _ep_update would on silence expiry:
         # the utterance boundary is snapshotted at fire time)
         s.loop.call_soon_threadsafe(
-            eng._ep_pending.append, (slot, len(eng.tokens[slot])))
+            eng._ep_pending.append, (slot, len(eng.tokens[slot]), None))
         deadline = _time.time() + 60
         while _time.time() < deadline and not c.utterances:
             c.pump()
@@ -437,3 +437,72 @@ def test_ws_disconnect_frees_slot(model_setup, cc, server_factory):
                 time.sleep(0.1)
     else:
         pytest.fail("slot was never reclaimed after WS disconnect")
+
+
+def test_refined_utterance_events(model_setup, cc, server_factory):
+    """Two-pass serving plumbing: with a SegmentRefiner attached, each
+    UTTERANCE event carries a \"refined\" field equal to the refiner's
+    batched beam re-decode of the captured segment audio."""
+    import time as _time
+
+    from nemotron_tpu.streaming.refine import SegmentRefiner
+
+    arrays, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    refiner = SegmentRefiner(params, cfg, vocab, beam_size=2,
+                             compute_dtype=np.float32)
+    s = server_factory(_srv_kw={"refiner": refiner},
+                       endpoint_silence_s=1.0, keep_segment_audio=True)
+    n = cc.chunk_samples
+    audio = synth(2 * n, 60)
+    with ASRClient(*s.addr) as c:
+        info = c.start()
+        assert info["refined"] is True
+        c.send_audio(audio)
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            c.pump()
+            if c.transcript:
+                break
+            _time.sleep(0.05)
+        assert c.transcript, "tiny model emitted nothing"
+        eng = s.srv.engine
+        slot = info["slot"]
+        # wait until every buffered chunk is consumed so frame_offsets is
+        # final (otherwise the expected-value computation below races the
+        # still-draining ticker)
+        deadline = _time.time() + 60
+        while (_time.time() < deadline
+               and eng.mel_buffers[slot].count >= cc.chunk_mel_frames):
+            _time.sleep(0.05)
+        cut_samples = int(eng.frame_offsets[slot]) * eng._seg_spf
+
+        # inject the endpoint WITH its captured segment (as _ep_update
+        # would at silence expiry)
+        def fire():
+            seg = eng.seg_buffers[slot].cut(cut_samples)
+            eng._ep_pending.append((slot, len(eng.tokens[slot]), seg))
+
+        s.loop.call_soon_threadsafe(fire)
+        deadline = _time.time() + 120
+        while _time.time() < deadline and not c.utterances:
+            c.pump()
+            _time.sleep(0.05)
+        assert c.utterances, "no UTTERANCE event arrived"
+        utt = c.utterances[0]
+        assert "refined" in utt and isinstance(utt["refined"], str)
+        # equality gate: refine() of the same segment reproduces it
+        want = refiner.refine([audio[:cut_samples]])[0]
+        assert utt["refined"] == want
+        c.end()
+
+
+def test_refiner_requires_segment_audio(model_setup, cc):
+    from nemotron_tpu.streaming.refine import SegmentRefiner
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    eng = make_engine(model_setup, cc)
+    refiner = SegmentRefiner(params, cfg, vocab, beam_size=2)
+    with pytest.raises(ValueError, match="keep_segment_audio"):
+        ASRServer(eng, refiner=refiner)

@@ -1354,7 +1354,7 @@ def test_endpoint_state_machine(model_setup, cc):
 
     # eviction clears endpoint bookkeeping
     eng.ep_emitted[s] = True
-    eng._ep_pending.append((s, len(eng.tokens[s])))
+    eng._ep_pending.append((s, len(eng.tokens[s]), None))
     eng.remove_stream(s)
     assert eng.poll_endpoints() == []
     assert not eng.ep_emitted[s] and eng.ep_silence[s] == 0
