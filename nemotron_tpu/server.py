@@ -36,6 +36,14 @@ All engine calls are serialized behind one lock and executed off the event
 loop (JAX dispatch blocks); the ticker coroutine batches every
 connection's staged audio into one feed_audio + step per interval.
 
+HTTP sidecar (http_stats_port): GET /metrics (Prometheus) and GET /stats
+(JSON) observability, plus POST /transcribe — a one-shot REST
+transcription endpoint (body = WAV at any rate or raw s16le 16 kHz PCM;
+response JSON {"text", "tokens", "audio_s", "decode"}). A REST request
+is admitted as just another stream on the same slab and drained with the
+engine's finalize, so offline requests continuous-batch with the live
+streaming connections.
+
 WebSocket transport (ws_port): the same session semantics for browser
 clients (which cannot speak raw TCP), over RFC 6455 frames
 (nemotron_tpu/websocket.py). Client->server: TEXT frames carry JSON
@@ -134,7 +142,8 @@ class ASRServer:
                  ws_port: int | None = None,
                  refiner=None):
         """http_stats_port: additionally serve `GET /metrics`
-        (Prometheus text exposition of stats()) and `GET /stats` (JSON)
+        (Prometheus text exposition of stats()), `GET /stats` (JSON) and
+        `POST /transcribe` (one-shot REST transcription on the same slab)
         on that port — 0 picks an ephemeral port (read back from
         `self.http_stats_port` after start()); None disables.
         ws_port: additionally accept WebSocket clients (browsers) on that
@@ -320,23 +329,34 @@ class ASRServer:
         emit("nemotron_asr", self.stats())
         return "\n".join(lines) + "\n"
 
+    # POST /transcribe body cap: 64 MiB covers ~5 min of 48 kHz float32
+    # stereo WAV and ~35 min of raw s16le 16 kHz.
+    MAX_HTTP_BODY = 64 << 20
+
     async def _handle_http(self, reader: asyncio.StreamReader,
                            writer: asyncio.StreamWriter) -> None:
-        """Minimal HTTP/1.0: GET /metrics (Prometheus text) and
-        GET /stats (JSON). Anything else is 404. One request per
-        connection (Connection: close)."""
+        """Minimal HTTP/1.0: GET /metrics (Prometheus text exposition),
+        GET /stats (JSON), and POST /transcribe (one-shot offline
+        transcription: body = WAV or raw s16le 16 kHz PCM, response =
+        {"text", "tokens", "audio_s", "decode"}). Anything else is 404.
+        One request per connection (Connection: close)."""
         try:
             request = await asyncio.wait_for(reader.readline(), timeout=10)
+            headers: dict[str, str] = {}
             for _ in range(100):   # drain headers, bounded (no slow-drip)
                 line = await asyncio.wait_for(reader.readline(), timeout=10)
                 if line in (b"\r\n", b"\n", b""):
                     break
+                key, sep, val = line.decode("latin-1").partition(":")
+                if sep:
+                    headers[key.strip().lower()] = val.strip()
             else:
                 writer.close()
                 return
             parts = request.decode("latin-1").split()
+            method = parts[0] if parts else ""
             path = parts[1] if len(parts) >= 2 else ""
-            if parts and parts[0] == "GET" and path == "/metrics":
+            if method == "GET" and path == "/metrics":
                 # stats reads engine state: serialize behind the engine
                 # lock, off the event loop, like every other engine call
                 async with self._lock:
@@ -344,7 +364,7 @@ class ASRServer:
                 body = text.encode()
                 ctype = b"text/plain; version=0.0.4"
                 status = b"200 OK"
-            elif parts and parts[0] == "GET" and path == "/stats":
+            elif method == "GET" and path == "/stats":
                 async with self._lock:
                     st = await self._engine_call(self.stats)
                 body = json.dumps(
@@ -353,6 +373,9 @@ class ASRServer:
                     else str(o)).encode()
                 ctype = b"application/json"
                 status = b"200 OK"
+            elif method == "POST" and path == "/transcribe":
+                body, ctype, status = await self._http_transcribe(
+                    reader, headers)
             else:
                 body, ctype, status = b"not found\n", b"text/plain", \
                     b"404 Not Found"
@@ -361,10 +384,70 @@ class ASRServer:
                          + str(len(body)).encode()
                          + b"\r\nConnection: close\r\n\r\n" + body)
             await writer.drain()
-        except (asyncio.TimeoutError, ConnectionError):
+        except (asyncio.TimeoutError, ConnectionError,
+                asyncio.IncompleteReadError):
             pass
         finally:
             writer.close()
+
+    async def _http_transcribe(self, reader: asyncio.StreamReader,
+                               headers: dict[str, str]
+                               ) -> tuple[bytes, bytes, bytes]:
+        """One-shot REST transcription: the request is just another stream
+        on the same slab (admission -> feed -> finalize), so REST requests
+        continuous-batch with live streaming connections; decode mode,
+        beam width etc. are the engine's. Returns (body, ctype, status)."""
+        def err(status: bytes, msg: str):
+            return (json.dumps({"error": msg}).encode() + b"\n",
+                    b"application/json", status)
+
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return err(b"411 Length Required",
+                       "POST /transcribe needs a Content-Length body "
+                       "(WAV or raw s16le 16 kHz PCM)")
+        if length <= 0:
+            return err(b"400 Bad Request", "empty audio body")
+        if length > self.MAX_HTTP_BODY:
+            return err(b"413 Payload Too Large",
+                       f"body of {length} bytes exceeds the "
+                       f"{self.MAX_HTTP_BODY}-byte limit")
+        data = await asyncio.wait_for(reader.readexactly(length), timeout=60)
+        from .utils.audio import read_audio_bytes
+
+        try:
+            pcm = np.ascontiguousarray(read_audio_bytes(data))
+        except ValueError as e:
+            return err(b"400 Bad Request", str(e))
+        async with self._lock:
+            try:
+                slot = await self._engine_call(self.engine.add_stream)
+            except RuntimeError as e:        # slab full
+                return err(b"503 Service Unavailable", str(e))
+            try:
+                if pcm.size:
+                    await self._engine_call(self.engine.feed_audio,
+                                            {slot: pcm})
+                text, toks = await self._engine_call(
+                    self.engine.finalize_stream, slot, return_tokens=True)
+            except Exception:
+                # never leak the slot; finalize (no audio left) frees it
+                if self.engine.active[slot]:
+                    await self._engine_call(self.engine.remove_stream, slot)
+                raise
+            # finalize's internal steps may have advanced live streams too
+            await self._push_partials()
+        eng = self.engine
+        body = json.dumps({
+            "text": text,
+            "tokens": [list(t) for t in toks],
+            "audio_s": pcm.size / 16000.0,
+            "decode": ("ctc" if getattr(eng, "ctc", False)
+                       else "tdt" if getattr(eng, "tdt", False)
+                       else "beam" if eng.beam_size > 1 else "greedy"),
+        }, default=lambda o: o.item() if hasattr(o, "item") else str(o))
+        return body.encode() + b"\n", b"application/json", b"200 OK"
 
     # -- per-connection protocol -------------------------------------------
 

@@ -10,6 +10,8 @@
                   [--ctc]           # hybrid CTC-head decode (TDT is
                                     # auto-detected from the GGUF)
                   [--tick-ms T] [--http-stats PORT] [--ws-port PORT]
+                                    # --http-stats also serves
+                                    # POST /transcribe (one-shot REST)
                   [--refine] [--refine-beam K]   # two-pass: refined
                                     # per-utterance beam(+--lm) re-decode
                   [--cpu]
@@ -158,8 +160,9 @@ def main(argv: list[str]) -> int:
               f"beam={beam_k} tick={server.tick_interval * 1000:.0f}ms",
               file=sys.stderr, flush=True)
         if server.http_stats_port is not None:
-            print(f"http stats on {server.host}:{server.http_stats_port} "
-                  "(/metrics, /stats)", file=sys.stderr, flush=True)
+            print(f"http on {server.host}:{server.http_stats_port} "
+                  "(GET /metrics, GET /stats, POST /transcribe)",
+                  file=sys.stderr, flush=True)
         if server.ws_port is not None:
             print(f"websocket on ws://{server.host}:{server.ws_port}/",
                   file=sys.stderr, flush=True)

@@ -321,6 +321,120 @@ def test_http_stats_endpoint(model_setup, cc):
         s.stop()
 
 
+def _http_server(engine):
+    """An ASRServer with the HTTP sidecar enabled, on its own loop."""
+    class _HServer(_Server):
+        def __init__(self, eng):
+            self.loop = asyncio.new_event_loop()
+            self.srv = ASRServer(eng, port=0, tick_interval=0.02,
+                                 http_stats_port=0)
+            started = threading.Event()
+
+            def run():
+                asyncio.set_event_loop(self.loop)
+                self.loop.run_until_complete(self.srv.start())
+                started.set()
+                self.loop.run_forever()
+
+            self.thread = threading.Thread(target=run, daemon=True)
+            self.thread.start()
+            assert started.wait(60)
+
+    return _HServer(engine)
+
+
+def _wav_bytes(samples, channels=1, rate=16000):
+    import struct
+
+    data = samples.tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                    rate * 2 * channels, 2 * channels, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_http_transcribe_roundtrip(model_setup, cc):
+    """POST /transcribe (raw PCM and the same audio as WAV) returns the
+    exact text+tokens a directly-driven engine produces for that audio."""
+    import json as _json
+    import urllib.request
+
+    audio = synth(cc.chunk_samples * 3, seed=7)
+    want_text, want_toks = _reference_final(model_setup, cc, audio,
+                                            cc.chunk_samples)
+
+    s = _http_server(make_engine(model_setup, cc, n_slots=2))
+    try:
+        base = f"http://127.0.0.1:{s.srv.http_stats_port}"
+        for body in (audio.tobytes(), _wav_bytes(audio)):
+            req = urllib.request.Request(f"{base}/transcribe", data=body,
+                                         method="POST")
+            resp = _json.loads(urllib.request.urlopen(req, timeout=120)
+                               .read())
+            assert resp["text"] == want_text
+            assert [tuple(t) for t in resp["tokens"]] == \
+                [tuple(t) for t in want_toks]
+            assert resp["decode"] == "greedy"
+            assert abs(resp["audio_s"] - audio.size / 16000.0) < 1e-6
+        # the one-shot stream freed its slot both times
+        assert int(np.sum(s.srv.engine.active)) == 0
+    finally:
+        s.stop()
+
+
+def test_http_transcribe_errors(model_setup, cc):
+    """Bad REST requests get clean HTTP errors and never leak slots:
+    empty body 400, malformed WAV 400, oversized Content-Length 413,
+    slab full 503."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    s = _http_server(make_engine(model_setup, cc, n_slots=1))
+    try:
+        base = f"http://127.0.0.1:{s.srv.http_stats_port}"
+
+        def post(body, headers=None):
+            req = urllib.request.Request(f"{base}/transcribe", data=body,
+                                         headers=headers or {},
+                                         method="POST")
+            return urllib.request.urlopen(req, timeout=60)
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(b"")
+        assert e.value.code in (400, 411)
+
+        bad_wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"junkjunk"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(bad_wav)
+        assert e.value.code == 400
+        assert "malformed WAV" in _json.loads(e.value.read())["error"]
+
+        # oversized Content-Length is rejected on the header alone
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1",
+                                          s.srv.http_stats_port, timeout=60)
+        conn.putrequest("POST", "/transcribe")
+        conn.putheader("Content-Length",
+                       str(ASRServer.MAX_HTTP_BODY + 1))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        conn.close()
+
+        # slab full: occupy the single slot via the streaming protocol
+        cl = ASRClient("127.0.0.1", s.srv.port)
+        cl.start()
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(synth(cc.chunk_samples, seed=1).tobytes())
+        assert e.value.code == 503
+        cl.close()
+        assert int(np.sum(s.srv.engine.active)) <= 1
+    finally:
+        s.stop()
+
+
 # -- WebSocket transport ------------------------------------------------------
 
 def test_ws_roundtrip_matches_tcp(model_setup, cc, server_factory):
