@@ -439,10 +439,13 @@ class ASRServer:
             # finalize's internal steps may have advanced live streams too
             await self._push_partials()
         eng = self.engine
+        cc = eng.cc
         body = json.dumps({
             "text": text,
             "tokens": [list(t) for t in toks],
             "audio_s": pcm.size / 16000.0,
+            "frame_seconds": (cc.subsampling_factor * cc.hop_length
+                              / cc.sample_rate),
             "decode": ("ctc" if getattr(eng, "ctc", False)
                        else "tdt" if getattr(eng, "tdt", False)
                        else "beam" if eng.beam_size > 1 else "greedy"),
@@ -607,6 +610,12 @@ class ASRServer:
             "sample_rate": 16000,
             "chunk_samples": cc.chunk_samples,
             "shift_samples": cc.shift_samples,
+            # FINAL/UTTERANCE token frames -> seconds scale (one encoder
+            # frame = subsampling * hop samples; 80 ms at the standard
+            # geometry), so clients can compute word timestamps without
+            # knowing the model geometry
+            "frame_seconds": (cc.subsampling_factor * cc.hop_length
+                              / cc.sample_rate),
             "beam": self.engine.beam_size,
             "confidence": bool(self.engine.confidence),
             "decode": ("ctc" if getattr(self.engine, "ctc", False)

@@ -376,6 +376,9 @@ def test_http_transcribe_roundtrip(model_setup, cc):
                 [tuple(t) for t in want_toks]
             assert resp["decode"] == "greedy"
             assert abs(resp["audio_s"] - audio.size / 16000.0) < 1e-6
+            # token frames -> seconds scale from the engine's geometry
+            assert resp["frame_seconds"] == pytest.approx(
+                cc.subsampling_factor * cc.hop_length / cc.sample_rate)
         # the one-shot stream freed its slot both times
         assert int(np.sum(s.srv.engine.active)) == 0
     finally:
