@@ -155,6 +155,38 @@ def trained_hybrid():
     return load_model(HYBRID_GGUF, keep_quantized=False)
 
 
+TDT_GGUF = os.path.join(os.path.dirname(__file__), "..", "weights",
+                        "tones_tiny_tdt.gguf")
+
+
+def test_tdt_model_streaming_transcribes():
+    """Streaming decode of the committed TDT fixture (tiny recipe +
+    --tdt-durations 0,1,2,3,4): TER < 10% on continuous tone streams.
+    The full 60 s x 8-run harness measured 0.21% TER
+    (docs/tdt_quality.json); this is the cheap CI gate, and the only
+    in-CI exercise of the TDT decode path on trained weights."""
+    if not os.path.exists(TDT_GGUF):
+        pytest.skip("TDT fixture not present")
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.params import load_model
+    from nemotron_tpu.streaming.session import StreamSession
+    from nemotron_tpu.utils import tones as tones_mod
+
+    params, cfg, _ = load_model(TDT_GGUF, keep_quantized=False)
+    assert cfg.tdt_durations, "fixture must carry nemo.tdt_durations"
+    audio, truths = tones_mod.make_eval_streams(2, 15.0, 16, seed=123)
+    cc = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
+    sess = StreamSession(params, cfg, None, cc, n_streams=audio.shape[0])
+    sess.process(audio)
+    sess.finalize()
+    got = [[t for t, _ in sess.get_tokens(s)]
+           for s in range(audio.shape[0])]
+    total = sum(len(t) for t in truths)
+    dist = sum(levenshtein(g, t) for g, t in zip(got, truths))
+    assert total > 10
+    assert dist / total < 0.10, (dist, total, got, truths)
+
+
 def test_hybrid_model_streaming_ctc_transcribes(trained_hybrid):
     """Streaming CTC decode of the committed dual-head fixture (tiny
     recipe + --ctc-weight 0.3): TER < 10% on continuous tone streams.
