@@ -14,8 +14,9 @@ import struct
 
 import numpy as np
 
-from .server import (T_AUDIO, T_END, T_ERROR, T_FINAL, T_PARTIAL, T_READY,
-                     T_START, T_STATS, T_STATS_R, T_UTTERANCE, pack_frame)
+from .server import (MAX_FRAME_BYTES, T_AUDIO, T_END, T_ERROR, T_FINAL,
+                     T_PARTIAL, T_READY, T_START, T_STATS, T_STATS_R,
+                     T_UTTERANCE, _WS_EVENT, pack_frame)
 
 _HDR = struct.Struct("!BI")
 
@@ -46,8 +47,16 @@ class ASRClient:
 
     # -- framing -------------------------------------------------------------
 
+    def _sendall(self, data: bytes) -> None:
+        # pump() leaves the socket non-blocking (settimeout(0.0)); sendall
+        # on a non-blocking socket raises BlockingIOError mid-frame when
+        # the kernel buffer fills, corrupting the stream — restore the
+        # blocking timeout for every send
+        self.sock.settimeout(self.timeout)
+        self.sock.sendall(data)
+
     def _send(self, ftype: int, payload: bytes = b"") -> None:
-        self.sock.sendall(pack_frame(ftype, payload))
+        self._sendall(pack_frame(ftype, payload))
 
     def _recv_some(self, blocking: bool) -> bool:
         """Pull whatever bytes are available; returns False on EOF."""
@@ -154,8 +163,9 @@ class ASRClient:
 # -- WebSocket variant --------------------------------------------------------
 
 _WS_SEND = {T_START: "start", T_END: "end", T_STATS: "stats"}
-_WS_RECV = {"ready": T_READY, "partial": T_PARTIAL, "final": T_FINAL,
-            "error": T_ERROR, "stats": T_STATS_R, "utterance": T_UTTERANCE}
+# derived from the server's own event-name map so a new server event can
+# never silently desync this client
+_WS_RECV = {name: ftype for ftype, name in _WS_EVENT.items()}
 
 
 class WSASRClient(ASRClient):
@@ -206,12 +216,12 @@ class WSASRClient(ASRClient):
             obj["type"] = _WS_SEND[ftype]
             frame = ws.encode_frame(
                 ws.OP_TEXT, json.dumps(obj).encode("utf-8"), mask=True)
-        self.sock.sendall(frame)
+        self._sendall(frame)
 
     def _pop_frame(self) -> tuple[int, bytes] | None:
         ws = self._ws
         while True:
-            res = ws.parse_frame(self._rbuf)
+            res = ws.parse_frame(self._rbuf, MAX_FRAME_BYTES)
             if res is None:
                 return None
             fin, opcode, _masked, payload, consumed = res
@@ -220,7 +230,7 @@ class WSASRClient(ASRClient):
                                  "fragments)")
             self._rbuf = self._rbuf[consumed:]
             if opcode == ws.OP_PING:
-                self.sock.sendall(
+                self._sendall(
                     ws.encode_frame(ws.OP_PONG, payload, mask=True))
                 continue
             if opcode == ws.OP_CLOSE:
@@ -228,7 +238,9 @@ class WSASRClient(ASRClient):
             if opcode != ws.OP_TEXT:
                 continue
             obj = json.loads(payload.decode("utf-8"))
-            ftype = _WS_RECV[obj.pop("type")]
+            ftype = _WS_RECV.get(obj.pop("type"))
+            if ftype is None:
+                continue   # unknown event from a newer server: skip
             # re-encode without "type" so the shared _handle sees exactly
             # the TCP-protocol payload
             return ftype, json.dumps(obj).encode("utf-8")

@@ -287,11 +287,28 @@ class ASRServer:
         if getattr(eng, "_ep_frames", None) is None:
             return
         if self.refiner is not None:
-            events = eng.poll_endpoints(with_audio=True)
-            refined = await self._engine_call(
-                self.refiner.refine, [seg for *_x, seg in events])
+            polled = eng.poll_endpoints(with_audio=True)
+            # the re-decode is expensive: skip slots whose connection
+            # vanished between the endpoint firing and this tick
+            live = [ev for ev in polled
+                    if ev[0] in self._conns
+                    and self._conns[ev[0]].slot is not None]
+            refined: list = []
+            if live:
+                try:
+                    refined = await self._engine_call(
+                        self.refiner.refine, [seg for *_x, seg in live])
+                except Exception as e:  # noqa: BLE001
+                    # a refinement failure must never lose the utterance
+                    # event: deliver the online greedy text unrefined
+                    # (poll_endpoints already drained the engine's queue)
+                    import sys
+
+                    print(f"refiner failed ({e!r}); delivering online "
+                          "text unrefined", file=sys.stderr, flush=True)
+                    refined = [None] * len(live)
             events = [(s, text, toks, r) for (s, text, toks, _seg), r
-                      in zip(events, refined)]
+                      in zip(live, refined)]
         else:
             events = [(s, text, toks, None)
                       for s, text, toks in eng.poll_endpoints()]
@@ -374,8 +391,17 @@ class ASRServer:
                 ctype = b"application/json"
                 status = b"200 OK"
             elif method == "POST" and path == "/transcribe":
-                body, ctype, status = await self._http_transcribe(
-                    reader, headers)
+                try:
+                    body, ctype, status = await self._http_transcribe(
+                        reader, headers)
+                except (asyncio.TimeoutError, ConnectionError,
+                        asyncio.IncompleteReadError):
+                    raise
+                except Exception as e:  # noqa: BLE001 -- engine failure:
+                    # answer 500 instead of dropping the connection
+                    body = json.dumps({"error": repr(e)}).encode() + b"\n"
+                    ctype = b"application/json"
+                    status = b"500 Internal Server Error"
             else:
                 body, ctype, status = b"not found\n", b"text/plain", \
                     b"404 Not Found"
@@ -539,9 +565,13 @@ class ASRServer:
                 except (asyncio.IncompleteReadError, ConnectionError):
                     break
                 if opcode == ws.OP_CLOSE:
-                    # echo the close (status code payload, if any) per §5.5.1
+                    # echo the close (status code payload, if any) per
+                    # §5.5.1; a close payload must be 0 or >=2 bytes, so a
+                    # malformed 1-byte payload is echoed as empty
                     self._send(writer,
-                               ws.encode_frame(ws.OP_CLOSE, payload[:2]))
+                               ws.encode_frame(
+                                   ws.OP_CLOSE,
+                                   payload[:2] if len(payload) >= 2 else b""))
                     break
                 if opcode == ws.OP_PING:
                     self._send(writer, ws.encode_frame(ws.OP_PONG, payload))

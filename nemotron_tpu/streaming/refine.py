@@ -57,7 +57,17 @@ class SegmentRefiner:
             raise ValueError("refinement is a beam re-decode; beam_size>1")
 
     def refine(self, segments: list[np.ndarray]) -> list[str]:
-        """Re-decode raw-PCM segments (one utterance each) in one batch."""
+        """Re-decode raw-PCM segments (one utterance each) in one batch.
+
+        Shapes are BUCKETED (batch padded to the next power of two with
+        silence rows, mel time padded to the next power-of-two frame
+        count via transcribe_batch's min_mel_frames) so jit compiles
+        O(log B * log T) programs instead of one per distinct
+        (segment count, longest length) -- without bucketing, essentially
+        every endpoint would trigger a fresh multi-second compile while
+        the server holds its engine lock, freezing all live streams.
+        Both pads are exact: batch rows never interact (per-row attention)
+        and time padding is masked via enc_lengths."""
         from .session import transcribe_batch
 
         if not segments:
@@ -71,13 +81,28 @@ class SegmentRefiner:
         min_len = 400  # one 25 ms window
         segs = [s if s.size >= min_len
                 else np.pad(s, (0, min_len - s.size)) for s in segs]
-        return transcribe_batch(
+        n_true = len(segs)
+        n_bucket = 1
+        while n_bucket < n_true:
+            n_bucket *= 2
+        segs += [np.zeros(min_len, np.int16)] * (n_bucket - n_true)
+        # upper bound on the longest segment's mel frames (hop 160; +4
+        # covers center-pad and residue), bucketed up; transcribe_batch
+        # takes max(actual, bucket) so an undershoot only recompiles,
+        # never corrupts
+        mel_upper = max(s.size for s in segs) // 160 + 4
+        tm_bucket = 128          # 1.28 s floor
+        while tm_bucket < mel_upper:
+            tm_bucket *= 2
+        texts = transcribe_batch(
             self.params, self.cfg, self.vocab, segs,
             compute_dtype=self.dtype,
             beam_size=self.beam_size,
             beam_expansions=self.beam_expansions,
             lm=self.lm, lm_weight=self.lm_weight,
-            lm_bonus=self.lm_bonus, lm_rescore=self.lm_rescore)
+            lm_bonus=self.lm_bonus, lm_rescore=self.lm_rescore,
+            min_mel_frames=tm_bucket)
+        return texts[:n_true]
 
     def drain(self, engine) -> list[tuple[int, str, str, list]]:
         """Poll the engine's finished utterances and refine them in one

@@ -789,7 +789,8 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
                      ctc: bool = False,
                      lm=None, lm_weight: float = 0.3,
                      lm_bonus: float = 0.0,
-                     lm_rescore: bool = False):
+                     lm_rescore: bool = False,
+                     min_mel_frames: int = 0):
     """Offline full-utterance transcription (the reference `transcribe` CLI
     path: src/transcribe.cpp + nemo_transcribe_audio,
     src/nemo-ggml.cpp:1585-1598). Unlike the reference there is no 164 s
@@ -817,7 +818,13 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
 
     ctc=True decodes with the hybrid checkpoint's auxiliary CTC head
     (models/ctc.py; requires params.ctc) instead of the RNN-T label
-    loop -- stateless over frames, no prediction network."""
+    loop -- stateless over frames, no prediction network.
+
+    min_mel_frames pads the batched mel's time axis to at least this many
+    frames (masked via enc_lengths, so outputs are EXACTLY those of the
+    unpadded call) -- callers with varying utterance lengths (the serving
+    refiner) bucket shapes with it so jit compiles O(log T) programs
+    instead of one per distinct length."""
     if return_confidence and beam_size > 1:
         raise ValueError("confidence requires greedy decode")
     if return_nbest is not None and beam_size <= 1:
@@ -852,7 +859,7 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
         return t
 
     mel_lens = [m.shape[0] for m in mels]
-    Tm = max(mel_lens)
+    Tm = max(max(mel_lens), min_mel_frames)
     mel = np.zeros((len(mels), Tm, cfg.n_mels), np.float32)
     for i, m in enumerate(mels):
         mel[i, : m.shape[0]] = m

@@ -77,13 +77,17 @@ def encode_frame(opcode: int, payload: bytes, mask: bool = False,
     return bytes(head) + payload
 
 
-def parse_frame(buf: bytes) -> tuple[bool, int, bool, bytes, int] | None:
+def parse_frame(buf: bytes, max_bytes: int | None = None
+                ) -> tuple[bool, int, bool, bytes, int] | None:
     """Parse one frame from the head of `buf`.
 
     Returns (fin, opcode, masked, payload, bytes_consumed), or None if the
     buffer does not yet hold a complete frame. Used by the blocking client
     (client.py pumps a socket into a buffer); the asyncio server side uses
-    read_frame() instead.
+    read_frame() instead. `max_bytes` rejects a frame from its declared
+    length alone (same role as read_frame's cap) — without it a peer
+    declaring a huge length would make the caller buffer unboundedly
+    waiting for a frame that never completes.
     """
     if len(buf) < 2:
         return None
@@ -103,6 +107,9 @@ def parse_frame(buf: bytes) -> tuple[bool, int, bool, bytes, int] | None:
             return None
         ln = struct.unpack_from("!Q", buf, pos)[0]
         pos += 8
+    if max_bytes is not None and ln > max_bytes:
+        raise WSProtocolError(
+            f"frame of {ln} bytes exceeds the {max_bytes}-byte limit")
     key = b""
     if masked:
         if len(buf) < pos + 4:

@@ -139,6 +139,24 @@ def test_segment_snapshot_roundtrip(model_setup, cc, tmp_path):
     np.testing.assert_array_equal(evs[0][3], evs2[0][3])
 
 
+def test_refine_bucketing_exact(model_setup):
+    """Shape bucketing (batch padded to a power of two with silence rows,
+    mel time padded via min_mel_frames) must be output-EXACT: refining a
+    ragged batch equals refining each segment alone (batch rows never
+    interact; time padding is masked via enc_lengths)."""
+    from nemotron_tpu.streaming.refine import SegmentRefiner
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+    refiner = SegmentRefiner(params, cfg, vocab, beam_size=2,
+                             compute_dtype=np.float32)
+    segs = [synth(4000, 1), synth(9000, 2), synth(21000, 3)]
+    batched = refiner.refine(segs)          # 3 -> batch bucket 4
+    assert len(batched) == 3
+    solo = [refiner.refine([s])[0] for s in segs]
+    assert batched == solo
+
+
 def test_refiner_end_to_end():
     """Online greedy + endpointing segments two tone utterances; the
     refiner's batched beam re-decode of the captured segments reproduces

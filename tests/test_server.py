@@ -434,6 +434,24 @@ def test_http_transcribe_errors(model_setup, cc):
         assert e.value.code == 503
         cl.close()
         assert int(np.sum(s.srv.engine.active)) <= 1
+
+        # an engine exception answers 500 (not a dropped connection),
+        # and the slot is reclaimed
+        deadline = __import__("time").time() + 30
+        while __import__("time").time() < deadline \
+                and int(np.sum(s.srv.engine.active)):
+            __import__("time").sleep(0.05)   # cleanup frees the TCP slot
+        orig = s.srv.engine.feed_audio
+        s.srv.engine.feed_audio = \
+            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                post(synth(cc.chunk_samples, seed=2).tobytes())
+            assert e.value.code == 500
+            assert "boom" in _json.loads(e.value.read())["error"]
+        finally:
+            s.srv.engine.feed_audio = orig
+        assert int(np.sum(s.srv.engine.active)) == 0
     finally:
         s.stop()
 
@@ -611,6 +629,62 @@ def test_refined_utterance_events(model_setup, cc, server_factory):
         # equality gate: refine() of the same segment reproduces it
         want = refiner.refine([audio[:cut_samples]])[0]
         assert utt["refined"] == want
+        c.end()
+
+
+def test_refiner_failure_still_delivers_online_text(model_setup, cc,
+                                                    server_factory):
+    """A refiner exception must not lose the utterance: the UTTERANCE
+    event still arrives with the online greedy text/tokens, just without
+    the \"refined\" field (poll_endpoints drains the engine queue before
+    refinement runs, so dropping the event would be unrecoverable)."""
+    import time as _time
+
+    from nemotron_tpu.streaming.refine import SegmentRefiner
+
+    _, params, cfg = model_setup
+    vocab = [f"w{i}" for i in range(cfg.vocab_size)]
+
+    class _Boom(SegmentRefiner):
+        def refine(self, segments):
+            raise RuntimeError("synthetic refiner failure")
+
+    refiner = _Boom(params, cfg, vocab, beam_size=2,
+                    compute_dtype=np.float32)
+    s = server_factory(_srv_kw={"refiner": refiner},
+                       endpoint_silence_s=1.0, keep_segment_audio=True)
+    n = cc.chunk_samples
+    audio = synth(2 * n, 60)
+    with ASRClient(*s.addr) as c:
+        info = c.start()
+        c.send_audio(audio)
+        deadline = _time.time() + 60
+        while _time.time() < deadline and not c.transcript:
+            c.pump()
+            _time.sleep(0.05)
+        assert c.transcript, "tiny model emitted nothing"
+        eng = s.srv.engine
+        slot = info["slot"]
+        deadline = _time.time() + 60
+        while (_time.time() < deadline
+               and eng.mel_buffers[slot].count >= cc.chunk_mel_frames):
+            _time.sleep(0.05)
+        cut_samples = int(eng.frame_offsets[slot]) * eng._seg_spf
+
+        def fire():
+            seg = eng.seg_buffers[slot].cut(cut_samples)
+            eng._ep_pending.append((slot, len(eng.tokens[slot]), seg))
+
+        s.loop.call_soon_threadsafe(fire)
+        deadline = _time.time() + 120
+        while _time.time() < deadline and not c.utterances:
+            c.pump()
+            _time.sleep(0.05)
+        assert c.utterances, \
+            "UTTERANCE event was lost when the refiner failed"
+        utt = c.utterances[0]
+        assert "refined" not in utt
+        assert utt["text"]          # the online greedy text survived
         c.end()
 
 

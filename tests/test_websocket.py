@@ -43,6 +43,21 @@ def test_parse_frame_rejects_rsv_bits():
         ws.parse_frame(bytes(raw))
 
 
+def test_parse_frame_rejects_oversized_declared_length():
+    """The cap fires on the declared length ALONE (before any payload
+    arrives) -- otherwise a peer declaring a huge frame makes the caller
+    buffer unboundedly waiting for a frame that never completes."""
+    hdr = bytes([0x80 | ws.OP_BINARY, 127]) + (1 << 40).to_bytes(8, "big")
+    with pytest.raises(ws.WSProtocolError, match="exceeds"):
+        ws.parse_frame(hdr, max_bytes=1 << 24)
+    # within the cap, an incomplete frame still just returns None
+    raw = ws.encode_frame(ws.OP_BINARY, b"abc")
+    assert ws.parse_frame(raw[:-1], max_bytes=1 << 24) is None
+    fin, op, _m, payload, consumed = ws.parse_frame(raw, max_bytes=1 << 24)
+    assert (fin, op, payload, consumed) == (True, ws.OP_BINARY, b"abc",
+                                            len(raw))
+
+
 def _feed_reader(chunks: list[bytes]) -> asyncio.StreamReader:
     reader = asyncio.StreamReader()
     for c in chunks:
