@@ -5,7 +5,7 @@
                   [--cpu] [--timestamps] [--confidence] [--beam=K]
                   [--nbest=N] [--boost=piece:weight,...] [--ctc]
                   [--lm=lm.gguf] [--lm-weight=W] [--lm-bonus=B]
-                  [--lm-rescore]
+                  [--lm-rescore] [--srt[=FILE]] [--vtt[=FILE]]
 
 Multiple audio files are transcribed in ONE batched encoder/decode pass
 (length-masked; the reference is batch=1). --beam=K decodes with the
@@ -20,7 +20,11 @@ models/lm.py) -- the reference has no LM anywhere. --lm-rescore switches
 the LM to second-pass n-best rescoring instead: the beam runs
 acoustic-only and the finished K-hypothesis list is reranked by
 raw_score + W * LM_sequence_logp + B * length (one LM pass per
-utterance; models/lm.py rescore_nbest).
+utterance; models/lm.py rescore_nbest). --srt / --vtt write subtitle
+files (utils/subtitles.py: words grouped into cues split at silence
+gaps / max duration / max line length) next to each audio file, or to
+FILE when given with a single input; greedy only (cues need the greedy
+loop's per-token frame alignment, like --timestamps).
 """
 
 import os
@@ -75,6 +79,23 @@ def main(argv: list[str]) -> int:
         return 1
     if nbest is not None and beam == 1:
         beam = nbest
+    sub_fmt, sub_out = None, None
+    for f in flags:
+        for fmt in ("srt", "vtt"):
+            if f == f"--{fmt}" or f.startswith(f"--{fmt}="):
+                sub_fmt = fmt
+                sub_out = f.split("=", 1)[1] if "=" in f else None
+    if sub_fmt is not None:
+        if beam != 1 or nbest is not None or "--ctc" in flags:
+            print("error: --srt/--vtt require greedy decode (no --beam/"
+                  "--nbest/--ctc): cues need per-token frame alignment",
+                  file=sys.stderr)
+            return 1
+        if sub_out is not None and len(args) > 2:
+            print("error: --srt=FILE/--vtt=FILE take one audio file; "
+                  "omit =FILE to write one subtitle file per input",
+                  file=sys.stderr)
+            return 1
     lm = None
     if lm_path is not None:
         from nemotron_tpu.models.lm import load_lm
@@ -116,9 +137,10 @@ def main(argv: list[str]) -> int:
                   f"(RTF {elapsed / max(audio_s, 1e-9):.4f})",
                   file=sys.stderr)
             return 0
-        if "--confidence" in flags:
+        if "--confidence" in flags or sub_fmt is not None:
             # word-posterior annotations ({p=...}) from the greedy label
-            # loop's per-emission log softmax (greedy only)
+            # loop's per-emission log softmax, and/or subtitle export --
+            # both need the per-token (id, frame) lists (greedy only)
             from nemotron_tpu.utils.text import tokens_to_text
 
             _, tls = transcribe_batch(
@@ -127,9 +149,17 @@ def main(argv: list[str]) -> int:
                 beam_size=beam, return_confidence=True)
             if len(audios) == 1:
                 tls = [tls]
+            if sub_fmt is not None:
+                from nemotron_tpu.utils.subtitles import write_subtitles
+
+                for path, tl in zip(args[1:], tls):
+                    out = sub_out or os.path.splitext(path)[0] + "." + sub_fmt
+                    n = write_subtitles(out, tl, vocab, sub_fmt)
+                    print(f"wrote {n} cues to {out}", file=sys.stderr)
             texts = [tokens_to_text(tl, vocab,
                                     timestamp_words="--timestamps" in flags,
-                                    confidence_words=True) for tl in tls]
+                                    confidence_words="--confidence" in flags)
+                     for tl in tls]
             if len(audios) == 1:
                 texts = texts[0]
         else:

@@ -12,6 +12,7 @@ src/transcribe_stream.cpp:27-36):
                          [--kv-int8|--kv-int4] [--rc-by-layer=13,6,1,0]
                          [--beam=K] [--boost=piece:weight,...] [--ctc]
                          [--lm=lm.gguf] [--lm-weight=W] [--lm-bonus=B]
+                         [--srt=FILE|--vtt=FILE]
 
   - input: raw s16le 16 kHz mono PCM file, or '-' / '--stdin' for stdin;
     .wav files decode directly (PCM16 or float32, any sample rate --
@@ -61,6 +62,7 @@ def main(argv: list[str]) -> int:
     profile_dir = None
     trace_dir = None
     quant_mode = None
+    sub_fmt, sub_out = None, None
     for f in flags:
         if f.startswith("--profile="):
             profile_dir = f.split("=", 1)[1]
@@ -68,6 +70,16 @@ def main(argv: list[str]) -> int:
             trace_dir = f.split("=", 1)[1]
         elif f.startswith("--quantize="):
             quant_mode = f.split("=", 1)[1]  # q8_0 | w8a8
+        elif f.startswith("--srt=") or f.startswith("--vtt="):
+            # subtitle export from the session's timed tokens at finalize
+            # (utils/subtitles.py; =FILE is required here -- stdout already
+            # carries the incremental transcript)
+            sub_fmt = f[2:5]
+            sub_out = f.split("=", 1)[1]
+        elif f in ("--srt", "--vtt"):
+            print(f"error: streaming {f} requires {f}=FILE (stdout carries "
+                  "the incremental transcript)", file=sys.stderr)
+            return 1
 
     from nemotron_tpu.config import CacheConfig
     from nemotron_tpu.params import load_model
@@ -196,6 +208,10 @@ def main(argv: list[str]) -> int:
         print(f"beam search: K={beam} (incremental output disabled; "
               "the best hypothesis may rewrite as chunks arrive)",
               file=sys.stderr)
+        if sub_fmt is not None:
+            print("error: --srt/--vtt require greedy decode: cues need "
+                  "per-token frame alignment", file=sys.stderr)
+            return 1
     lm = None
     if lm_path is not None:
         # LM shallow fusion inside the beam (models/lm.py; needs --beam>1)
@@ -274,6 +290,12 @@ def main(argv: list[str]) -> int:
         sys.stdout.write(final[before:])
     sys.stdout.write("\n")
     sys.stdout.flush()
+
+    if sub_fmt is not None:
+        from nemotron_tpu.utils.subtitles import write_subtitles
+
+        n = write_subtitles(sub_out, sess.get_tokens(0), vocab, sub_fmt)
+        print(f"wrote {n} cues to {sub_out}", file=sys.stderr)
 
     if profile_dir:
         import jax
