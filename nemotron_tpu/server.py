@@ -666,12 +666,15 @@ class ASRServer:
                        {"error": "odd-length PCM payload (s16le)"})
             return
         pcm = np.frombuffer(payload, np.int16)
-        conn.pending += pcm.size
-        if conn.pending > MAX_PENDING_SECONDS * 16000:
+        # check-before-count: a rejected burst must not inflate `pending`
+        # (it is never staged, so nothing would ever reset the counter and
+        # the slot would refuse audio forever)
+        if conn.pending + pcm.size > MAX_PENDING_SECONDS * 16000:
             self._emit(conn, T_ERROR, {
                 "error": f"over {MAX_PENDING_SECONDS:.0f} s of audio "
                          "staged and unprocessed; slow down"})
             return
+        conn.pending += pcm.size
         self._staged.setdefault(conn.slot, []).append(pcm)
 
     async def _on_end(self, conn: _Conn) -> None:

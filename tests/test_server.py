@@ -169,6 +169,30 @@ def test_protocol_errors(model_setup, cc, server_factory):
             c._wait_for(0x82)
 
 
+def test_pending_cap_recovers(model_setup, cc, server_factory, monkeypatch):
+    """A burst over the staging cap is REJECTED, not counted: the slot
+    keeps accepting normally-paced audio afterwards (regression: the
+    counter used to include the rejected burst and never reset, refusing
+    all audio forever)."""
+    import nemotron_tpu.server as server_mod
+
+    # cap ~= half a chunk so one chunk-sized burst trips it
+    monkeypatch.setattr(server_mod, "MAX_PENDING_SECONDS",
+                        cc.chunk_samples / 2 / 16000.0)
+    s = server_factory()
+    with ASRClient(*s.addr) as c:
+        c.start()
+        c._send(2, synth(cc.chunk_samples, 11).tobytes())  # over the cap
+        with pytest.raises(ASRServerError, match="slow down"):
+            c._wait_for(0x82)
+        # small pieces under the cap, ticked in between, still flow
+        for i in range(8):
+            c.send_audio(synth(cc.chunk_samples // 4, 20 + i))
+            time.sleep(0.1)  # let the ticker drain the stage
+        final = c.end()
+        assert "text" in final  # session completed normally
+
+
 def test_stats_roundtrip(model_setup, cc, server_factory):
     s = server_factory()
     with ASRClient(*s.addr) as c:
