@@ -22,7 +22,10 @@ server -> client:
     0x81 PARTIAL {"text": t, "replace": r}   incremental transcript; in
                  beam mode hypotheses are revisable, so the full current
                  transcript is resent with replace=true
-    0x82 FINAL   {"text": full, "tokens": [[id, frame(, logp)], ...]}
+    0x82 FINAL   {"text": full, "tokens": [[id, frame(, logp)], ...],
+                  "words": [[start_s, end_s, word], ...]}  word timings
+                 for client-side captions/subtitles (clients cannot
+                 detokenize ids themselves)
     0x83 ERROR   {"error": msg}
     0x84 STATS   engine.stats() JSON
     0x85 UTTERANCE {"index": k, "text": t, "tokens": [...]}  one per
@@ -64,6 +67,7 @@ import time
 import numpy as np
 
 from . import websocket as ws
+from .utils.subtitles import tokens_to_words
 
 # frame types
 T_START = 0x01
@@ -319,7 +323,12 @@ class ASRServer:
             payload = {
                 "index": conn.utterances,
                 "text": text,
-                "tokens": [list(t) for t in toks]}
+                "tokens": [list(t) for t in toks],
+                # word timings [[start_s, end_s, word], ...] so clients
+                # can render captions without the vocab (tokens alone are
+                # ids; only the server can detokenize)
+                "words": [list(w) for w in tokens_to_words(
+                    toks, self.engine.vocab)]}
             if refined_text is not None:
                 payload["refined"] = refined_text
             self._emit(conn, T_UTTERANCE, payload)
@@ -469,6 +478,7 @@ class ASRServer:
         body = json.dumps({
             "text": text,
             "tokens": [list(t) for t in toks],
+            "words": [list(w) for w in tokens_to_words(toks, eng.vocab)],
             "audio_s": pcm.size / 16000.0,
             "frame_seconds": (cc.subsampling_factor * cc.hop_length
                               / cc.sample_rate),
@@ -696,6 +706,9 @@ class ASRServer:
         self._emit(conn, T_FINAL, {
             "text": text,
             "tokens": [list(t) for t in toks],
+            # word timings for client-side captions (see UTTERANCE)
+            "words": [list(w) for w in tokens_to_words(
+                toks, self.engine.vocab)],
         })
 
     def stats(self) -> dict:

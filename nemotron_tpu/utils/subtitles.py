@@ -57,14 +57,27 @@ def tokens_to_cues(tokens: list[tuple], vocab: list[str],
                    max_gap_s: float = 1.0, max_dur_s: float = 6.0,
                    max_chars: int = 84, tail_s: float = 0.5
                    ) -> list[tuple[float, float, str]]:
-    """Segment timed tokens into subtitle cues.
+    """Segment timed tokens into subtitle cues (tokens_to_words then
+    words_to_cues)."""
+    return words_to_cues(tokens_to_words(tokens, vocab),
+                         max_gap_s=max_gap_s, max_dur_s=max_dur_s,
+                         max_chars=max_chars, tail_s=tail_s)
+
+
+def words_to_cues(words: list[tuple[float, float, str]],
+                  max_gap_s: float = 1.0, max_dur_s: float = 6.0,
+                  max_chars: int = 84, tail_s: float = 0.5
+                  ) -> list[tuple[float, float, str]]:
+    """Segment timed words into subtitle cues.
 
     A new cue starts when (a) the silence gap since the previous word
     exceeds ``max_gap_s``, (b) adding the word would push the cue past
     ``max_dur_s`` from its first word, or (c) past ``max_chars``
     characters. Cue end times are extended by up to ``tail_s`` of
-    lead-out, clipped at the next cue's start."""
-    words = tokens_to_words(tokens, vocab)
+    lead-out, clipped at the next cue's start. Word timings may come from
+    tokens_to_words or from a server FINAL/UTTERANCE event's "words"
+    field (the network client has no vocab to detokenize with)."""
+    words = [(float(s), float(e), str(w)) for s, e, w in words]
     if not words:
         return []
     groups: list[list[tuple[float, float, str]]] = [[words[0]]]

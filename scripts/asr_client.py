@@ -5,6 +5,11 @@ the incremental transcript -- the reference CLI's UX
 
     asr_client.py <host:port> <audio.pcm|audio.wav|-> [--rate real|max]
                   [--block-ms MS] [--stats] [--ws]
+                  [--srt FILE | --vtt FILE]
+
+--srt/--vtt write a subtitle file from the FINAL event's word timings
+(the server detokenizes and sends [[start_s, end_s, word], ...]; cue
+segmentation is utils/subtitles.words_to_cues).
 
 --rate real paces the upload at real time (one block per block's worth of
 wall clock), max streams as fast as the socket takes it. Incremental text
@@ -102,6 +107,16 @@ def main(argv: list[str]) -> int:
         print(f"server stats: {st}", file=sys.stderr)
     print(f"audio {len(audio) / 16000.0:.1f} s in {wall:.1f} s wall; "
           f"{len(final['tokens'])} tokens", file=sys.stderr)
+    sub_path = opt("--srt", None, str) or opt("--vtt", None, str)
+    if sub_path is not None:
+        from nemotron_tpu.utils.subtitles import (format_srt, format_vtt,
+                                                  words_to_cues)
+
+        cues = words_to_cues(final.get("words", []))
+        fmt = format_srt if opt("--srt", None, str) else format_vtt
+        with open(sub_path, "w", encoding="utf-8") as f:
+            f.write(fmt(cues))
+        print(f"wrote {len(cues)} cues to {sub_path}", file=sys.stderr)
     client.close()
     return 0
 

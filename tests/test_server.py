@@ -115,6 +115,12 @@ def test_roundtrip_matches_engine(model_setup, cc, server_factory):
     assert [tuple(t) for t in final["tokens"]] == want_toks
     # incremental partials accumulated to the same transcript
     assert client.transcript == want_text
+    # FINAL word timings == server-side detokenization of the same tokens
+    from nemotron_tpu.utils.subtitles import tokens_to_words
+
+    want_words = [list(w) for w in
+                  tokens_to_words(want_toks, s.srv.engine.vocab)]
+    assert final["words"] == want_words
 
 
 def test_concurrent_clients_isolated(model_setup, cc, server_factory):
@@ -294,6 +300,11 @@ def test_utterance_endpoint_events(model_setup, cc, server_factory):
         assert utt["tokens"] == [list(t) for t in
                                  eng.tokens[slot][: len(utt["tokens"])]]
         assert len(utt["tokens"]) > 0
+        # word timings ride UTTERANCE events too (client-side captions)
+        from nemotron_tpu.utils.subtitles import tokens_to_words
+
+        assert utt["words"] == [list(w) for w in tokens_to_words(
+            [tuple(t) for t in utt["tokens"]], eng.vocab)]
         c.end()
 
 

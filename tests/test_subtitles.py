@@ -82,6 +82,15 @@ def test_char_split():
     assert [c[2] for c in cues] == ["a a a a", "a a a a", "a a"]
 
 
+def test_words_to_cues_json_shapes():
+    # server events deliver words as JSON lists (not tuples); ints for
+    # whole-second times must coerce cleanly
+    from nemotron_tpu.utils.subtitles import words_to_cues
+
+    cues = words_to_cues([[0, 1, "hi"], [1.2, 2, "there"]])
+    assert len(cues) == 1 and cues[0][2] == "hi there"
+
+
 def test_srt_format_exact():
     cues = [(0.0, 1.5, "hi there"), (3661.25, 3662.0, "ok")]
     srt = format_srt(cues)
