@@ -28,6 +28,12 @@ Runs, in order, and prints a docs/STATUS.md-style PASS/FAIL table
                     compare_outputs --expect. Skips (PASS with a note) when
                     the binary can't be built here (ggml clone + toolchain
                     required) so the ladder stays usable everywhere.
+  8. ref oracle  -- optional (--reference-oracle): compile and RUN the
+                    reference's own ggml-FREE C++ oracle + preprocessor
+                    (scripts/ref_oracle_parity.py) -- cross-implementation
+                    mel/encoder/decoder/greedy gates that work offline with
+                    no real GGUF (full-size random weights). Skips (PASS
+                    with a note) only when g++ or the checkout is missing.
 
 The moment real weights exist, the entire gate is this single invocation:
 reference-vs-repo AND oracle-vs-repo in one command.
@@ -207,6 +213,22 @@ def main(argv: list[str]) -> int:
             record("reference binary", rc == 0,
                    f"transcript diff vs {ref_dir}/nemotron-asr.cpp "
                    f"(rc={rc}, WER bar 0.10)")
+
+    # ---- 8. reference C++ ORACLE (ggml-free; runnable offline) ----
+    # Unlike stage 7 (the ggml main binary, which needs the external ggml
+    # clone), the reference's test oracle compiles with a bare g++ and runs
+    # against full-size random weights: mel / encoder / decoder / greedy
+    # gates against the ACTUAL reference implementation, no real GGUF
+    # needed. See scripts/ref_oracle_parity.py.
+    if "--reference-oracle" in argv:
+        rc, _ = run_script("ref_oracle_parity.py", [])
+        if rc == 3:
+            record("reference oracle", True,
+                   "skipped: g++ or reference checkout unavailable")
+        else:
+            record("reference oracle", rc == 0,
+                   "reference src/reference C++ vs JAX on shared fixtures "
+                   f"(ref_oracle_parity rc={rc})")
 
     return finish()
 
