@@ -83,6 +83,10 @@ def main(argv: list[str]) -> int:
     for f in flags:
         for fmt in ("srt", "vtt"):
             if f == f"--{fmt}" or f.startswith(f"--{fmt}="):
+                if sub_fmt is not None and sub_fmt != fmt:
+                    print("error: --srt and --vtt are mutually exclusive "
+                          "(one subtitle format per run)", file=sys.stderr)
+                    return 1
                 sub_fmt = fmt
                 sub_out = f.split("=", 1)[1] if "=" in f else None
     if sub_fmt is not None:

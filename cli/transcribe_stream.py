@@ -74,6 +74,10 @@ def main(argv: list[str]) -> int:
             # subtitle export from the session's timed tokens at finalize
             # (utils/subtitles.py; =FILE is required here -- stdout already
             # carries the incremental transcript)
+            if sub_fmt is not None and sub_fmt != f[2:5]:
+                print("error: --srt and --vtt are mutually exclusive "
+                      "(one subtitle format per run)", file=sys.stderr)
+                return 1
             sub_fmt = f[2:5]
             sub_out = f.split("=", 1)[1]
         elif f in ("--srt", "--vtt"):

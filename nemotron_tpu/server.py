@@ -178,6 +178,24 @@ class ASRServer:
         self.started_at = time.time()
         self.connections_total = 0
 
+    def _word_timings(self, toks) -> list | None:
+        """Word timings for client-side captions, or None when the engine's
+        token frames are not emission-aligned: beam mode refreshes
+        transcripts from stored hypotheses whose frames are all 0
+        (serving.py refresh_transcripts), so every word would get the
+        garbage span [0.0, frame_seconds) (ADVICE r3). Clients must treat
+        a missing "words" field as "no timings available", not as silence.
+
+        Uses the engine's cc-derived frame clock, matching the
+        frame_seconds advertised in HELLO/REST responses."""
+        eng = self.engine
+        if getattr(eng, "beam_size", 1) > 1:
+            return None
+        cc = eng.cc
+        spf = cc.subsampling_factor * cc.hop_length / cc.sample_rate
+        return [list(w) for w in tokens_to_words(
+            toks, eng.vocab, seconds_per_frame=spf)]
+
     # -- lifecycle ---------------------------------------------------------
 
     async def start(self) -> None:
@@ -323,12 +341,13 @@ class ASRServer:
             payload = {
                 "index": conn.utterances,
                 "text": text,
-                "tokens": [list(t) for t in toks],
-                # word timings [[start_s, end_s, word], ...] so clients
-                # can render captions without the vocab (tokens alone are
-                # ids; only the server can detokenize)
-                "words": [list(w) for w in tokens_to_words(
-                    toks, self.engine.vocab)]}
+                "tokens": [list(t) for t in toks]}
+            # word timings [[start_s, end_s, word], ...] so clients can
+            # render captions without the vocab (tokens alone are ids;
+            # only the server can detokenize); omitted in beam mode
+            words = self._word_timings(toks)
+            if words is not None:
+                payload["words"] = words
             if refined_text is not None:
                 payload["refined"] = refined_text
             self._emit(conn, T_UTTERANCE, payload)
@@ -475,17 +494,22 @@ class ASRServer:
             await self._push_partials()
         eng = self.engine
         cc = eng.cc
-        body = json.dumps({
+        rest_payload = {
             "text": text,
             "tokens": [list(t) for t in toks],
-            "words": [list(w) for w in tokens_to_words(toks, eng.vocab)],
             "audio_s": pcm.size / 16000.0,
             "frame_seconds": (cc.subsampling_factor * cc.hop_length
                               / cc.sample_rate),
             "decode": ("ctc" if getattr(eng, "ctc", False)
                        else "tdt" if getattr(eng, "tdt", False)
                        else "beam" if eng.beam_size > 1 else "greedy"),
-        }, default=lambda o: o.item() if hasattr(o, "item") else str(o))
+        }
+        words = self._word_timings(toks)
+        if words is not None:
+            rest_payload["words"] = words
+        body = json.dumps(
+            rest_payload,
+            default=lambda o: o.item() if hasattr(o, "item") else str(o))
         return body.encode() + b"\n", b"application/json", b"200 OK"
 
     # -- per-connection protocol -------------------------------------------
@@ -703,17 +727,24 @@ class ASRServer:
                 self.engine.finalize_stream, slot, return_tokens=True)
             # finalize's internal steps may have advanced OTHER slots too
             await self._push_partials()
-        self._emit(conn, T_FINAL, {
+        final_payload = {
             "text": text,
             "tokens": [list(t) for t in toks],
-            # word timings for client-side captions (see UTTERANCE)
-            "words": [list(w) for w in tokens_to_words(
-                toks, self.engine.vocab)],
-        })
+        }
+        # word timings for client-side captions (see UTTERANCE); omitted
+        # in beam mode where frames are not emission-aligned
+        words = self._word_timings(toks)
+        if words is not None:
+            final_payload["words"] = words
+        self._emit(conn, T_FINAL, final_payload)
 
     def stats(self) -> dict:
         st = dict(self.engine.stats())
         st["connections"] = len(self._conns)
         st["connections_total"] = self.connections_total
         st["uptime_s"] = time.time() - self.started_at
+        # audio accepted but not yet fed to the engine (drained by the
+        # ticker); lets clients/tests see backpressure instead of guessing
+        st["staged_samples"] = sum(
+            sum(p.size for p in parts) for parts in self._staged.values())
         return st

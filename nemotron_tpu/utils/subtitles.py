@@ -23,14 +23,23 @@ from .text import SECONDS_PER_FRAME, SP_SPACE
 # Cue = (start_seconds, end_seconds, text)
 
 
-def tokens_to_words(tokens: list[tuple], vocab: list[str]
+def tokens_to_words(tokens: list[tuple], vocab: list[str],
+                    seconds_per_frame: float | None = None
                     ) -> list[tuple[float, float, str]]:
     """Group (token_id, frame[, conf]) pieces into words.
 
     Returns (start_s, end_s, text) per word. A word begins at a piece
     carrying the SentencePiece space marker (or at the first valid piece);
     its end is the last piece's frame + one frame width. Out-of-range ids
-    are skipped, matching tokens_to_text."""
+    are skipped, matching tokens_to_text.
+
+    seconds_per_frame: the encoder frame clock. Defaults to the standard
+    geometry (subsampling 8 x hop 160 / 16 kHz = 80 ms); pass the
+    cc-derived value (subsampling_factor*hop_length/sample_rate) for
+    models with non-default geometry so word timings match the
+    frame_seconds the server advertises (ADVICE r3)."""
+    spf = SECONDS_PER_FRAME if seconds_per_frame is None \
+        else float(seconds_per_frame)
     words: list[tuple[float, float, str]] = []
     cur: list[str] = []
     start = last = 0.0
@@ -39,9 +48,9 @@ def tokens_to_words(tokens: list[tuple], vocab: list[str]
         if not (0 <= tid < len(vocab)):
             continue
         piece = vocab[tid]
-        t = frame * SECONDS_PER_FRAME
+        t = frame * spf
         if piece.startswith(SP_SPACE) and cur:
-            words.append((start, last + SECONDS_PER_FRAME, "".join(cur)))
+            words.append((start, last + spf, "".join(cur)))
             cur = []
         if not cur:
             start = t
@@ -49,17 +58,19 @@ def tokens_to_words(tokens: list[tuple], vocab: list[str]
                    else piece)
         last = t
     if cur:
-        words.append((start, last + SECONDS_PER_FRAME, "".join(cur)))
+        words.append((start, last + spf, "".join(cur)))
     return [(s, e, w) for (s, e, w) in words if w]
 
 
 def tokens_to_cues(tokens: list[tuple], vocab: list[str],
                    max_gap_s: float = 1.0, max_dur_s: float = 6.0,
-                   max_chars: int = 84, tail_s: float = 0.5
+                   max_chars: int = 84, tail_s: float = 0.5,
+                   seconds_per_frame: float | None = None
                    ) -> list[tuple[float, float, str]]:
     """Segment timed tokens into subtitle cues (tokens_to_words then
     words_to_cues)."""
-    return words_to_cues(tokens_to_words(tokens, vocab),
+    return words_to_cues(tokens_to_words(tokens, vocab,
+                                         seconds_per_frame=seconds_per_frame),
                          max_gap_s=max_gap_s, max_dur_s=max_dur_s,
                          max_chars=max_chars, tail_s=tail_s)
 

@@ -107,12 +107,27 @@ def main(argv: list[str]) -> int:
         print(f"server stats: {st}", file=sys.stderr)
     print(f"audio {len(audio) / 16000.0:.1f} s in {wall:.1f} s wall; "
           f"{len(final['tokens'])} tokens", file=sys.stderr)
+    if opt("--srt", None, str) and opt("--vtt", None, str):
+        print("error: --srt and --vtt are mutually exclusive (one output "
+              "file, one format)", file=sys.stderr)
+        client.close()
+        return 2
     sub_path = opt("--srt", None, str) or opt("--vtt", None, str)
     if sub_path is not None:
+        # The server omits "words" when its engine cannot provide
+        # emission-aligned frames (beam mode) or predates the field; a
+        # silently empty subtitle file would look like success (ADVICE r3).
+        if not final.get("words"):
+            print("error: --srt/--vtt requested but the server's FINAL "
+                  "event carries no word timings (beam-mode engines and "
+                  "older servers omit them); re-run the server with greedy "
+                  "decode for subtitle export", file=sys.stderr)
+            client.close()
+            return 2
         from nemotron_tpu.utils.subtitles import (format_srt, format_vtt,
                                                   words_to_cues)
 
-        cues = words_to_cues(final.get("words", []))
+        cues = words_to_cues(final["words"])
         fmt = format_srt if opt("--srt", None, str) else format_vtt
         with open(sub_path, "w", encoding="utf-8") as f:
             f.write(fmt(cues))

@@ -191,10 +191,19 @@ def test_pending_cap_recovers(model_setup, cc, server_factory, monkeypatch):
         c._send(2, synth(cc.chunk_samples, 11).tobytes())  # over the cap
         with pytest.raises(ASRServerError, match="slow down"):
             c._wait_for(0x82)
-        # small pieces under the cap, ticked in between, still flow
+        # small pieces under the cap still flow -- polling the server's
+        # staged_samples stat until the ticker has drained before each
+        # send, so two undrained pieces can never stack up to the cap
+        # (the first tick JIT-compiles and can outlast any fixed sleep;
+        # this was flaky with time.sleep(0.1), ADVICE r3)
         for i in range(8):
+            for _ in range(400):
+                if c.stats().get("staged_samples", 0) == 0:
+                    break
+                time.sleep(0.05)
+            else:
+                raise AssertionError("ticker never drained staged audio")
             c.send_audio(synth(cc.chunk_samples // 4, 20 + i))
-            time.sleep(0.1)  # let the ticker drain the stage
         final = c.end()
         assert "text" in final  # session completed normally
 
@@ -258,6 +267,10 @@ def test_beam_replace_events(model_setup, cc, server_factory):
     assert final["text"] == want_text
     assert all(p["replace"] for p in partials)  # beam text is revisable
     assert c.transcript == want_text
+    # beam hypotheses carry frame 0 on every token (refresh_transcripts),
+    # so the server must OMIT word timings rather than emit one garbage
+    # [0, 80ms] cue per word (ADVICE r3)
+    assert "words" not in final
 
 
 def test_utterance_endpoint_events(model_setup, cc, server_factory):
