@@ -34,7 +34,12 @@ from ..params import DecoderParams, ModelParams
 from ..ops.lstm import lstm_step
 from .decoder import joint_logits, joint_project_enc
 
-NEG_INF = jnp.float32(-1e30)
+# Python float, NOT a jnp scalar: a module-level device Array captured by a
+# traced function becomes a jaxpr const hoisted into the executable's
+# parameter list, and the jit fast path was observed dropping such a const
+# on the SECOND dispatch of models/tdt.py's beam ("supplied 66 buffers but
+# compiled program expected 67"). A float folds into the HLO as a literal.
+NEG_INF = -1e30
 
 
 def _pytree_dataclass(cls):

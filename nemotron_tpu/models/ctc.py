@@ -35,6 +35,18 @@ def ctc_logits(params: ModelParams, enc):
     return logits + jnp.asarray(params.ctc.out_b, jnp.float32)
 
 
+def frame_log_posteriors(params: ModelParams, enc):
+    """Per-frame (argmax ids [B, T] int32, log-posterior of the argmax
+    [B, T] f32) -- the device half of confident CTC decoding. The
+    log-softmax runs over the full vocab in f32 (one logsumexp per frame,
+    negligible next to the encoder)."""
+    logits = ctc_logits(params, enc)                       # [B, T, V] f32
+    best = jnp.argmax(logits, axis=-1)
+    logp = (jnp.take_along_axis(logits, best[..., None], axis=-1)[..., 0]
+            - jax.scipy.special.logsumexp(logits, axis=-1))
+    return best.astype(jnp.int32), logp
+
+
 def collapse(frame_ids: np.ndarray, blank: int,
              length: int | None = None) -> list[int]:
     """The CTC greedy rule for ONE stream: collapse consecutive repeats,
@@ -47,6 +59,29 @@ def collapse(frame_ids: np.ndarray, blank: int,
     keep[1:] = ids[1:] != ids[:-1]          # collapse repeats
     ids = ids[keep]
     return [int(i) for i in ids[ids != blank]]
+
+
+def collapse_with_confidence(frame_ids: np.ndarray, frame_logp: np.ndarray,
+                             blank: int, length: int | None = None,
+                             frame_offset: int = 0
+                             ) -> list[tuple[int, int, float]]:
+    """collapse() additionally reporting emission frames and per-token
+    confidence: the argmax log-posterior at the token's EMITTING frame (the
+    first frame of its run) -- the same "log softmax at the emission point"
+    quantity RNN-T / TDT confidence reports, so thresholds transfer across
+    decode modes. Returns [(token_id, frame, logp), ...] triples matching
+    the RNN-T confidence token format."""
+    t_end = frame_ids.shape[0] if length is None else int(length)
+    ids, lps = frame_ids[:t_end], frame_logp[:t_end]
+    if ids.size == 0:
+        return []
+    keep = np.ones(ids.shape, bool)
+    keep[1:] = ids[1:] != ids[:-1]
+    frames = np.nonzero(keep)[0]
+    ids, lps = ids[keep], lps[keep]
+    nb = ids != blank
+    return [(int(i), frame_offset + int(f), float(lp))
+            for i, f, lp in zip(ids[nb], frames[nb], lps[nb])]
 
 
 def ctc_greedy_decode(params: ModelParams, cfg: ModelConfig, enc,

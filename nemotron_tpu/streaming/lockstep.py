@@ -137,55 +137,105 @@ def _fused_tick_beam(cfg: ModelConfig, cc: CacheConfig,
     return front, mel_buf, enc_state, beam_state
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
-                   donate_argnums=(6, 7, 8, 9, 13))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
+                   donate_argnums=(7, 8, 9, 10, 14))
 def _fused_tick_tdt(cfg: ModelConfig, cc: CacheConfig,
-                    pcfg: PreprocessorConfig, buf_len: int, params,
+                    pcfg: PreprocessorConfig, buf_len: int,
+                    confidence: bool, params,
                     pcm_i16, front: FrontendState, mel_buf, enc_state,
                     dec_state, pos_heads, window, filterbank, skip):
     """One fused TDT tick: DSP + encoder + duration-aware greedy walk,
     with the cross-chunk jump carry (`skip` [S]) threaded through the
-    tick's chunks and returned for the next tick."""
+    tick's chunks and returned for the next tick. `confidence` (static)
+    additionally returns per-emission token-head log-posteriors (None
+    otherwise)."""
     from ..models.tdt import tdt_greedy_decode
 
     S = pcm_i16.shape[0]
     enc_outs, front, mel_buf, enc_state = _dsp_encode(
         cfg, cc, pcfg, buf_len, params, pcm_i16, front, mel_buf, enc_state,
         pos_heads, window, filterbank)
-    tokens_out = []
+    tokens_out, confs_out = [], []
     for enc_out in enc_outs:
-        toks, dec_state, skip = tdt_greedy_decode(
-            params, cfg, enc_out, dec_state, skip_in=skip)
+        if confidence:
+            toks, confs, dec_state, skip = tdt_greedy_decode(
+                params, cfg, enc_out, dec_state, skip_in=skip,
+                with_confidence=True)
+            confs_out.append(confs)
+        else:
+            toks, dec_state, skip = tdt_greedy_decode(
+                params, cfg, enc_out, dec_state, skip_in=skip)
         tokens_out.append(toks)
     if tokens_out:
         tokens = jnp.stack(tokens_out)          # [k, S, valid_out, MAX]
     else:
         tokens = jnp.zeros((0, S, cc.valid_out_len, MAX_SYMBOLS_PER_STEP),
                            jnp.int32)
-    return tokens, front, mel_buf, enc_state, dec_state, skip
+    confs = None
+    if confidence:
+        confs = (jnp.stack(confs_out) if confs_out
+                 else jnp.zeros(tokens.shape, jnp.float32))
+    return tokens, confs, front, mel_buf, enc_state, dec_state, skip
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
-                   donate_argnums=(6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 15, 16),
+                   donate_argnums=(7, 8, 9, 10))
+def _fused_tick_tdt_beam(cfg: ModelConfig, cc: CacheConfig,
+                         pcfg: PreprocessorConfig, buf_len: int,
+                         beam_size: int, params, pcm_i16,
+                         front: FrontendState, mel_buf, enc_state,
+                         beam_state, pos_heads, window, filterbank,
+                         lm=None, lm_weight=0.3, lm_bonus=0.0):
+    """One fused duration-aware BEAM tick for TDT checkpoints
+    (models/tdt.py tdt_beam_decode) chained over the tick's chunks; the
+    TdtBeamState carries per-hypothesis time-pointer overshoots between
+    chunks and ticks."""
+    from ..models.tdt import tdt_beam_decode
+
+    enc_outs, front, mel_buf, enc_state = _dsp_encode(
+        cfg, cc, pcfg, buf_len, params, pcm_i16, front, mel_buf, enc_state,
+        pos_heads, window, filterbank)
+    for enc_out in enc_outs:
+        beam_state = tdt_beam_decode(params, cfg, enc_out, beam_state,
+                                     beam_size, lm=lm, lm_weight=lm_weight,
+                                     lm_bonus=lm_bonus)
+    return front, mel_buf, enc_state, beam_state
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
+                   donate_argnums=(7, 8, 9))
 def _fused_tick_ctc(cfg: ModelConfig, cc: CacheConfig,
-                    pcfg: PreprocessorConfig, buf_len: int, params,
+                    pcfg: PreprocessorConfig, buf_len: int,
+                    confidence: bool, params,
                     pcm_i16, front: FrontendState, mel_buf, enc_state,
                     pos_heads, window, filterbank):
     """One fused CTC tick: DSP + encoder + the auxiliary head's per-frame
-    argmax (the collapse carry lives on the host)."""
+    argmax (the collapse carry lives on the host). `confidence` (static)
+    additionally returns the argmax's log-posterior per frame."""
     from ..models import ctc as ctc_mod
 
     S = pcm_i16.shape[0]
     enc_outs, front, mel_buf, enc_state = _dsp_encode(
         cfg, cc, pcfg, buf_len, params, pcm_i16, front, mel_buf, enc_state,
         pos_heads, window, filterbank)
-    ids_out = [jnp.argmax(ctc_mod.ctc_logits(params, e),
-                          axis=-1).astype(jnp.int32) for e in enc_outs]
+    ids_out, lp_out = [], []
+    for e in enc_outs:
+        if confidence:
+            ids_e, lp_e = ctc_mod.frame_log_posteriors(params, e)
+            lp_out.append(lp_e)
+        else:
+            ids_e = jnp.argmax(ctc_mod.ctc_logits(params, e),
+                               axis=-1).astype(jnp.int32)
+        ids_out.append(ids_e)
     if ids_out:
         ids = jnp.stack(ids_out)                # [k, S, valid_out]
     else:
         ids = jnp.zeros((0, S, cc.valid_out_len), jnp.int32)
-    return ids, front, mel_buf, enc_state
+    logp = None
+    if confidence:
+        logp = (jnp.stack(lp_out) if lp_out
+                else jnp.zeros(ids.shape, jnp.float32))
+    return ids, logp, front, mel_buf, enc_state
 
 
 class LockstepEngine:
@@ -259,15 +309,13 @@ class LockstepEngine:
             if params.ctc is None:
                 raise ValueError("ctc=True needs a model with a CTC head "
                                  "(ctc_decoder.* tensors)")
-            if beam_size > 1 or confidence:
-                raise ValueError("ctc decode excludes beam/confidence "
-                                 "(RNN-T label-loop features)")
+            if beam_size > 1:
+                raise ValueError("ctc decode excludes beam (CTC beam would "
+                                 "be a prefix search; decode the hybrid's "
+                                 "RNN-T head for beam)")
             if endpoint_reset:
                 raise ValueError("endpoint_reset resets the prediction "
                                  "network; CTC decode has none")
-        if self.tdt and (beam_size > 1 or confidence):
-            raise ValueError("TDT decode is greedy (beam/confidence are "
-                             "RNN-T label-loop features)")
         # Utterance endpointing (greedy only; same semantics as
         # ServingEngine): post-emission silence of endpoint_silence_s
         # fires an event per stream and resets its prediction network.
@@ -309,11 +357,18 @@ class LockstepEngine:
         self.dec_state = dec_mod.init_decoder_state(cfg, S, self.dtype)
         self.beam_state = None
         if self.beam_size > 1:
-            from ..models import beam as beam_mod
+            if self.tdt:
+                from ..models import tdt as tdt_mod
 
-            self.beam_state = beam_mod.init_beam_state(
-                cfg, S, self.beam_size, self.max_beam_tokens, self.dtype,
-                lm=self.lm)
+                self.beam_state = tdt_mod.init_tdt_beam_state(
+                    cfg, S, self.beam_size, self.max_beam_tokens,
+                    self.dtype, lm=self.lm)
+            else:
+                from ..models import beam as beam_mod
+
+                self.beam_state = beam_mod.init_beam_state(
+                    cfg, S, self.beam_size, self.max_beam_tokens, self.dtype,
+                    lm=self.lm)
         self._beam_dirty = False
         self.tdt_skip = jnp.zeros((S,), jnp.int32) if self.tdt else None
         self.ctc_prev = (np.full(self.n_local, -1, np.int64)
@@ -391,32 +446,44 @@ class LockstepEngine:
             " per tick")
 
         if self.beam_state is not None:
-            (self.front, self.mel_buf, self.enc_state,
-             self.beam_state) = _fused_tick_beam(
-                self.cfg, self.cc, self.pcfg, self.buf_len,
-                self.beam_size, self.beam_expansions, self.params,
-                self._put_pcm(pcm_i16), self.front, self.mel_buf,
-                self.enc_state, self.beam_state, self.pos_heads,
-                self.window, self.filterbank, self.lm, self.lm_weight,
-                self.lm_bonus)
-            tokens = confs = ctc_ids = None
+            if self.tdt:
+                (self.front, self.mel_buf, self.enc_state,
+                 self.beam_state) = _fused_tick_tdt_beam(
+                    self.cfg, self.cc, self.pcfg, self.buf_len,
+                    self.beam_size, self.params,
+                    self._put_pcm(pcm_i16), self.front, self.mel_buf,
+                    self.enc_state, self.beam_state, self.pos_heads,
+                    self.window, self.filterbank, self.lm, self.lm_weight,
+                    self.lm_bonus)
+            else:
+                (self.front, self.mel_buf, self.enc_state,
+                 self.beam_state) = _fused_tick_beam(
+                    self.cfg, self.cc, self.pcfg, self.buf_len,
+                    self.beam_size, self.beam_expansions, self.params,
+                    self._put_pcm(pcm_i16), self.front, self.mel_buf,
+                    self.enc_state, self.beam_state, self.pos_heads,
+                    self.window, self.filterbank, self.lm, self.lm_weight,
+                    self.lm_bonus)
+            tokens = confs = ctc_ids = ctc_lp = None
             self._beam_dirty = True
         elif self.ctc:
-            (ctc_ids, self.front, self.mel_buf,
+            (ctc_ids, ctc_lp, self.front, self.mel_buf,
              self.enc_state) = _fused_tick_ctc(
-                self.cfg, self.cc, self.pcfg, self.buf_len, self.params,
+                self.cfg, self.cc, self.pcfg, self.buf_len,
+                self.confidence, self.params,
                 self._put_pcm(pcm_i16), self.front, self.mel_buf,
                 self.enc_state, self.pos_heads, self.window,
                 self.filterbank)
             tokens = confs = None
         elif self.tdt:
-            (tokens, self.front, self.mel_buf, self.enc_state,
+            (tokens, confs, self.front, self.mel_buf, self.enc_state,
              self.dec_state, self.tdt_skip) = _fused_tick_tdt(
-                self.cfg, self.cc, self.pcfg, self.buf_len, self.params,
+                self.cfg, self.cc, self.pcfg, self.buf_len,
+                self.confidence, self.params,
                 self._put_pcm(pcm_i16), self.front, self.mel_buf,
                 self.enc_state, self.dec_state, self.pos_heads,
                 self.window, self.filterbank, self.tdt_skip)
-            confs = ctc_ids = None
+            ctc_ids = ctc_lp = None
         else:
             (tokens, confs, self.front, self.mel_buf, self.enc_state,
              self.dec_state) = _fused_tick(
@@ -425,17 +492,19 @@ class LockstepEngine:
                 self.front, self.mel_buf, self.enc_state,
                 self.dec_state, self.pos_heads, self.window,
                 self.filterbank)
-            ctc_ids = None
+            ctc_ids = ctc_lp = None
         k = self._chunks_in(self.buf_len + f)
         self.buf_len = self.buf_len + f - k * self.cc.shift_mel_frames
         self.total_chunks += k
         base = self.frame_offset
         self.frame_offset += k * self.cc.valid_out_len
-        return tokens, confs, ctc_ids, base
+        return tokens, confs, ctc_ids, ctc_lp, base
 
-    def _ctc_collapse_chunk(self, ids: np.ndarray, base: int) -> dict:
+    def _ctc_collapse_chunk(self, ids: np.ndarray, base: int,
+                            lp: np.ndarray | None = None) -> dict:
         """CTC greedy collapse of one chunk's ids [S, valid_out] across
-        every stream, continuing each stream's carry."""
+        every stream, continuing each stream's carry. With lp (confidence
+        mode) tokens become (id, frame, logp) triples."""
         blank = self.cfg.blank_token
         emitted: dict[int, list] = {}
         for s in range(self.n_local):
@@ -443,14 +512,18 @@ class LockstepEngine:
             for t in range(ids.shape[1]):
                 i = int(ids[s, t])
                 if i != prev and i != blank:
-                    toks.append((i, base + t))
+                    if lp is None:
+                        toks.append((i, base + t))
+                    else:
+                        toks.append((i, base + t, float(lp[s, t])))
                 prev = i
             self.ctc_prev[s] = prev
             if toks:
                 emitted[s] = toks
         return emitted
 
-    def _collect(self, tokens, confs, ctc_ids, base: int) -> dict[int, str]:
+    def _collect(self, tokens, confs, ctc_ids, ctc_lp,
+                 base: int) -> dict[int, str]:
         """Materialize a tick's tokens and fold them into transcripts."""
         out: dict[int, str] = {}
         if tokens is None and ctc_ids is None:
@@ -458,6 +531,8 @@ class LockstepEngine:
         k = (tokens if ctc_ids is None else ctc_ids).shape[0]
         if ctc_ids is not None:
             ctc_ids = self._fetch_block(ctc_ids, 1).astype(np.int64)
+            if ctc_lp is not None:
+                ctc_lp = self._fetch_block(ctc_lp, 1)
         else:
             tokens = self._fetch_block(tokens, 1)
         if confs is not None:
@@ -465,7 +540,8 @@ class LockstepEngine:
         for i in range(k):
             if ctc_ids is not None:
                 emitted = self._ctc_collapse_chunk(
-                    ctc_ids[i], base + i * self.cc.valid_out_len)
+                    ctc_ids[i], base + i * self.cc.valid_out_len,
+                    lp=ctc_lp[i] if ctc_lp is not None else None)
             else:
                 emitted = dec_mod.extract_emitted(
                     tokens[i], self.cfg.blank_token,
@@ -635,6 +711,8 @@ class LockstepEngine:
             self.refresh_transcripts()
             flat["transcripts"] = np.asarray(self.transcripts, dtype=object)
             keys = ("h", "c", "prev_token", "scores", "tokens", "lengths")
+            if hasattr(self.beam_state, "t"):    # TdtBeamState extras
+                keys += ("t", "sym")
             if self.beam_state.lm_h is not None:
                 keys += ("lm_h", "lm_c")
             for k in keys:
@@ -694,8 +772,6 @@ class LockstepEngine:
                 f"{'carries' if has_beam else 'has no'} beam state, engine "
                 f"beam_size={self.beam_size}")
         if has_beam:
-            from ..models import beam as beam_mod
-
             if z["beam/h"].shape[1] != self.beam_size:
                 raise ValueError(
                     f"snapshot beam width K={z['beam/h'].shape[1]} != "
@@ -706,7 +782,13 @@ class LockstepEngine:
                     "snapshot/engine LM-fusion mismatch: snapshot "
                     f"{'carries' if has_lm else 'has no'} LM state, engine "
                     f"lm={'set' if self.lm is not None else 'None'}")
-            self.beam_state = beam_mod.BeamState(
+            has_tdt_beam = "beam/t" in z.files
+            if has_tdt_beam != self.tdt:
+                raise ValueError(
+                    "snapshot/engine beam-family mismatch: snapshot is "
+                    f"{'TDT' if has_tdt_beam else 'RNN-T'}, engine is "
+                    f"{'TDT' if self.tdt else 'RNN-T'}")
+            common = dict(
                 h=un(z["beam/h"], self.dtype, 0),
                 c=un(z["beam/c"], self.dtype, 0),
                 prev_token=un(z["beam/prev_token"], jnp.int32, 0),
@@ -717,6 +799,16 @@ class LockstepEngine:
                       if has_lm else None),
                 lm_c=(un(z["beam/lm_c"], self.dtype, 0)
                       if has_lm else None))
+            if self.tdt:
+                from ..models import tdt as tdt_mod
+
+                self.beam_state = tdt_mod.TdtBeamState(
+                    t=un(z["beam/t"], jnp.int32, 0),
+                    sym=un(z["beam/sym"], jnp.int32, 0), **common)
+            else:
+                from ..models import beam as beam_mod
+
+                self.beam_state = beam_mod.BeamState(**common)
             self._beam_dirty = True
         self.front = FrontendState(
             last_sample=un(z["front/last_sample"], jnp.float32, 0),

@@ -174,13 +174,17 @@ def _reset_decoder_slots(dec_state, mask, blank_token):
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _reset_beam_slots(beam_state, mask, blank_token):
     """Reset every masked slot's beam to the fresh-stream state (hypothesis
-    0 live at score 0, the rest empty) in one device call."""
-    from ..models.beam import NEG_INF, BeamState
+    0 live at score 0, the rest empty) in one device call. Works on both
+    RNN-T BeamState and TDT TdtBeamState (the extra t/sym carries reset to
+    0 like any other per-slot field)."""
+    import dataclasses
+
+    from ..models.beam import NEG_INF
 
     K = beam_state.scores.shape[1]
     fresh_scores = jnp.full((K,), NEG_INF, jnp.float32).at[0].set(0.0)
     m2 = mask[:, None]
-    return BeamState(
+    fields = dict(
         h=jnp.where(mask[:, None, None, None], 0, beam_state.h),
         c=jnp.where(mask[:, None, None, None], 0, beam_state.c),
         prev_token=jnp.where(m2, blank_token, beam_state.prev_token),
@@ -192,6 +196,10 @@ def _reset_beam_slots(beam_state, mask, blank_token):
         tokens=jnp.where(mask[:, None, None], blank_token,
                          beam_state.tokens),
         lengths=jnp.where(m2, 0, beam_state.lengths))
+    if hasattr(beam_state, "t"):                  # TdtBeamState extras
+        fields["t"] = jnp.where(m2, 0, beam_state.t)
+        fields["sym"] = jnp.where(m2, 0, beam_state.sym)
+    return dataclasses.replace(beam_state, **fields)
 
 
 class _PcmBuffer:
@@ -326,46 +334,90 @@ def _device_dsp_tick_beam(params, cfg: ModelConfig, cc: CacheConfig, pcfg,
     return front_res, front_last, mel_buf, enc_state, beam_state
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5, 8))
+@functools.partial(jax.jit, static_argnums=(1, 2),
+                   static_argnames=("with_confidence",),
+                   donate_argnums=(4, 5, 8))
 def _chunk_step_masked_tdt_jit(params, cfg: ModelConfig, cc: CacheConfig,
                                mel_chunk, enc_state, dec_state, pos_heads,
-                               step_mask, skip):
+                               step_mask, skip, with_confidence=False):
     """Masked fused tick for TDT checkpoints: frozen slots keep caches,
-    decoder state AND their cross-chunk duration-jump carry (`skip`)."""
+    decoder state AND their cross-chunk duration-jump carry (`skip`).
+    with_confidence additionally returns per-emission token-head
+    log-posteriors [S, T, MAX] (confs slot in the return tuple is None
+    otherwise, keeping the default program unchanged)."""
     from ..models.tdt import tdt_greedy_decode
 
     enc_out, enc_state = enc_mod.encode_chunk(
         params, cfg, cc, mel_chunk, enc_state, pos_heads,
         step_mask=step_mask)
-    tokens, dec_state, skip = tdt_greedy_decode(
-        params, cfg, enc_out, dec_state, skip_in=skip, step_mask=step_mask)
-    return tokens, enc_state, dec_state, skip
+    confs = None
+    if with_confidence:
+        tokens, confs, dec_state, skip = tdt_greedy_decode(
+            params, cfg, enc_out, dec_state, skip_in=skip,
+            step_mask=step_mask, with_confidence=True)
+    else:
+        tokens, dec_state, skip = tdt_greedy_decode(
+            params, cfg, enc_out, dec_state, skip_in=skip,
+            step_mask=step_mask)
+    return tokens, confs, enc_state, dec_state, skip
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4,))
+@functools.partial(jax.jit, static_argnums=(1, 2, 8, 10, 11),
+                   donate_argnums=(4, 5))
+def _chunk_step_masked_tdt_beam(params, cfg: ModelConfig, cc: CacheConfig,
+                                mel_chunk, enc_state, beam_state, pos_heads,
+                                step_mask, beam_size: int,
+                                lm=None, lm_weight=0.3, lm_bonus=0.0):
+    """Masked fused tick with the duration-aware TDT beam search
+    (models/tdt.py tdt_beam_decode): frozen slots keep caches and their
+    entire beam, incl. per-hypothesis time-pointer carries."""
+    from ..models.tdt import tdt_beam_decode
+
+    enc_out, enc_state = enc_mod.encode_chunk(
+        params, cfg, cc, mel_chunk, enc_state, pos_heads,
+        step_mask=step_mask)
+    beam_state = tdt_beam_decode(params, cfg, enc_out, beam_state,
+                                 beam_size, step_mask=step_mask, lm=lm,
+                                 lm_weight=lm_weight, lm_bonus=lm_bonus)
+    return enc_state, beam_state
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2),
+                   static_argnames=("with_confidence",),
+                   donate_argnums=(4,))
 def _chunk_step_masked_ctc_jit(params, cfg: ModelConfig, cc: CacheConfig,
-                               mel_chunk, enc_state, pos_heads, step_mask):
+                               mel_chunk, enc_state, pos_heads, step_mask,
+                               with_confidence=False):
     """Masked fused tick decoding with the hybrid checkpoint's auxiliary
     CTC head: per-frame argmax ids [S, valid_out]; the host collapses only
-    the advancing slots (frozen slots' rows are ignored)."""
+    the advancing slots (frozen slots' rows are ignored). with_confidence
+    additionally returns the argmax's log-posterior per frame (else the
+    logp slot is None)."""
     from ..models import ctc as ctc_mod
 
     enc_out, enc_state = enc_mod.encode_chunk(
         params, cfg, cc, mel_chunk, enc_state, pos_heads,
         step_mask=step_mask)
+    if with_confidence:
+        ids, logp = ctc_mod.frame_log_posteriors(params, enc_out)
+        return ids, logp, enc_state
     ids = jnp.argmax(ctc_mod.ctc_logits(params, enc_out),
                      axis=-1).astype(jnp.int32)
-    return ids, enc_state
+    return ids, None, enc_state
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3),
+                   static_argnames=("with_confidence",),
                    donate_argnums=(5, 6, 7, 8, 9, 16))
 def _device_dsp_tick_tdt(params, cfg: ModelConfig, cc: CacheConfig, pcfg,
                          pcm_i16, front_res, front_last, mel_buf, enc_state,
                          dec_state, pos_heads, window, filterbank,
-                         dsp_mask, fresh_mask, consume_mask, skip):
+                         dsp_mask, fresh_mask, consume_mask, skip,
+                         with_confidence=False):
     """_device_dsp_tick with the TDT duration-aware walk as the decode back
-    half (skip = cross-chunk jump carry, frozen slots pass theirs through)."""
+    half (skip = cross-chunk jump carry, frozen slots pass theirs through).
+    with_confidence adds per-emission log-posteriors (confs None
+    otherwise)."""
     from ..models.tdt import tdt_greedy_decode
 
     front_res, front_last, mel_buf = _device_dsp_front(
@@ -374,22 +426,58 @@ def _device_dsp_tick_tdt(params, cfg: ModelConfig, cc: CacheConfig, pcfg,
     enc_out, enc_state = enc_mod.encode_chunk(
         params, cfg, cc, mel_buf[:, :cc.chunk_mel_frames], enc_state,
         pos_heads, step_mask=consume_mask)
-    tokens, dec_state, skip = tdt_greedy_decode(
-        params, cfg, enc_out, dec_state, skip_in=skip,
-        step_mask=consume_mask)
+    confs = None
+    if with_confidence:
+        tokens, confs, dec_state, skip = tdt_greedy_decode(
+            params, cfg, enc_out, dec_state, skip_in=skip,
+            step_mask=consume_mask, with_confidence=True)
+    else:
+        tokens, dec_state, skip = tdt_greedy_decode(
+            params, cfg, enc_out, dec_state, skip_in=skip,
+            step_mask=consume_mask)
     mel_buf = _mel_buf_shift(cc, mel_buf, consume_mask)
-    return (tokens, front_res, front_last, mel_buf, enc_state, dec_state,
-            skip)
+    return (tokens, confs, front_res, front_last, mel_buf, enc_state,
+            dec_state, skip)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 14, 16, 17),
+                   donate_argnums=(5, 6, 7, 8))
+def _device_dsp_tick_tdt_beam(params, cfg: ModelConfig, cc: CacheConfig,
+                              pcfg, pcm_i16, front_res, front_last, mel_buf,
+                              enc_state, beam_state, pos_heads, window,
+                              filterbank, masks, beam_size: int,
+                              lm=None, lm_weight=0.3, lm_bonus=0.0):
+    """_device_dsp_tick with the duration-aware TDT beam search as the
+    decode back half; frozen slots keep their entire beam (incl.
+    per-hypothesis time-pointer carries). `masks` is the (dsp, fresh,
+    consume) triple."""
+    from ..models.tdt import tdt_beam_decode
+
+    dsp_mask, fresh_mask, consume_mask = masks
+    front_res, front_last, mel_buf = _device_dsp_front(
+        cc, pcfg, pcm_i16, front_res, front_last, mel_buf, window,
+        filterbank, dsp_mask, fresh_mask)
+    enc_out, enc_state = enc_mod.encode_chunk(
+        params, cfg, cc, mel_buf[:, :cc.chunk_mel_frames], enc_state,
+        pos_heads, step_mask=consume_mask)
+    beam_state = tdt_beam_decode(params, cfg, enc_out, beam_state,
+                                 beam_size, step_mask=consume_mask, lm=lm,
+                                 lm_weight=lm_weight, lm_bonus=lm_bonus)
+    mel_buf = _mel_buf_shift(cc, mel_buf, consume_mask)
+    return front_res, front_last, mel_buf, enc_state, beam_state
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3),
+                   static_argnames=("with_confidence",),
                    donate_argnums=(5, 6, 7, 8))
 def _device_dsp_tick_ctc(params, cfg: ModelConfig, cc: CacheConfig, pcfg,
                          pcm_i16, front_res, front_last, mel_buf, enc_state,
                          pos_heads, window, filterbank,
-                         dsp_mask, fresh_mask, consume_mask):
+                         dsp_mask, fresh_mask, consume_mask,
+                         with_confidence=False):
     """_device_dsp_tick with the auxiliary CTC head as the decode back half
-    (stateless over frames; the collapse carry lives on the host)."""
+    (stateless over frames; the collapse carry lives on the host).
+    with_confidence adds the per-frame argmax log-posterior (else None)."""
     from ..models import ctc as ctc_mod
 
     front_res, front_last, mel_buf = _device_dsp_front(
@@ -398,10 +486,14 @@ def _device_dsp_tick_ctc(params, cfg: ModelConfig, cc: CacheConfig, pcfg,
     enc_out, enc_state = enc_mod.encode_chunk(
         params, cfg, cc, mel_buf[:, :cc.chunk_mel_frames], enc_state,
         pos_heads, step_mask=consume_mask)
-    ids = jnp.argmax(ctc_mod.ctc_logits(params, enc_out),
-                     axis=-1).astype(jnp.int32)
+    if with_confidence:
+        ids, logp = ctc_mod.frame_log_posteriors(params, enc_out)
+    else:
+        ids = jnp.argmax(ctc_mod.ctc_logits(params, enc_out),
+                         axis=-1).astype(jnp.int32)
+        logp = None
     mel_buf = _mel_buf_shift(cc, mel_buf, consume_mask)
-    return ids, front_res, front_last, mel_buf, enc_state
+    return ids, logp, front_res, front_last, mel_buf, enc_state
 
 
 class ServingEngine:
@@ -464,15 +556,13 @@ class ServingEngine:
             if params.ctc is None:
                 raise ValueError("ctc=True needs a model with a CTC head "
                                  "(ctc_decoder.* tensors)")
-            if beam_size > 1 or confidence:
-                raise ValueError("ctc decode excludes beam/confidence "
-                                 "(RNN-T label-loop features)")
+            if beam_size > 1:
+                raise ValueError("ctc decode excludes beam (CTC beam would "
+                                 "be a prefix search; decode the hybrid's "
+                                 "RNN-T head for beam)")
             if endpoint_reset:
                 raise ValueError("endpoint_reset resets the prediction "
                                  "network; CTC decode has none")
-        if self.tdt and (beam_size > 1 or confidence):
-            raise ValueError("TDT decode is greedy (beam/confidence are "
-                             "RNN-T label-loop features)")
         # Utterance endpointing (greedy only): a slot that has emitted at
         # least one token and then stays silent for endpoint_silence_s of
         # audio fires an endpoint event (poll_endpoints) and gets a fresh
@@ -531,11 +621,18 @@ class ServingEngine:
         self.beam_state = None
         self._beam_dirty = False
         if beam_size > 1:
-            from ..models import beam as beam_mod
+            if self.tdt:
+                from ..models import tdt as tdt_mod
 
-            self.beam_state = beam_mod.init_beam_state(
-                cfg, n_slots, beam_size, max_beam_tokens, compute_dtype,
-                lm=self.lm)
+                self.beam_state = tdt_mod.init_tdt_beam_state(
+                    cfg, n_slots, beam_size, max_beam_tokens,
+                    compute_dtype, lm=self.lm)
+            else:
+                from ..models import beam as beam_mod
+
+                self.beam_state = beam_mod.init_beam_state(
+                    cfg, n_slots, beam_size, max_beam_tokens, compute_dtype,
+                    lm=self.lm)
         if mesh is not None:
             from ..parallel.mesh import (param_shardings, shard_params,
                                          shard_state, shard_stream_major)
@@ -883,11 +980,13 @@ class ServingEngine:
             [self.active[s] and self.mel_buffers[s].count >= need
              for s in range(self.n_slots)], bool)
 
-    def _ctc_extract(self, ids: np.ndarray,
-                     ready_slots: np.ndarray) -> dict[int, list]:
+    def _ctc_extract(self, ids: np.ndarray, ready_slots: np.ndarray,
+                     frame_lp: np.ndarray | None = None) -> dict[int, list]:
         """CTC greedy collapse for the advancing slots: collapse repeats
         (including across the chunk boundary via the per-slot carry), drop
-        blanks. Returns {slot: [(id, abs_frame), ...]}."""
+        blanks. Returns {slot: [(id, abs_frame), ...]} -- or, with
+        frame_lp (confidence mode), (id, abs_frame, logp) triples carrying
+        the argmax log-posterior at each emitting frame."""
         blank = self.cfg.blank_token
         emitted: dict[int, list] = {}
         for s in ready_slots:
@@ -897,7 +996,10 @@ class ServingEngine:
             for t in range(ids.shape[1]):
                 i = int(ids[s, t])
                 if i != prev and i != blank:
-                    toks.append((i, base + t))
+                    if frame_lp is None:
+                        toks.append((i, base + t))
+                    else:
+                        toks.append((i, base + t, float(frame_lp[s, t])))
                 prev = i
             self.ctc_prev[s] = prev
             if toks:
@@ -1006,26 +1108,39 @@ class ServingEngine:
             mask = jnp.asarray(ready)
             t0 = time.perf_counter()
             if self.beam_state is not None:
-                self.enc_state, self.beam_state = chunk_step_masked_beam(
-                    self.params, self.cfg, cc, chunk, self.enc_state,
-                    self.beam_state, self.pos_heads, mask,
-                    self.beam_size, self.beam_expansions, self.lm,
-                    self.lm_weight, self.lm_bonus)
+                if self.tdt:
+                    self.enc_state, self.beam_state = (
+                        _chunk_step_masked_tdt_beam(
+                            self.params, self.cfg, cc, chunk,
+                            self.enc_state, self.beam_state,
+                            self.pos_heads, mask, self.beam_size, self.lm,
+                            self.lm_weight, self.lm_bonus))
+                else:
+                    self.enc_state, self.beam_state = chunk_step_masked_beam(
+                        self.params, self.cfg, cc, chunk, self.enc_state,
+                        self.beam_state, self.pos_heads, mask,
+                        self.beam_size, self.beam_expansions, self.lm,
+                        self.lm_weight, self.lm_bonus)
                 self._beam_dirty = True
                 tokens = confs = ctc_ids = None
             elif self.ctc:
-                ids, self.enc_state = _chunk_step_masked_ctc_jit(
+                ids, frame_lp, self.enc_state = _chunk_step_masked_ctc_jit(
                     self.params, self.cfg, cc, chunk, self.enc_state,
-                    self.pos_heads, mask)
+                    self.pos_heads, mask,
+                    with_confidence=self.confidence)
                 ctc_ids = np.asarray(ids, np.int64)
+                ctc_lp = (np.asarray(frame_lp) if frame_lp is not None
+                          else None)
                 tokens = confs = None
             elif self.tdt:
-                (tokens, self.enc_state, self.dec_state,
+                (tokens, confs, self.enc_state, self.dec_state,
                  self.tdt_skip) = _chunk_step_masked_tdt_jit(
                     self.params, self.cfg, cc, chunk, self.enc_state,
-                    self.dec_state, self.pos_heads, mask, self.tdt_skip)
+                    self.dec_state, self.pos_heads, mask, self.tdt_skip,
+                    with_confidence=self.confidence)
                 tokens = np.asarray(tokens)
-                confs = ctc_ids = None
+                confs = np.asarray(confs) if confs is not None else None
+                ctc_ids = None
             elif self.confidence:
                 tokens, confs, self.enc_state, self.dec_state = (
                     _chunk_step_masked_conf_jit(
@@ -1050,7 +1165,8 @@ class ServingEngine:
                 self.frame_offsets[ready_slots] += cc.valid_out_len
             else:
                 if ctc_ids is not None:
-                    emitted = self._ctc_extract(ctc_ids, ready_slots)
+                    emitted = self._ctc_extract(ctc_ids, ready_slots,
+                                                frame_lp=ctc_lp)
                     frames_adv = ctc_ids.shape[1]
                 else:
                     # masked slots emit only blanks, so extracting over the
@@ -1136,39 +1252,56 @@ class ServingEngine:
                 pcm[s] = self.pcm_fifos[s].take(self._quantum)
             t0 = time.perf_counter()
             if self.beam_state is not None:
-                (self.front_res, self.front_last, self.mel_buf_dev,
-                 self.enc_state, self.beam_state) = _device_dsp_tick_beam(
-                    self.params, self.cfg, cc, self._pcfg,
-                    jnp.asarray(pcm), self.front_res, self.front_last,
-                    self.mel_buf_dev, self.enc_state, self.beam_state,
-                    self.pos_heads, self._window, self._filterbank,
-                    (jnp.asarray(dsp), jnp.asarray(fresh),
-                     jnp.asarray(consume)),
-                    self.beam_size, self.beam_expansions, self.lm,
-                    self.lm_weight, self.lm_bonus)
+                masks = (jnp.asarray(dsp), jnp.asarray(fresh),
+                         jnp.asarray(consume))
+                if self.tdt:
+                    (self.front_res, self.front_last, self.mel_buf_dev,
+                     self.enc_state,
+                     self.beam_state) = _device_dsp_tick_tdt_beam(
+                        self.params, self.cfg, cc, self._pcfg,
+                        jnp.asarray(pcm), self.front_res, self.front_last,
+                        self.mel_buf_dev, self.enc_state, self.beam_state,
+                        self.pos_heads, self._window, self._filterbank,
+                        masks, self.beam_size, self.lm,
+                        self.lm_weight, self.lm_bonus)
+                else:
+                    (self.front_res, self.front_last, self.mel_buf_dev,
+                     self.enc_state,
+                     self.beam_state) = _device_dsp_tick_beam(
+                        self.params, self.cfg, cc, self._pcfg,
+                        jnp.asarray(pcm), self.front_res, self.front_last,
+                        self.mel_buf_dev, self.enc_state, self.beam_state,
+                        self.pos_heads, self._window, self._filterbank,
+                        masks, self.beam_size, self.beam_expansions,
+                        self.lm, self.lm_weight, self.lm_bonus)
                 self._beam_dirty = True
                 tokens = confs = ctc_ids = None
             elif self.ctc:
-                (ids, self.front_res, self.front_last, self.mel_buf_dev,
-                 self.enc_state) = _device_dsp_tick_ctc(
+                (ids, frame_lp, self.front_res, self.front_last,
+                 self.mel_buf_dev, self.enc_state) = _device_dsp_tick_ctc(
                     self.params, self.cfg, cc, self._pcfg, jnp.asarray(pcm),
                     self.front_res, self.front_last, self.mel_buf_dev,
                     self.enc_state, self.pos_heads, self._window,
                     self._filterbank, jnp.asarray(dsp), jnp.asarray(fresh),
-                    jnp.asarray(consume))
+                    jnp.asarray(consume),
+                    with_confidence=self.confidence)
                 ctc_ids = np.asarray(ids, np.int64)
+                ctc_lp = (np.asarray(frame_lp) if frame_lp is not None
+                          else None)
                 tokens = confs = None
             elif self.tdt:
-                (tokens, self.front_res, self.front_last, self.mel_buf_dev,
-                 self.enc_state, self.dec_state,
+                (tokens, confs, self.front_res, self.front_last,
+                 self.mel_buf_dev, self.enc_state, self.dec_state,
                  self.tdt_skip) = _device_dsp_tick_tdt(
                     self.params, self.cfg, cc, self._pcfg, jnp.asarray(pcm),
                     self.front_res, self.front_last, self.mel_buf_dev,
                     self.enc_state, self.dec_state, self.pos_heads,
                     self._window, self._filterbank, jnp.asarray(dsp),
-                    jnp.asarray(fresh), jnp.asarray(consume), self.tdt_skip)
+                    jnp.asarray(fresh), jnp.asarray(consume), self.tdt_skip,
+                    with_confidence=self.confidence)
                 tokens = np.asarray(tokens)
-                confs = ctc_ids = None
+                confs = np.asarray(confs) if confs is not None else None
+                ctc_ids = None
             else:
                 (tokens, confs, self.front_res, self.front_last,
                  self.mel_buf_dev, self.enc_state,
@@ -1191,7 +1324,8 @@ class ServingEngine:
             self.fresh = self.fresh & ~dsp
             emitted = None
             if ctc_ids is not None:
-                emitted = self._ctc_extract(ctc_ids, np.flatnonzero(consume))
+                emitted = self._ctc_extract(ctc_ids, np.flatnonzero(consume),
+                                            frame_lp=ctc_lp)
             elif tokens is not None:
                 emitted = dec_mod.extract_emitted(
                     tokens, self.cfg.blank_token, self.frame_offsets,
@@ -1255,6 +1389,8 @@ class ServingEngine:
                     [sb.abs0, int(sb.truncated)], np.int64)
         if self.beam_state is not None:
             keys = ("h", "c", "prev_token", "scores", "tokens", "lengths")
+            if hasattr(self.beam_state, "t"):    # TdtBeamState extras
+                keys += ("t", "sym")
             if self.beam_state.lm_h is not None:
                 keys += ("lm_h", "lm_c")
             for k in keys:
@@ -1326,8 +1462,6 @@ class ServingEngine:
                 f"{'carries' if has_beam else 'has no'} beam state, engine "
                 f"beam_size={self.beam_size}")
         if has_beam:
-            from ..models import beam as beam_mod
-
             if z["beam/h"].shape[1] != self.beam_size:
                 raise ValueError(
                     f"snapshot beam width K={z['beam/h'].shape[1]} != "
@@ -1338,7 +1472,13 @@ class ServingEngine:
                     "snapshot/engine LM-fusion mismatch: snapshot "
                     f"{'carries' if has_lm else 'has no'} LM state, engine "
                     f"lm={'set' if self.lm is not None else 'None'}")
-            self.beam_state = beam_mod.BeamState(
+            has_tdt_beam = "beam/t" in z.files
+            if has_tdt_beam != self.tdt:
+                raise ValueError(
+                    "snapshot/engine beam-family mismatch: snapshot is "
+                    f"{'TDT' if has_tdt_beam else 'RNN-T'}, engine is "
+                    f"{'TDT' if self.tdt else 'RNN-T'}")
+            common = dict(
                 h=jnp.asarray(z["beam/h"], self.dtype),
                 c=jnp.asarray(z["beam/c"], self.dtype),
                 prev_token=jnp.asarray(z["beam/prev_token"], jnp.int32),
@@ -1349,6 +1489,16 @@ class ServingEngine:
                       if has_lm else None),
                 lm_c=(jnp.asarray(z["beam/lm_c"], self.dtype)
                       if has_lm else None))
+            if self.tdt:
+                from ..models import tdt as tdt_mod
+
+                self.beam_state = tdt_mod.TdtBeamState(
+                    t=jnp.asarray(z["beam/t"], jnp.int32),
+                    sym=jnp.asarray(z["beam/sym"], jnp.int32), **common)
+            else:
+                from ..models import beam as beam_mod
+
+                self.beam_state = beam_mod.BeamState(**common)
             self._beam_dirty = True
         if self.mesh is not None:
             from ..parallel.mesh import shard_state, shard_stream_major

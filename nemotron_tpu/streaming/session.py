@@ -300,6 +300,58 @@ def _chunk_step_tdt_jit(params: ModelParams, cfg: ModelConfig,
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
+def _chunk_step_tdt_conf_jit(params: ModelParams, cfg: ModelConfig,
+                             cc: CacheConfig, mel_chunk, enc_state,
+                             dec_state, pos_heads, skip):
+    """_chunk_step_tdt_jit + per-emission token-head log-posteriors
+    (tdt_greedy_decode's with_confidence output)."""
+    from ..models import tdt as tdt_mod
+
+    enc_out, enc_state = enc_mod.encode_chunk(params, cfg, cc, mel_chunk,
+                                              enc_state, pos_heads)
+    tokens, confs, dec_state, skip = tdt_mod.tdt_greedy_decode(
+        params, cfg, enc_out, dec_state, skip_in=skip, with_confidence=True)
+    return tokens, confs, enc_state, dec_state, skip
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 7, 9, 10),
+                   donate_argnums=(4, 5))
+def chunk_step_tdt_beam(params: ModelParams, cfg: ModelConfig,
+                        cc: CacheConfig, mel_chunk, enc_state, beam_state,
+                        pos_heads, beam_size: int,
+                        lm=None, lm_weight=0.3, lm_bonus=0.0):
+    """Fused streaming step with duration-aware BEAM decode for TDT
+    checkpoints (models/tdt.py tdt_beam_decode). The TdtBeamState carries
+    per-hypothesis time-pointer overshoots across chunks, so no separate
+    tdt_skip is needed; chunked == one-shot exactly (frontier-synchronized
+    expansion, tested in tests/test_tdt.py)."""
+    from ..models import tdt as tdt_mod
+
+    enc_out, enc_state = enc_mod.encode_chunk(params, cfg, cc, mel_chunk,
+                                              enc_state, pos_heads)
+    beam_state = tdt_mod.tdt_beam_decode(params, cfg, enc_out, beam_state,
+                                         beam_size, lm=lm,
+                                         lm_weight=lm_weight,
+                                         lm_bonus=lm_bonus)
+    return enc_state, beam_state
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4,))
+def _chunk_step_ctc_conf_jit(params: ModelParams, cfg: ModelConfig,
+                             cc: CacheConfig, mel_chunk, enc_state,
+                             pos_heads):
+    """_chunk_step_ctc_jit + the argmax's log-posterior per frame
+    (models/ctc.py frame_log_posteriors); the host collapse attaches the
+    emitting frame's posterior to each surviving token."""
+    from ..models import ctc as ctc_mod
+
+    enc_out, enc_state = enc_mod.encode_chunk(params, cfg, cc, mel_chunk,
+                                              enc_state, pos_heads)
+    ids, logp = ctc_mod.frame_log_posteriors(params, enc_out)
+    return ids, logp, enc_state
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
 def chunk_step_captured(params: ModelParams, cfg: ModelConfig,
                         cc: CacheConfig, mel_chunk, enc_state, dec_state,
                         pos_heads):
@@ -389,24 +441,25 @@ class StreamSession:
                              "(the traced step has no confidence output)")
         # ctc=True: decode each chunk with the hybrid checkpoint's auxiliary
         # CTC head instead of the RNN-T label loop (streaming CTC). Word
-        # timestamps still work (every emission has a frame index); beam /
-        # confidence / tracing are RNN-T-decode features.
+        # timestamps and confidence work (every emission has a frame index
+        # and an argmax log-posterior); beam search over CTC would be a
+        # prefix search -- a different algorithm the framework does not
+        # implement (use the RNN-T head of the hybrid checkpoint for beam).
         self.ctc = ctc
         if ctc:
             if params.ctc is None:
                 raise ValueError("ctc=True needs a model with a CTC head "
                                  "(ctc_decoder.* tensors)")
-            if beam_size > 1 or self.confidence or trace_dir is not None:
-                raise ValueError("ctc decode excludes beam/confidence/"
-                                 "tracing (those are RNN-T decode paths)")
-        # TDT checkpoints (cfg.tdt_durations): the only label search is the
-        # duration-aware greedy walk; RNN-T beam/confidence/tracing read
-        # the joint as pure token logits and do not apply
+            if beam_size > 1 or trace_dir is not None:
+                raise ValueError("ctc decode excludes beam/tracing (CTC "
+                                 "beam would be a prefix search; decode the "
+                                 "hybrid's RNN-T head for beam)")
+        # TDT checkpoints (cfg.tdt_durations): duration-aware greedy walk,
+        # duration-aware beam (models/tdt.py tdt_beam_decode, with optional
+        # LM fusion) and greedy confidence; tracing stays RNN-T-greedy-only
         self.tdt = bool(cfg.tdt_durations) and not ctc
-        if self.tdt and (beam_size > 1 or self.confidence
-                         or trace_dir is not None):
-            raise ValueError("TDT decode is greedy (beam/confidence/tracing "
-                             "are RNN-T label-loop features)")
+        if self.tdt and trace_dir is not None:
+            raise ValueError("tracing supports greedy decode only")
         self.tracer = None
         if trace_dir is not None:
             from ..utils.dump import DumpTracer
@@ -437,11 +490,18 @@ class StreamSession:
         self.dec_state = dec_mod.init_decoder_state(cfg, S, self.dtype)
         self.beam_state = None
         if self.beam_size > 1:
-            from ..models import beam as beam_mod
+            if self.tdt:
+                from ..models import tdt as tdt_mod
 
-            self.beam_state = beam_mod.init_beam_state(
-                cfg, S, self.beam_size, self.max_beam_tokens, self.dtype,
-                lm=self.lm)
+                self.beam_state = tdt_mod.init_tdt_beam_state(
+                    cfg, S, self.beam_size, self.max_beam_tokens,
+                    self.dtype, lm=self.lm)
+            else:
+                from ..models import beam as beam_mod
+
+                self.beam_state = beam_mod.init_beam_state(
+                    cfg, S, self.beam_size, self.max_beam_tokens, self.dtype,
+                    lm=self.lm)
         # cross-chunk CTC collapse carry: the raw LAST frame argmax id of
         # the previous chunk per stream (-1 = stream start, matches nothing)
         self.ctc_prev = np.full(S, -1, np.int64)
@@ -498,11 +558,17 @@ class StreamSession:
                 self.mel_buffer[:, : cc.chunk_mel_frames], self.dtype)
             t0 = time.perf_counter()
             if self.beam_state is not None:
-                self.enc_state, self.beam_state = chunk_step_beam(
-                    self.params, self.cfg, cc, chunk, self.enc_state,
-                    self.beam_state, self.pos_heads, self.beam_size,
-                    self.beam_expansions, self.lm, self.lm_weight,
-                    self.lm_bonus)
+                if self.tdt:
+                    self.enc_state, self.beam_state = chunk_step_tdt_beam(
+                        self.params, self.cfg, cc, chunk, self.enc_state,
+                        self.beam_state, self.pos_heads, self.beam_size,
+                        self.lm, self.lm_weight, self.lm_bonus)
+                else:
+                    self.enc_state, self.beam_state = chunk_step_beam(
+                        self.params, self.cfg, cc, chunk, self.enc_state,
+                        self.beam_state, self.pos_heads, self.beam_size,
+                        self.beam_expansions, self.lm, self.lm_weight,
+                        self.lm_bonus)
                 self.chunk_seconds += time.perf_counter() - t0
                 self.total_chunks += 1
                 self.mel_buffer = self.mel_buffer[:, cc.shift_mel_frames:]
@@ -510,9 +576,16 @@ class StreamSession:
                 self._refresh_beam_transcripts()
                 continue
             if self.ctc:
-                ids, self.enc_state = _chunk_step_ctc_jit(
-                    self.params, self.cfg, cc, chunk, self.enc_state,
-                    self.pos_heads)
+                frame_lp = None
+                if self.confidence:
+                    ids, frame_lp, self.enc_state = _chunk_step_ctc_conf_jit(
+                        self.params, self.cfg, cc, chunk, self.enc_state,
+                        self.pos_heads)
+                    frame_lp = np.asarray(frame_lp)
+                else:
+                    ids, self.enc_state = _chunk_step_ctc_jit(
+                        self.params, self.cfg, cc, chunk, self.enc_state,
+                        self.pos_heads)
                 ids = np.asarray(ids, np.int64)  # [S, valid_out]
                 self.chunk_seconds += time.perf_counter() - t0
                 self.total_chunks += 1
@@ -523,20 +596,31 @@ class StreamSession:
                     for t in range(ids.shape[1]):
                         i = int(ids[s, t])
                         if i != prev and i != blank:
-                            toks.append((i, self.frame_offset + t))
+                            if frame_lp is None:
+                                toks.append((i, self.frame_offset + t))
+                            else:
+                                toks.append((i, self.frame_offset + t,
+                                             float(frame_lp[s, t])))
                         prev = i
                     self.ctc_prev[s] = prev
                     if toks:
                         self.tokens[s].extend(toks)
                         text = tokens_to_text(
                             toks, self.vocab,
-                            timestamp_words=self.timestamp_words)
+                            timestamp_words=self.timestamp_words,
+                            confidence_words=self.confidence_words)
                         self.transcripts[s] += text
                         new_text[s] += text
                 self.frame_offset += ids.shape[1]
                 continue
             confs = None
-            if self.tdt:
+            if self.tdt and self.confidence:
+                (tokens, confs, self.enc_state, self.dec_state,
+                 self.tdt_skip) = _chunk_step_tdt_conf_jit(
+                    self.params, self.cfg, cc, chunk, self.enc_state,
+                    self.dec_state, self.pos_heads, self.tdt_skip)
+                confs = np.asarray(confs)
+            elif self.tdt:
                 (tokens, self.enc_state, self.dec_state,
                  self.tdt_skip) = _chunk_step_tdt_jit(
                     self.params, self.cfg, cc, chunk, self.enc_state,
@@ -627,6 +711,7 @@ class StreamSession:
         } | ({} if self.beam_state is None else {
             f"beam/{k}": np.asarray(getattr(self.beam_state, k))
             for k in ("h", "c", "prev_token", "scores", "tokens", "lengths")
+            + (("t", "sym") if self.tdt else ())   # TdtBeamState extras
             + (("lm_h", "lm_c") if self.beam_state.lm_h is not None else ())
         }) | ({"ctc_prev": self.ctc_prev.copy()} if self.ctc else {}) \
           | ({"tdt_skip": np.asarray(self.tdt_skip)} if self.tdt else {})
@@ -684,15 +769,19 @@ class StreamSession:
                 f"snapshot beam width K={st['beam/h'].shape[1]} != session "
                 f"beam_size={self.beam_size}")
         if has_beam:
-            from ..models import beam as beam_mod
-
             has_lm = "beam/lm_h" in st
             if has_lm != (self.lm is not None):
                 raise ValueError(
                     "snapshot/session LM-fusion mismatch: snapshot "
                     f"{'carries' if has_lm else 'has no'} LM state, session "
                     f"lm={'set' if self.lm is not None else 'None'}")
-            self.beam_state = beam_mod.BeamState(
+            has_tdt_beam = "beam/t" in st
+            if has_tdt_beam != self.tdt:
+                raise ValueError(
+                    "snapshot/session beam-family mismatch: snapshot is "
+                    f"{'TDT' if has_tdt_beam else 'RNN-T'}, session is "
+                    f"{'TDT' if self.tdt else 'RNN-T'}")
+            common = dict(
                 h=jnp.asarray(st["beam/h"], self.dtype),
                 c=jnp.asarray(st["beam/c"], self.dtype),
                 prev_token=jnp.asarray(st["beam/prev_token"], jnp.int32),
@@ -704,6 +793,17 @@ class StreamSession:
                 lm_c=(jnp.asarray(st["beam/lm_c"], self.dtype)
                       if has_lm else None),
             )
+            if self.tdt:
+                from ..models import tdt as tdt_mod
+
+                self.beam_state = tdt_mod.TdtBeamState(
+                    t=jnp.asarray(st["beam/t"], jnp.int32),
+                    sym=jnp.asarray(st["beam/sym"], jnp.int32),
+                    **common)
+            else:
+                from ..models import beam as beam_mod
+
+                self.beam_state = beam_mod.BeamState(**common)
         self.preproc.load_state_dict(st["preproc"])
         self.mel_buffer = np.asarray(st["mel_buffer"], np.float32).copy()
         self.tokens = [[tuple(t) for t in ts] for ts in st["tokens"]]
@@ -797,13 +897,16 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
     pos-emb cap: the position table is sized per call.
 
     beam_size > 1 switches the label search to the on-device batched beam
-    (models/beam.py) -- a capability the reference lacks (greedy only).
-    Word timestamps require greedy (beam hypotheses carry no frame
-    alignment).
+    -- models/beam.py for RNN-T, the duration-aware models/tdt.py
+    tdt_beam_decode for TDT checkpoints -- a capability the reference lacks
+    (greedy only). Word timestamps require greedy (beam hypotheses carry no
+    frame alignment).
 
-    return_confidence (greedy only): returns (texts, token_lists) where each
-    token list holds (id, frame, log_posterior) triples from the on-device
-    label loop.
+    return_confidence (greedy only; RNN-T, TDT and CTC): returns
+    (texts, token_lists) where each token list holds
+    (id, frame, log_posterior) triples -- the emission-point argmax
+    log-posterior, computed identically across the three decode families so
+    confidence thresholds transfer.
 
     return_nbest=N (beam only): returns, per utterance, the N best
     hypotheses as (text, raw_total_log_prob) tuples sorted best first
@@ -834,9 +937,9 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
                          "(the LM rescored search IS the beam)")
     if lm_rescore and lm is None:
         raise ValueError("lm_rescore needs an LM (lm=)")
-    if ctc and (beam_size > 1 or return_confidence or timestamp_words):
-        raise ValueError("ctc decode is plain greedy (no beam, "
-                         "confidence or word timestamps)")
+    if ctc and (beam_size > 1 or timestamp_words):
+        raise ValueError("ctc decode is plain greedy (no beam or word "
+                         "timestamps; confidence IS supported)")
     if ctc and params.ctc is None:
         raise ValueError("model has no CTC head (ctc_decoder.* tensors)")
     fb = filterbank if filterbank is not None else np.asarray(
@@ -870,22 +973,46 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
     if ctc:
         from ..models import ctc as ctc_mod
 
+        if return_confidence:
+            ids, lps = jax.jit(ctc_mod.frame_log_posteriors)(params, enc)
+            ids, lps = np.asarray(ids), np.asarray(lps)
+            lens = np.asarray(enc_lengths)
+            token_lists = [
+                ctc_mod.collapse_with_confidence(
+                    ids[i], lps[i], cfg.blank_token, int(lens[i]))
+                for i in range(len(mels))]
+            texts = [tokens_to_text(tl, vocab) for tl in token_lists]
+            single = not isinstance(audio_i16, (list, tuple))
+            return ((texts[0], token_lists[0]) if single
+                    else (texts, token_lists))
         ids = ctc_mod.ctc_greedy_decode(params, cfg, enc,
                                         enc_lengths=enc_lengths)
         texts = [tokens_to_text([(i, 0) for i in stream_ids], vocab)
                  for stream_ids in ids]
         return (texts[0] if not isinstance(audio_i16, (list, tuple))
                 else texts)
-    if cfg.tdt_durations:
-        # TDT checkpoint: the label search IS the duration-aware greedy
-        # walk (models/tdt.py); the RNN-T beam/confidence paths read the
-        # joint as pure token logits and do not apply.
-        if beam_size > 1 or return_confidence:
-            raise ValueError("TDT decode is greedy (beam/confidence are "
-                             "RNN-T label-loop features)")
+    if cfg.tdt_durations and beam_size <= 1:
+        # TDT checkpoint, greedy: the duration-aware walk (models/tdt.py);
+        # beam_size > 1 falls through to the shared beam epilogue below
+        # with the duration-aware search swapped in.
         from ..models import tdt as tdt_mod
 
         dec_state = dec_mod.init_decoder_state(cfg, len(mels), compute_dtype)
+        if return_confidence:
+            decode = functools.partial(tdt_mod.tdt_greedy_decode,
+                                       with_confidence=True)
+            tokens, confs, _, _ = jax.jit(decode, static_argnums=1)(
+                params, cfg, enc, dec_state, enc_lengths=enc_lengths)
+            emitted = dec_mod.extract_emitted(np.asarray(tokens),
+                                              cfg.blank_token,
+                                              confs=np.asarray(confs))
+            token_lists = [emitted.get(i, []) for i in range(len(mels))]
+            texts = [tokens_to_text(tl, vocab,
+                                    timestamp_words=timestamp_words)
+                     for tl in token_lists]
+            single = not isinstance(audio_i16, (list, tuple))
+            return ((texts[0], token_lists[0]) if single
+                    else (texts, token_lists))
         tokens, _, _ = jax.jit(tdt_mod.tdt_greedy_decode, static_argnums=1)(
             params, cfg, enc, dec_state, enc_lengths=enc_lengths)
         texts = [
@@ -908,13 +1035,28 @@ def transcribe_batch(params: ModelParams, cfg: ModelConfig,
         # second-pass rescoring runs the SEARCH acoustic-only; the LM
         # reranks the finished n-best list below (models/lm.py)
         lm_search = None if lm_rescore else lm
-        bstate = beam_mod.init_beam_state(
-            cfg, len(mels), beam_size,
-            max_tokens=int(enc.shape[1]) * MAX_SYMBOLS_PER_STEP,
-            dtype=compute_dtype, lm=lm_search)
-        bstate = jax.jit(beam_mod.beam_decode, static_argnums=(1, 4, 5))(
-            params, cfg, enc, bstate, beam_size, exp, enc_lengths,
-            lm_search, lm_weight, lm_bonus)
+        if cfg.tdt_durations:
+            # duration-aware search; the n-best / rescore / best-hypothesis
+            # epilogue below is state-shape-agnostic (models/beam.py
+            # helpers work on TdtBeamState's shared fields)
+            from ..models import tdt as tdt_mod
+
+            bstate = tdt_mod.init_tdt_beam_state(
+                cfg, len(mels), beam_size,
+                max_tokens=int(enc.shape[1]) * MAX_SYMBOLS_PER_STEP,
+                dtype=compute_dtype, lm=lm_search)
+            bstate = jax.jit(tdt_mod.tdt_beam_decode,
+                             static_argnums=(1, 4))(
+                params, cfg, enc, bstate, beam_size, enc_lengths, None,
+                lm_search, lm_weight, lm_bonus)
+        else:
+            bstate = beam_mod.init_beam_state(
+                cfg, len(mels), beam_size,
+                max_tokens=int(enc.shape[1]) * MAX_SYMBOLS_PER_STEP,
+                dtype=compute_dtype, lm=lm_search)
+            bstate = jax.jit(beam_mod.beam_decode, static_argnums=(1, 4, 5))(
+                params, cfg, enc, bstate, beam_size, exp, enc_lengths,
+                lm_search, lm_weight, lm_bonus)
         if lm_rescore:
             from ..models import lm as lm_mod
 

@@ -148,7 +148,7 @@ def test_streaming_ctc_validation(hybrid_setup):
     no_head = dataclasses.replace(params, ctc=None)
     with pytest.raises(ValueError, match="needs a model with a CTC head"):
         make_session(no_head, cfg, cc)
-    with pytest.raises(ValueError, match="beam/confidence"):
+    with pytest.raises(ValueError, match="beam/tracing"):
         make_session(params, cfg, cc, beam_size=2)
 
     # snapshot decode-mode mismatch, both directions
@@ -160,3 +160,50 @@ def test_streaming_ctc_validation(hybrid_setup):
         ctc.load_state_dict(rnnt.state_dict())
     with pytest.raises(ValueError, match="CTC collapse state"):
         rnnt.load_state_dict(ctc.state_dict())
+
+
+def test_streaming_ctc_confidence(hybrid_setup):
+    """confidence=True on a CTC session: (id, frame) pairs identical to the
+    plain CTC session, confidences equal to the argmax log-posterior at
+    each emitting frame, recomputed independently in numpy (VERDICT r3
+    item 5: the decode-feature matrix closed for CTC)."""
+    from nemotron_tpu.models.ctc import ctc_logits
+    from nemotron_tpu.models import encoder as enc_mod
+
+    _, params, cfg = hybrid_setup
+    cc = CacheConfig(att_right_context=1, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    S = 2
+    rng = np.random.default_rng(9)
+    total = cc.chunk_mel_frames * 3 + 5
+    mel = (rng.standard_normal((S, total, cfg.n_mels)) * 2).astype(np.float32)
+
+    plain = make_session(params, cfg, cc, n_streams=S)
+    plain.process_mel(mel)
+    conf = make_session(params, cfg, cc, n_streams=S, confidence=True)
+    conf.process_mel(mel)
+
+    # independent numpy log-posteriors over the same chunked encoder outputs
+    buf = np.concatenate(
+        [np.zeros((S, cc.pre_encode_cache_size, cfg.n_mels), np.float32),
+         mel], axis=1)
+    enc_state = enc_mod.init_encoder_state(cfg, cc, S, jnp.float32)
+    pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc)
+    chunks = []
+    while buf.shape[1] >= cc.chunk_mel_frames:
+        chunk = jnp.asarray(buf[:, : cc.chunk_mel_frames], jnp.float32)
+        enc_out, enc_state = enc_mod.encode_chunk(params, cfg, cc, chunk,
+                                                  enc_state, pos_heads)
+        chunks.append(np.asarray(ctc_logits(params, enc_out)))
+        buf = buf[:, cc.shift_mel_frames:]
+    logits = np.concatenate(chunks, axis=1).astype(np.float64)  # [S, T, V]
+    lse = np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1)) \
+        + logits.max(-1)
+    for s in range(S):
+        got = conf.get_tokens(s)
+        want_pairs = plain.get_tokens(s)
+        assert [(t, f) for t, f, _c in got] == want_pairs
+        for t, f, c in got:
+            want_c = logits[s, f, t] - lse[s, f]
+            assert c == pytest.approx(want_c, abs=1e-4)
+            assert c <= 0.0

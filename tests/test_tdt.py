@@ -271,3 +271,147 @@ def test_tdt_gguf_roundtrip(tdt_setup, tmp_path, rng):
     b, _, _ = tdt_greedy_decode(p2, cfg2, jnp.asarray(enc), st)
     assert dec_mod.tokens_to_list(np.asarray(a), cfg.blank_token) == \
         dec_mod.tokens_to_list(np.asarray(b), cfg.blank_token)
+
+
+# ---------------------------------------------------------------------------
+# duration-aware beam search + greedy confidence
+# ---------------------------------------------------------------------------
+
+def test_tdt_beam1_equals_greedy(tdt_setup, rng):
+    """beam_size=1 degenerates EXACTLY to the greedy walk: the (token,
+    duration) pair score is separable, so top-1 = (argmax tok, argmax dur)
+    with identical pointer/state updates -- the same differential gate the
+    RNN-T beam has in tests/test_beam.py."""
+    from nemotron_tpu.models.beam import best_hypothesis
+    from nemotron_tpu.models.tdt import init_tdt_beam_state, tdt_beam_decode
+
+    params, cfg = tdt_setup
+    B, T = 4, 12
+    enc = (rng.standard_normal((B, T, cfg.d_model)) * 3).astype(np.float32)
+
+    st = dec_mod.init_decoder_state(cfg, batch=B)
+    toks, _, skip = jax.jit(tdt_greedy_decode, static_argnums=1)(
+        params, cfg, jnp.asarray(enc), st)
+    greedy = [[t for t, _f in g]
+              for g in dec_mod.tokens_to_list(np.asarray(toks),
+                                              cfg.blank_token)]
+
+    bst = init_tdt_beam_state(cfg, B, 1, max_tokens=256)
+    bst = jax.jit(tdt_beam_decode, static_argnums=(1, 4))(
+        params, cfg, jnp.asarray(enc), bst, 1)
+    btok, blen, _ = best_hypothesis(bst)
+    btok, blen = np.asarray(btok), np.asarray(blen)
+    got = [[int(t) for t in btok[b, : blen[b]]] for b in range(B)]
+    assert got == greedy
+    # overshoot carry matches greedy's skip
+    np.testing.assert_array_equal(np.asarray(bst.t)[:, 0], np.asarray(skip))
+
+
+def test_tdt_beam_improves_score_and_chunk_invariance(tdt_setup, rng):
+    """(a) K=4's best total log-prob >= K=1's on every stream (holds under
+    frontier-synchronized expansion: all live hypotheses are compared at
+    the same frame, so jumpers are not crowded out by stayers); (b) chunked
+    decoding with the carried TdtBeamState equals one-shot decoding
+    EXACTLY (the chunk boundary is just another frame barrier)."""
+    from nemotron_tpu.models.beam import best_hypothesis
+    from nemotron_tpu.models.tdt import init_tdt_beam_state, tdt_beam_decode
+
+    params, cfg = tdt_setup
+    B, T = 4, 12
+    enc = (rng.standard_normal((B, T, cfg.d_model)) * 3).astype(np.float32)
+    jbd = jax.jit(tdt_beam_decode, static_argnums=(1, 4))
+
+    bst1 = jbd(params, cfg, jnp.asarray(enc),
+               init_tdt_beam_state(cfg, B, 1, 256), 1)
+    _, _, s1 = best_hypothesis(bst1)
+    bst4 = jbd(params, cfg, jnp.asarray(enc),
+               init_tdt_beam_state(cfg, B, 4, 256), 4)
+    _, _, s4 = best_hypothesis(bst4)
+    assert np.all(np.asarray(s4) >= np.asarray(s1) - 1e-3)
+
+    chunked = jbd(params, cfg, jnp.asarray(enc[:, :7]),
+                  init_tdt_beam_state(cfg, B, 4, 256), 4)
+    chunked = jbd(params, cfg, jnp.asarray(enc[:, 7:]), chunked, 4)
+    for f in ("scores", "tokens", "lengths", "t", "prev_token", "sym"):
+        np.testing.assert_allclose(np.asarray(getattr(chunked, f)),
+                                   np.asarray(getattr(bst4, f)), atol=1e-4)
+
+
+def test_tdt_beam_step_mask(tdt_setup, rng):
+    """Frozen streams keep their ENTIRE beam (scores, tokens, t carries)."""
+    from nemotron_tpu.models.tdt import init_tdt_beam_state, tdt_beam_decode
+
+    params, cfg = tdt_setup
+    B, T = 3, 8
+    enc = (rng.standard_normal((B, T, cfg.d_model)) * 3).astype(np.float32)
+    jbd = jax.jit(tdt_beam_decode, static_argnums=(1, 4))
+
+    bst = jbd(params, cfg, jnp.asarray(enc),
+              init_tdt_beam_state(cfg, B, 2, 128), 2)
+    mask = jnp.asarray([True, False, True])
+    bst2 = jax.jit(tdt_beam_decode, static_argnums=(1, 4))(
+        params, cfg, jnp.asarray(enc), bst, 2, None, mask)
+    for f in ("scores", "tokens", "lengths", "t", "prev_token", "h", "c"):
+        np.testing.assert_array_equal(np.asarray(getattr(bst2, f))[1],
+                                      np.asarray(getattr(bst, f))[1])
+    # unmasked streams actually advanced (scores strictly decreased)
+    assert np.asarray(bst2.scores)[0, 0] < np.asarray(bst.scores)[0, 0]
+
+
+def test_tdt_greedy_confidence(tdt_setup, rng):
+    """with_confidence: same tokens as the plain walk; each confidence is
+    the token-head log-softmax at the emitting frame, recomputed
+    independently via the oracle loop's logits."""
+    params, cfg = tdt_setup
+    B, T = 3, 10
+    D = len(cfg.tdt_durations)
+    enc = (rng.standard_normal((B, T, cfg.d_model)) * 3).astype(np.float32)
+
+    st = dec_mod.init_decoder_state(cfg, batch=B)
+    toks_p, st_p, _ = jax.jit(tdt_greedy_decode, static_argnums=1)(
+        params, cfg, jnp.asarray(enc), st)
+    st = dec_mod.init_decoder_state(cfg, batch=B)
+    toks_c, confs, st_c, _ = jax.jit(
+        tdt_greedy_decode, static_argnums=(1,),
+        static_argnames=("with_confidence",))(
+        params, cfg, jnp.asarray(enc), st, with_confidence=True)
+    np.testing.assert_array_equal(np.asarray(toks_p), np.asarray(toks_c))
+
+    emitted = dec_mod.extract_emitted(np.asarray(toks_c), cfg.blank_token,
+                                      confs=np.asarray(confs))
+    for b in range(B):
+        # oracle replay collecting per-emission log-softmax
+        h = jnp.zeros((1, cfg.decoder_layers, cfg.decoder_dim))
+        c = jnp.zeros_like(h)
+        prev, t, sym = cfg.blank_token, 0, 0
+        want = []
+        from nemotron_tpu.ops.lstm import lstm_step
+        while t < T:
+            ep = dec_mod.joint_project_enc(params.joint,
+                                           jnp.asarray(enc[b, t])[None])
+            emb = jnp.asarray(params.decoder.embedding)[jnp.asarray([prev])]
+            dec_out, h2, c2 = lstm_step(params.decoder, emb, h, c)
+            logits = np.asarray(
+                dec_mod.joint_logits(params.joint, ep, dec_out))[0]
+            tok = int(np.argmax(logits[:-D]))
+            d = cfg.tdt_durations[int(np.argmax(logits[-D:]))]
+            if tok == cfg.blank_token:
+                t += max(d, 1)
+                sym = 0
+                continue
+            row = logits[:-D].astype(np.float64)
+            want.append((tok, row[tok] - np.log(np.exp(row - row.max()).sum())
+                         - row.max()))
+            h, c, prev = h2, c2, tok
+            if d == 0:
+                sym += 1
+                if sym >= MAX_SYMBOLS_PER_STEP:
+                    t += 1
+                    sym = 0
+            else:
+                t += d
+                sym = 0
+        got = emitted.get(b, [])
+        assert [tk for tk, _f, _c in got] == [tk for tk, _lp in want]
+        for (_tk, _f, cg), (_tk2, lp) in zip(got, want):
+            assert cg == pytest.approx(lp, abs=1e-4)

@@ -112,14 +112,114 @@ def test_tdt_session_snapshot_roundtrip(tdt_setup, tmp_path):
         sess3.load(path)
 
 
-def test_tdt_mode_exclusions(tdt_setup):
+def test_tdt_mode_exclusions(tdt_setup, tmp_path):
+    """Tracing stays greedy-RNN-T-only; beam+confidence stay mutually
+    exclusive (whole-sequence scores vs per-emission posteriors)."""
     params, cfg = tdt_setup
     cc = CacheConfig(att_right_context=0, att_left_context=14,
                      n_mels=cfg.n_mels)
     with pytest.raises(ValueError, match="greedy"):
-        make_session(params, cfg, cc, beam_size=2)
+        make_session(params, cfg, cc, trace_dir=str(tmp_path / "tr"))
     with pytest.raises(ValueError, match="greedy"):
-        make_session(params, cfg, cc, confidence=True)
+        make_session(params, cfg, cc, beam_size=2, confidence=True)
+
+
+def test_tdt_session_confidence(tdt_setup):
+    """confidence=True on a TDT session: (id, frame) pairs identical to the
+    plain greedy session, plus per-emission token-head log-posteriors that
+    match a one-shot with_confidence decode over the same encoder outputs
+    (VERDICT r3 item 5: the decode-feature matrix closed for TDT)."""
+    params, cfg = tdt_setup
+    cc = CacheConfig(att_right_context=1, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    S = 2
+    rng = np.random.default_rng(11)
+    total = cc.chunk_mel_frames * 3 + 4
+    mel = (rng.standard_normal((S, total, cfg.n_mels)) * 2).astype(np.float32)
+
+    sess = make_session(params, cfg, cc, n_streams=S, confidence=True)
+    assert sess.tdt and sess.confidence
+    sess.process_mel(mel)
+
+    enc = session_enc_outs(params, cfg, cc, mel, S)
+    st = dec_mod.init_decoder_state(cfg, batch=S)
+    tokens, confs, _, _ = tdt_greedy_decode(params, cfg, jnp.asarray(enc),
+                                            st, with_confidence=True)
+    emitted = dec_mod.extract_emitted(np.asarray(tokens), cfg.blank_token,
+                                      confs=np.asarray(confs))
+    for s in range(S):
+        got = sess.get_tokens(s)
+        want = emitted.get(s, [])
+        assert [(t, f) for t, f, _c in got] == [(t, f) for t, f, _c in want]
+        for (_, _, cg), (_, _, cw) in zip(got, want):
+            assert cg == pytest.approx(cw, abs=1e-5)
+            assert cg <= 0.0
+
+
+def test_tdt_session_beam(tdt_setup):
+    """beam_size>1 on a TDT session: the chunked session's final best
+    hypothesis equals a one-shot tdt_beam_decode over the same encoder
+    outputs (exact, via the frontier-synchronized search's chunk-carry
+    invariance)."""
+    from nemotron_tpu.models.beam import best_hypothesis
+    from nemotron_tpu.models.tdt import init_tdt_beam_state, tdt_beam_decode
+
+    params, cfg = tdt_setup
+    cc = CacheConfig(att_right_context=1, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    S, K = 2, 3
+    rng = np.random.default_rng(13)
+    total = cc.chunk_mel_frames * 3 + 4
+    mel = (rng.standard_normal((S, total, cfg.n_mels)) * 2).astype(np.float32)
+
+    sess = make_session(params, cfg, cc, n_streams=S, beam_size=K)
+    assert sess.tdt and sess.beam_state is not None
+    sess.process_mel(mel)   # no finalize: the one-shot reference below
+    # sees exactly the session's full chunks (finalize pads a partial one)
+
+    enc = session_enc_outs(params, cfg, cc, mel, S)
+    bst = init_tdt_beam_state(cfg, S, K, max_tokens=sess.max_beam_tokens)
+    bst = tdt_beam_decode(params, cfg, jnp.asarray(enc), bst, K)
+    btok, blen, _ = best_hypothesis(bst, length_norm=True)
+    btok, blen = np.asarray(btok), np.asarray(blen)
+    for s in range(S):
+        want = [int(t) for t in btok[s, : blen[s]]]
+        assert [t for t, _f in sess.get_tokens(s)] == want, f"stream {s}"
+
+
+def test_tdt_beam_session_snapshot(tdt_setup, tmp_path):
+    """TDT beam session snapshot/resume: exact continuation, and the
+    beam-family mismatch is rejected."""
+    params, cfg = tdt_setup
+    cc = CacheConfig(att_right_context=1, att_left_context=14,
+                     n_mels=cfg.n_mels)
+    rng = np.random.default_rng(5)
+    mel = (rng.standard_normal((1, cc.chunk_mel_frames * 4, cfg.n_mels)) * 2
+           ).astype(np.float32)
+
+    sess = make_session(params, cfg, cc, beam_size=2)
+    sess.process_mel(mel[:, : cc.chunk_mel_frames + 2])
+    path = str(tmp_path / "tdt_beam_sess.npz")
+    sess.save(path)
+
+    sess2 = make_session(params, cfg, cc, beam_size=2)
+    sess2.load(path)
+    sess.process_mel(mel[:, cc.chunk_mel_frames + 2:])
+    sess2.process_mel(mel[:, cc.chunk_mel_frames + 2:])
+    assert sess.get_tokens(0) == sess2.get_tokens(0)
+    assert sess.get_transcript(0) == sess2.get_transcript(0)
+
+    # an RNN-T beam session must reject the TDT beam snapshot
+    rnnt_cfg = tiny_config()
+    rnnt_params = params_mod.params_from_arrays(
+        params_mod.random_weight_arrays(rnnt_cfg, seed=0), rnnt_cfg)
+    fb = mel_filterbank_slaney(n_mels=rnnt_cfg.n_mels)
+    sess3 = StreamSession(rnnt_params, rnnt_cfg,
+                          [f"x{i}" for i in range(rnnt_cfg.vocab_size)],
+                          cc, filterbank=fb, window=hann_window(400),
+                          beam_size=2)
+    with pytest.raises(ValueError, match="TDT"):
+        sess3.load(path)
 
 
 def test_tdt_train_step_runs(tdt_setup):
