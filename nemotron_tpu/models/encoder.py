@@ -521,6 +521,49 @@ def realign_ring(enc_state: "EncoderState", slot, delta, chunk_len: int):
     )
 
 
+def realign_rings(enc_state: "EncoderState", deltas, chunk_len: int):
+    """Batched `realign_ring`: roll EVERY stream's K/V ring forward by its
+    own `deltas[b]` segments (0 = no-op) in one program.
+
+    The multihost ragged engine (parallel/multihost.py MultihostServing)
+    cannot make per-slot data-dependent realign calls -- each process only
+    knows its own slots' phases, and a divergent device-call sequence
+    desyncs the SPMD programs -- so it issues this once per collective
+    step with a globally assembled delta vector. Cost: one gather pass
+    over both rings per step even when all deltas are 0 (the price of
+    collective determinism; the single-process engine keeps the cheaper
+    per-slot realign_ring)."""
+    KV = enc_state.k_cache.shape[-2]
+    n_seg = KV // chunk_len
+    deltas = deltas.astype(jnp.int32)
+    shift = deltas * chunk_len                              # [B]
+    pos = jnp.arange(KV, dtype=jnp.int32)[None, :]          # [1, KV]
+    idx = jnp.mod(pos - shift[:, None], KV)                 # [B, KV]
+
+    def roll_kv(x):  # [L, B, H, KV, Dh]
+        i = idx.reshape((1, idx.shape[0], 1, KV, 1))
+        i = jnp.broadcast_to(i, x.shape[:3] + (KV,) + x.shape[4:])
+        return jnp.take_along_axis(x, i, axis=3)
+
+    spos = jnp.arange(n_seg, dtype=jnp.int32)[None, :]
+    sidx = jnp.mod(spos - deltas[:, None], n_seg)           # [B, n_seg]
+
+    def roll_seg(x):  # [L, B, H, n_seg]
+        i = sidx.reshape((1, sidx.shape[0], 1, n_seg))
+        i = jnp.broadcast_to(i, x.shape[:3] + (n_seg,))
+        return jnp.take_along_axis(x, i, axis=3)
+
+    return EncoderState(
+        k_cache=roll_kv(enc_state.k_cache),
+        v_cache=roll_kv(enc_state.v_cache),
+        k_scale=roll_seg(enc_state.k_scale),
+        v_scale=roll_seg(enc_state.v_scale),
+        conv_cache=enc_state.conv_cache,
+        valid_len=enc_state.valid_len,
+        phase=jnp.mod(enc_state.phase + deltas, n_seg),
+    )
+
+
 def ring_to_chronological(ring, phase, chunk_len: int):
     """Host-side debug/interop: reorder a head-major ring cache
     [L, B, H, KV, Dh] into the reference's chronological window layout
