@@ -368,3 +368,88 @@ def test_transcribe_batch_lm_rescore(model_setup, lm_setup):
     with pytest.raises(ValueError, match="lm_rescore needs"):
         transcribe_batch(params, cfg, vocab, audio, beam_size=3,
                          lm_rescore=True)
+
+
+# ---------------------------------------------------------------------------
+# round 4: LM fusion inside the TDT duration-aware beam
+# ---------------------------------------------------------------------------
+
+def _tdt_fixture():
+    import dataclasses
+
+    from conftest import tiny_config
+    from nemotron_tpu import params as params_mod
+
+    cfg = dataclasses.replace(tiny_config(), tdt_durations=(0, 1, 2, 3))
+    arrays = params_mod.random_weight_arrays(cfg, seed=3)
+    return params_mod.params_from_arrays(arrays, cfg), cfg
+
+
+def _tdt_run(params, cfg, enc, K, lm=None, lm_weight=0.3, lm_bonus=0.0,
+             U=256):
+    from nemotron_tpu.models.tdt import init_tdt_beam_state, tdt_beam_decode
+
+    st = init_tdt_beam_state(cfg, enc.shape[0], K, U, lm=lm)
+    run = jax.jit(tdt_beam_decode, static_argnums=(1, 4))
+    st = run(params, cfg, jnp.asarray(enc), st, K, None, None, lm,
+             lm_weight, lm_bonus)
+    t, l, s = beam_mod.best_hypothesis(st)
+    return np.asarray(t), np.asarray(l), np.asarray(s)
+
+
+def test_tdt_beam_lm_zero_weight_matches_no_lm(lm_setup):
+    """lm_weight=0 with lm state threaded == no LM at all: the fusion
+    term vanishes but the state carry machinery still runs -- the standard
+    plumbing-isolation gate (mirrors test_zero_weight_matches_no_lm)."""
+    params, cfg = _tdt_fixture()
+    _, lm = lm_setup
+    rng = np.random.default_rng(6)
+    enc = (rng.standard_normal((2, 8, cfg.d_model)) * 3).astype(np.float32)
+    t0, l0, s0 = _tdt_run(params, cfg, enc, K=3)
+    t1, l1, s1 = _tdt_run(params, cfg, enc, K=3, lm=lm, lm_weight=0.0)
+    np.testing.assert_array_equal(t0, t1)
+    np.testing.assert_allclose(s0, s1, atol=1e-4)
+
+
+def test_tdt_beam_strong_lm_biases_labels(lm_setup):
+    """A strongly-weighted LM changes the emitted labels toward its
+    preferences (mirrors test_strong_lm_biases_labels for RNN-T)."""
+    params, cfg = _tdt_fixture()
+    _, lm = lm_setup
+    rng = np.random.default_rng(8)
+    enc = (rng.standard_normal((2, 8, cfg.d_model)) * 3).astype(np.float32)
+    t0, l0, _ = _tdt_run(params, cfg, enc, K=3)
+    t1, l1, _ = _tdt_run(params, cfg, enc, K=3, lm=lm, lm_weight=5.0)
+    seq0 = [t0[b, :l0[b]].tolist() for b in range(2)]
+    seq1 = [t1[b, :l1[b]].tolist() for b in range(2)]
+    assert seq0 != seq1, "a 5.0-weight LM must change some label"
+
+
+def test_tdt_session_beam_lm_runs(lm_setup):
+    """StreamSession TDT + beam + LM fusion end-to-end: runs, carries the
+    per-hypothesis LM state across chunks, snapshot round-trips."""
+    from nemotron_tpu.config import CacheConfig
+    from nemotron_tpu.frontend.preprocessor import (hann_window,
+                                                    mel_filterbank_slaney)
+    from nemotron_tpu.streaming.session import StreamSession
+
+    params, cfg = _tdt_fixture()
+    _, lm = lm_setup
+    cc = CacheConfig(att_right_context=1, att_left_context=12,
+                     n_mels=cfg.n_mels)
+    fb = mel_filterbank_slaney(n_mels=cfg.n_mels)
+    sess = StreamSession(params, cfg, None, cc, filterbank=fb,
+                         window=hann_window(400), beam_size=2, lm=lm,
+                         lm_weight=0.5)
+    rng = np.random.default_rng(3)
+    mel = (rng.standard_normal((1, cc.chunk_mel_frames * 3, cfg.n_mels)) * 2
+           ).astype(np.float32)
+    sess.process_mel(mel)
+    st = sess.state_dict()
+    sess2 = StreamSession(params, cfg, None, cc, filterbank=fb,
+                          window=hann_window(400), beam_size=2, lm=lm,
+                          lm_weight=0.5)
+    sess2.load_state_dict(st)
+    sess.process_mel(mel)
+    sess2.process_mel(mel)
+    assert sess.get_tokens(0) == sess2.get_tokens(0)
