@@ -43,6 +43,11 @@ def main() -> int:
                          "ms/step is per CHUNK)")
     ap.add_argument("--chains", type=int, default=4)
     ap.add_argument("--len", type=int, default=10, dest="chain_len")
+    ap.add_argument("--beam", type=int, default=1,
+                    help="beam width K: bench the fused encoder+BEAM step "
+                         "(chunk_step_beam) instead of greedy -- the "
+                         "streams-per-chip cost of beam quality "
+                         "(VERDICT r3 item 7)")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
@@ -149,24 +154,41 @@ def main() -> int:
             for fuse in [int(k) for k in args.fuse.split(",")]:
               for B in batches:
                 # fresh jit cache per variant (env knob is trace-time)
-                def fused(p, mels, es, ds, ph, _cc=cc_run, _k=fuse):
-                    # K chained chunk steps traced into ONE program: the
-                    # K/V ring parameter relayout (the dominant
-                    # data-formatting tax, PERFORMANCE.md floor analysis)
-                    # happens once per CALL, not once per chunk.
-                    out = []
-                    for i in range(_k):
-                        toks, es, ds = sess_mod._chunk_step_jit.__wrapped__(
-                            p, cfg, _cc, mels[i], es, ds, ph)
-                        out.append(toks)
-                    return jnp.stack(out), es, ds
+                if args.beam > 1:
+                    from nemotron_tpu.models import beam as beam_mod
+
+                    def fused(p, mels, es, ds, ph, _cc=cc_run, _k=fuse):
+                        for i in range(_k):
+                            es, ds = sess_mod.chunk_step_beam.__wrapped__(
+                                p, cfg, _cc, mels[i], es, ds, ph,
+                                args.beam, 10)
+                        return ds.scores, es, ds
+                else:
+                    def fused(p, mels, es, ds, ph, _cc=cc_run, _k=fuse):
+                        # K chained chunk steps traced into ONE program: the
+                        # K/V ring parameter relayout (the dominant
+                        # data-formatting tax, PERFORMANCE.md floor analysis)
+                        # happens once per CALL, not once per chunk.
+                        out = []
+                        for i in range(_k):
+                            toks, es, ds = \
+                                sess_mod._chunk_step_jit.__wrapped__(
+                                    p, cfg, _cc, mels[i], es, ds, ph)
+                            out.append(toks)
+                        return jnp.stack(out), es, ds
                 step = jax.jit(fused, donate_argnums=(2, 3))
                 try:
                     # state init is itself a device allocation: an OOM at
                     # a too-big batch must skip the point, not kill the
                     # whole ladder
                     es = enc_mod.init_encoder_state(cfg, cc_run, B, dtype)
-                    ds = dec_mod.init_decoder_state(cfg, B, dtype)
+                    if args.beam > 1:
+                        # steady-state beam serving: the K-hypothesis slab;
+                        # tokens buffer sized for ~5 min of emissions
+                        ds = beam_mod.init_beam_state(
+                            cfg, B, args.beam, 4096, dtype)
+                    else:
+                        ds = dec_mod.init_decoder_state(cfg, B, dtype)
                     mel = jnp.asarray(rng.standard_normal(
                         (fuse, B, cc_run.chunk_mel_frames, cfg.n_mels)),
                         dtype)
@@ -192,7 +214,8 @@ def main() -> int:
                                / (args.chain_len * fuse))
                 key = f"unroll{unroll}-{attn}/{mode}/B{B}" + (
                     f"/fuse{fuse}" if fuse != 1 else "") + (
-                    f"/R{rc}" if rc != 13 else "")
+                    f"/R{rc}" if rc != 13 else "") + (
+                    f"/beam{args.beam}" if args.beam > 1 else "")
                 ms = sorted(x * 1e3 for x in est)
                 results[key] = {"p50_ms": round(ms[len(ms) // 2], 2),
                                 "min_ms": round(ms[0], 2),
