@@ -87,3 +87,21 @@ def write_tiny_gguf(path: str, arrays: dict, cfg, quantize: dict | None = None,
             a = a.squeeze(2)
         conv_arrays[name] = a
     gguf.write_gguf(path, meta, conv_arrays, quantize=quantize)
+
+
+# ---------------------------------------------------------------------------
+# Full-suite stability: XLA CPU compiles segfault nondeterministically deep
+# into a single-process run (~350 compiled programs accumulated), inside
+# LLVM codegen on the MAIN thread -- r3 crashed at test_streaming_encoder,
+# r4 diagnostics at test_serving, each passing in isolation, with and
+# without torch resident, so it is accumulated jit/backend state (not any
+# one test, not the old torch theory). Dropping every compiled executable
+# at module boundaries keeps the live-program count at the single-module
+# level the crash never reproduces at. Costs ~10-20% runtime
+# (module-scoped fixtures already bound most compile reuse to one module).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()
