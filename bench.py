@@ -286,12 +286,69 @@ def main() -> int:
             print(f"device trace failed ({type(e).__name__}: {e}); "
                   "host stats only", file=sys.stderr)
 
-    value = best
+    # --- cohort stacking: the round-4 headline multiplier ----------------
+    # At the single-slab winner the chip idles ~(1120-118)/1120 = 90% of
+    # every chunk period; C phase-staggered cohorts reclaim it at UNCHANGED
+    # per-chunk latency (each stream's chunk still computes in one ~118 ms
+    # step; cohorts simply interleave in time). Measured r4: per-step p50
+    # does not degrade with extra resident cohorts (118.3 ms at C=2,
+    # 118.8 at C=3); HBM binds at ~2560-2688 total streams
+    # (docs/bench_cohorts_r4*.json). Qualify C*B as the headline iff the
+    # per-step p50 still meets the latency bar AND the staggered round
+    # fits the chunk period.
+    cohort = None
+    if not quick and best > 0 and best_mode == "w8a8-int8kv":
+        # Run in a SUBPROCESS (scripts/bench_cohorts.py, the measured r4
+        # harness): C cohorts' states need a clean HBM arena -- after this
+        # process's dense/w8a8 ladder churn the BFC arena is fragmented
+        # enough that even C=2 x 800 ResourceExhausts in-process, while a
+        # fresh backend fits C=3 x 800 with room (docs/bench_cohorts_r4*).
+        import os
+        import subprocess
+        import tempfile
+
+        chunk_period_s = cc.shift_mel_frames * 0.010
+        for C in (3, 2):
+            out_json = tempfile.mktemp(suffix=".json")
+            try:
+                r = subprocess.run(
+                    [sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "scripts", "bench_cohorts.py"),
+                     "--cohorts", str(C), "--batch", str(best),
+                     "--rounds", "12", "--json", out_json],
+                    capture_output=True, text=True, timeout=1200)
+                res = (json.load(open(out_json))
+                       if r.returncode == 0 and os.path.exists(out_json)
+                       else None)
+            except (subprocess.TimeoutExpired, OSError,
+                    json.JSONDecodeError):
+                res = None
+            finally:
+                if os.path.exists(out_json):
+                    os.remove(out_json)
+            if res is None:
+                print(f"cohorts C={C} x B={best}: failed (likely OOM)",
+                      file=sys.stderr)
+                continue
+            r50 = res["round_p50_ms"] / 1e3
+            step50 = res["step_p50_ms"] / 1e3
+            print(f"cohorts C={C} x B={best}: round p50 "
+                  f"{r50*1e3:.1f} ms, per-step p50 {step50*1e3:.1f} ms",
+                  file=sys.stderr)
+            if step50 <= LATENCY_BUDGET_S and r50 <= chunk_period_s:
+                cohort = {"cohorts": C, "batch": best,
+                          "round_p50_ms": round(r50 * 1e3, 1),
+                          "step_p50_ms": round(step50 * 1e3, 1)}
+                break
+
+    value = cohort["cohorts"] * cohort["batch"] if cohort else best
     out = {
         "metric": "realtime_streams_per_chip",
         "value": value,
         "unit": "streams",
         "vs_baseline": value / BASELINE_STREAMS,
+        "cohorts": cohort,
         "p50_chunk_latency_ms": round(best_stats["p50"] * 1e3, 2) if best_stats else None,
         "p90_chunk_latency_ms": round(best_stats["p90"] * 1e3, 2) if best_stats else None,
         "latency_stat": ("p50/p90 over %d chain-means (%d steps/chain), "
@@ -306,7 +363,11 @@ def main() -> int:
         "latency_budget_ms": LATENCY_BUDGET_S * 1e3,
         "chunk_audio_ms": cc.shift_mel_frames * 10,
         "mode": f"R=13 {best_mode} fused chunk step "
-                "(encoder + on-device greedy decode)",
+                "(encoder + on-device greedy decode)"
+                + (f", {cohort['cohorts']} phase-staggered cohorts x "
+                   f"{cohort['batch']} streams (per-chunk latency "
+                   "unchanged; see docs/bench_cohorts_r4*.json)"
+                   if cohort else ""),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))
