@@ -11,6 +11,15 @@ framework's `StreamSession(trace_dir=...)` captures.
 Requires the `nemo_toolkit` package (NOT installed in the CI image -- this
 tool is for offline parity work on a machine with NeMo; it exits cleanly
 with a message otherwise).
+
+CAVEAT: this script has been exercised only against the mock NeMo in
+tests/test_nemo_reference.py (the real toolkit is absent from this
+environment). It targets the cache-aware streaming API of nemo_toolkit
+>= 1.20 (`ASRModel.restore_from`, `encoder.set_default_att_context_size`,
+per-layer/pre_encode `register_forward_hook`, `model.transcribe`);
+validate those attribute names against your installed version before
+trusting the dumps. The reference's scripts/my_streaming.py ran against
+the real toolkit.
 """
 
 import os

@@ -334,20 +334,31 @@ def main(argv: list[str]) -> int:
         params, opt_state, start = load_train_state(ck, params, opt_state)
         print(f"resumed from {ck} at step {start}", file=sys.stderr)
 
+    import time as _time
+
+    ck = argv[argv.index("--checkpoint") + 1] if "--checkpoint" in argv \
+        else None
     eval_every = opt_val("--eval-every", max(steps // 10, 1), int)
+    t0 = _time.perf_counter()
     for i in range(start, steps):
         fn = step_fns[att_chunks[i % len(att_chunks)]]
         params, opt_state, loss = fn(params, opt_state, next_batch(i))
         if i % eval_every == 0 or i == steps - 1:
-            msg = f"step {i:5d}  loss {float(loss):.4f}"
+            msg = (f"step {i:5d}  loss {float(loss):.4f}"
+                   f"  [{_time.perf_counter() - t0:.0f}s]")
             if val is not None:
                 ter = ter_on_batch(params, cfg, val_dev,
                                    att_chunk=att_chunks[0])
                 msg += f"  val TER {ter*100:.2f}%"
-            print(msg, file=sys.stderr)
+            print(msg, file=sys.stderr, flush=True)
+            if ck is not None and i > start:
+                # periodic snapshot so an hours-long run survives a crash;
+                # write-then-rename keeps the previous snapshot loadable
+                save_train_state(ck + ".tmp.npz", params, opt_state,
+                                 step=i + 1)
+                os.replace(ck + ".tmp.npz", ck)
 
-    if "--checkpoint" in argv:
-        ck = argv[argv.index("--checkpoint") + 1]
+    if ck is not None:
         save_train_state(ck, params, opt_state, step=steps)
         print(f"checkpointed to {ck}", file=sys.stderr)
 
