@@ -61,17 +61,29 @@ def test_headline_program_lowers_tiny_fullsize_shape():
     """Full-unroll + w8a8 + int8kv chunk step traces cleanly (tiny dims:
     every headline code path -- static ring slices, int8 dequant folds,
     per-segment scales -- at CI-friendly cost)."""
+    import time
+
     cfg = ModelConfig(n_mels=32, d_model=128, n_heads=8, d_head=16,
                       d_ff=256, n_layers=4, vocab_size=64, decoder_dim=64,
                       joint_dim=64, subsampling_channels=16)
     cc = dataclasses.replace(
         CacheConfig(att_right_context=13, n_mels=cfg.n_mels),
         kv_cache_int8=True)
+    t0 = time.perf_counter()
     hlo = _lower_chunk_step(cfg, cc, batch=8, unroll=cfg.n_layers)
+    trace_s = time.perf_counter() - t0
     # the unrolled program has NO scan loop over layers (while ops may
     # remain for the decode label loop)
     assert "stablehlo" in hlo
     assert hlo.count("i8>") > 0, "int8 rings/weights missing from the HLO"
+    # Compile-time budget (VERDICT r4 item 6): this 4-layer trace takes
+    # ~3-6 s on the CI CPU; the full 24-layer program scales ~linearly in
+    # traced layer bodies, so a trace-complexity blowup here (e.g. an op
+    # that stops fusing and explodes the jaxpr) multiplies TPU compile
+    # times sixfold. 60 s is ~10x headroom over noise, tight vs pathology.
+    assert trace_s < 60.0, (
+        f"headline program trace took {trace_s:.1f} s (budget 60 s) -- "
+        "trace-complexity regression")
 
 
 @pytest.mark.skipif(os.environ.get("NEMOTRON_TPU_TEST_FULL_LOWER") != "1",
