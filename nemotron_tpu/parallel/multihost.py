@@ -549,8 +549,6 @@ class MultihostServing(ServingEngine):
 
 
 def _realign_rings_jit(enc_state, deltas, chunk_len):
-    import functools
-
     import jax
 
     from ..models import encoder as enc_mod
@@ -559,7 +557,23 @@ def _realign_rings_jit(enc_state, deltas, chunk_len):
     try:
         f = _REALIGN_JIT
     except NameError:
+        def _realign_or_skip(enc_state, deltas, chunk_len):
+            # Steady state (every stream real-time) has deltas == 0 on
+            # every tick; the full two-ring gather there was a pure
+            # always-on tax (VERDICT r4 item 7). lax.cond skips it ON
+            # DEVICE: the predicate is replicated under GSPMD, so every
+            # process still issues the identical program -- no host sync,
+            # no SPMD call-sequence divergence -- and the donated buffers
+            # pass through untouched on the skip branch.
+            import jax.numpy as jnp
+
+            return jax.lax.cond(
+                jnp.any(deltas != 0),
+                lambda s: enc_mod.realign_rings(s, deltas, chunk_len),
+                lambda s: s,
+                enc_state)
+
         f = _REALIGN_JIT = jax.jit(
-            enc_mod.realign_rings, static_argnums=(2,),
+            _realign_or_skip, static_argnums=(2,),
             donate_argnums=(0,))
     return f(enc_state, deltas, chunk_len)
