@@ -130,11 +130,26 @@ class CacheConfig:
     # head, segment) scale machinery as int8, qmax 7. Opt-in; coarser than
     # int8 -- gate with scripts/token_agreement.py before deploying.
     kv_cache_int4: bool = False
+    # Shared channel cache (NeMo's layout, which the reference documents at
+    # docs/STREAMING.md:446-456 but does not use): instead of separate K
+    # and V rings [L, B, H, KV, Dh] x 2, cache ONE ring of post-norm
+    # pre-projection activations [L, B, 1, KV, D] and recompute K = x@Wk,
+    # V = x@Wv for the cached frames inside each step. Halves attention
+    # ring state per stream (the HBM capacity binder at headline scale,
+    # ~2560 stream states r4) at the cost of two extra [B*KV, D]@[D, D]
+    # matmuls per layer per step -- a compute-for-memory trade that rides
+    # the MXU, which profiling shows has headroom (the step is HBM-bound).
+    # Composes with kv_cache_int8 (the x-ring is int8 with per-segment
+    # scales); int4 is not supported for this layout.
+    shared_cache: bool = False
 
     def __post_init__(self):
         if self.kv_cache_int8 and self.kv_cache_int4:
             raise ValueError("kv_cache_int8 and kv_cache_int4 are "
                              "mutually exclusive")
+        if self.shared_cache and self.kv_cache_int4:
+            raise ValueError("shared_cache does not support int4 rings "
+                             "(use kv_cache_int8)")
 
     @property
     def kv_quant_max(self) -> int | None:

@@ -189,7 +189,13 @@ class EncoderState:
 
     k_cache: Any      # [L, B, H, KV, Dh] ring (head-major; int8 if
     v_cache: Any      #   cc.kv_cache_int8; [L, B, H, KV, Dh/2] int8
-    #                     nibble-packed if cc.kv_cache_int4; else dtype)
+    #                     nibble-packed if cc.kv_cache_int4; else dtype).
+    #                     cc.shared_cache: k_cache is the X-RING of
+    #                     post-norm pre-projection activations
+    #                     [L, B, 1, KV, D] (K/V recomputed per step) and
+    #                     v_cache a [L, B, 1, KV, 0] placeholder -- same
+    #                     ranks, so ring rolls / slot ops / shardings
+    #                     (all rank- or axis-generic) apply unchanged.
     k_scale: Any      # [L, B, H, n_seg] f32 per-segment dequant scales
     v_scale: Any      #   (ones / unused when the ring is not quantized)
     conv_cache: Any   # [L, B, K-1, D]
@@ -213,6 +219,17 @@ def init_encoder_state(cfg: ModelConfig, cc: CacheConfig, batch: int,
         ring_dtype, d_ring = jnp.int8, DH
     else:
         ring_dtype, d_ring = dtype, DH
+    if cc.shared_cache:
+        # one x-ring shared by K and V: half the attention state bytes
+        return EncoderState(
+            k_cache=jnp.zeros((L, batch, 1, kv, D), ring_dtype),
+            v_cache=jnp.zeros((L, batch, 1, kv, 0), ring_dtype),
+            k_scale=jnp.ones((L, batch, 1, n_seg), jnp.float32),
+            v_scale=jnp.ones((L, batch, 1, n_seg), jnp.float32),
+            conv_cache=jnp.zeros((L, batch, cc.conv_cache_size, D), dtype),
+            valid_len=jnp.zeros((batch,), jnp.int32),
+            phase=jnp.zeros((batch,), jnp.int32),
+        )
     return EncoderState(
         k_cache=jnp.zeros((L, batch, H, kv, d_ring), ring_dtype),
         v_cache=jnp.zeros((L, batch, H, kv, d_ring), ring_dtype),
@@ -342,12 +359,14 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     # as a per-layer scalar; the fused pallas kernel takes a layer-
     # invariant mask, so the pattern forces the XLA attention path
     rcs = cc.rc_schedule(cfg.n_layers)
+    shared = cc.shared_cache
     use_fused = (attn_impl.startswith("pallas") and B % block_b == 0
-                 and rcs is None and not cc.kv_cache_int4)
+                 and rcs is None and not cc.kv_cache_int4 and not shared)
     if attn_impl.startswith("pallas") and not use_fused:
         _warn_pallas_fallback(
             "per-layer right-context schedule set" if rcs is not None
             else "int4 K/V rings" if cc.kv_cache_int4
+            else "shared x-ring cache" if shared
             else f"batch {B} not divisible by block {block_b}")
     rc_arr = None if rcs is None else jnp.asarray(rcs, jnp.int32)
 
@@ -374,6 +393,35 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
             kcols = vcols = jnp.ones((B, cfg.n_heads, kv), jnp.float32)
         else:
             kcols = vcols = None
+        if shared:
+            # shared x-ring: dequantize the cached activations and
+            # recompute this layer's K/V on the MXU (compute-for-HBM
+            # trade; see CacheConfig.shared_cache). The dequant happens
+            # BEFORE the projection, so no scale columns ride the scores.
+            from ..ops.quant import qmm
+
+            x_r = kr[:, 0]                            # [B, kv, D]
+            if cc.kv_quant_max is not None:
+                x_r = (x_r.astype(jnp.float32)
+                       * kcols[:, 0, :, None])        # per-slot scales
+            x_r = x_r.astype(h.dtype)
+
+            def heads_of(t):   # [B, kv, D] -> [B, H, kv, Dh]
+                return jnp.swapaxes(
+                    t.reshape(B, kv, cfg.n_heads, cfg.d_head), 1, 2)
+
+            k_r = heads_of(qmm(x_r, lp.attn_k_w))
+            v_r = heads_of(qmm(x_r, lp.attn_v_w))
+            cap: dict = {}
+            y, _nk, _nv, ncv = conformer_layer(
+                lp, h, ph, mask=lmask,
+                ring=(k_r, v_r, pos_perm, None, None),
+                conv_cache=cvc, n_heads=cfg.n_heads, d_head=cfg.d_head,
+                ln_capture=cap)
+            cv_all = jax.lax.dynamic_update_index_in_dim(cv_all, ncv, l, 0)
+            new_x = cap["norm_attn"]                  # [B, Q, D] ring write
+            ys = (new_x, y) if capture else (new_x,)
+            return (y, cv_all, l + 1), ys
         if use_fused:
             y, nk, nv, ncv = conformer_layer(
                 lp, h, ph, mask=lmask, conv_cache=cvc,
@@ -414,7 +462,11 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
               state.k_scale, state.v_scale)
     (x, ncv, _), ys = jax.lax.scan(
         body, (x, state.conv_cache, jnp.int32(0)), xs, unroll=unroll)
-    k_new, v_new = ys[0], ys[1]                          # [L, B, H, Q, Dh]
+    if shared:
+        # [L, B, Q, D] -> [L, B, 1, Q, D] to match the x-ring rank
+        k_new, v_new = ys[0][:, :, None], None
+    else:
+        k_new, v_new = ys[0], ys[1]                      # [L, B, H, Q, Dh]
 
     new_k_scale, new_v_scale = state.k_scale, state.v_scale
     if cc.kv_quant_max is not None:
@@ -442,35 +494,41 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
             return q, sc
 
         k_new, k_seg_scale = quant_seg(k_new)
-        v_new, v_seg_scale = quant_seg(v_new)
+        if not shared:
+            v_new, v_seg_scale = quant_seg(v_new)
 
     off = phase_s * Q
     if step_mask is not None:
         # continuous batching: a non-advancing stream keeps its old segment
         # content (cheap: the where is on the [L, B, H, Q, Dh] slab only)
         old_k = jax.lax.dynamic_slice_in_dim(state.k_cache, off, Q, axis=3)
-        old_v = jax.lax.dynamic_slice_in_dim(state.v_cache, off, Q, axis=3)
         m = step_mask[None, :, None, None, None]
         k_new = jnp.where(m, k_new.astype(state.k_cache.dtype), old_k)
-        v_new = jnp.where(m, v_new.astype(state.v_cache.dtype), old_v)
+        if not shared:
+            old_v = jax.lax.dynamic_slice_in_dim(state.v_cache, off, Q,
+                                                 axis=3)
+            v_new = jnp.where(m, v_new.astype(state.v_cache.dtype), old_v)
         ncv = jnp.where(m[..., 0], ncv, state.conv_cache)
         if cc.kv_quant_max is not None:
             seg = phase_s  # scalar segment index
             old_ks = jax.lax.dynamic_slice_in_dim(state.k_scale, seg, 1, 3)
-            old_vs = jax.lax.dynamic_slice_in_dim(state.v_scale, seg, 1, 3)
             mk = step_mask[None, :, None]
             k_seg_scale = jnp.where(mk, k_seg_scale, old_ks[..., 0])
-            v_seg_scale = jnp.where(mk, v_seg_scale, old_vs[..., 0])
+            if not shared:
+                old_vs = jax.lax.dynamic_slice_in_dim(state.v_scale, seg,
+                                                      1, 3)
+                v_seg_scale = jnp.where(mk, v_seg_scale, old_vs[..., 0])
 
     nk = jax.lax.dynamic_update_slice_in_dim(
         state.k_cache, k_new.astype(state.k_cache.dtype), off, axis=3)
-    nv = jax.lax.dynamic_update_slice_in_dim(
+    nv = state.v_cache if shared else jax.lax.dynamic_update_slice_in_dim(
         state.v_cache, v_new.astype(state.v_cache.dtype), off, axis=3)
     if cc.kv_quant_max is not None:
         new_k_scale = jax.lax.dynamic_update_slice_in_dim(
             state.k_scale, k_seg_scale[..., None], phase_s, axis=3)
-        new_v_scale = jax.lax.dynamic_update_slice_in_dim(
-            state.v_scale, v_seg_scale[..., None], phase_s, axis=3)
+        if not shared:
+            new_v_scale = jax.lax.dynamic_update_slice_in_dim(
+                state.v_scale, v_seg_scale[..., None], phase_s, axis=3)
 
     new_valid = jnp.minimum(state.valid_len + Q, C)
     new_phase = jnp.mod(state.phase + 1, n_seg)
@@ -491,7 +549,7 @@ def encode_chunk(params: ModelParams, cfg: ModelConfig, cc: CacheConfig,
     enc_out = jnp.where(phase_uniform, enc_out, jnp.nan)
     if capture:
         inter = {"pre_encode_out": pre_encode_out,
-                 "layer_out": ys[2],          # [L, B, T, D]
+                 "layer_out": ys[1] if shared else ys[2],  # [L, B, T, D]
                  "encoder_out": enc_out}
         return enc_out, new_state, inter
     return enc_out, new_state
