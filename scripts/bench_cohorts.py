@@ -26,6 +26,18 @@ Two measurement modes:
 
     bench_cohorts.py [--cohorts C] [--batch B] [--mode bf16|w8a8-int8kv]
                      [--rounds N] [--e2e] [--kv-int4] [--quick] [--json F]
+                     [--rc R] [--shared] [--beam K] [--serving]
+
+Round-5 additions (VERDICT r4 items 3+4):
+  --rc R      latency mode (att_right_context; default 13). The real-time
+              budget scales with the mode's chunk period (R0: 80 ms, R1:
+              160 ms, R6: 560 ms, R13: 1120 ms).
+  --shared    shared channel cache (x-ring): half the attention state
+              bytes per stream, K/V recomputed per step on the MXU.
+  --beam K    fused beam-K step instead of greedy (beam cohort capacity).
+  --serving   cohorts of RAGGED ServingEngines (ServingCohorts) instead
+              of the device-capacity slab: end-to-end engine ticks with
+              per-slot bookkeeping, all slots active.
 """
 
 import dataclasses
@@ -38,7 +50,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CHUNK_PERIOD_S = 1.120   # R=13 audio per chunk
+# chunk period (the real-time budget) is derived from the latency mode:
+# cc.shift_samples / cc.sample_rate (R13 = 1.120 s)
 
 
 def opt(argv, name, default, cast):
@@ -65,7 +78,10 @@ def build(argv, quick):
                           subsampling_channels=16)
     else:
         cfg = ModelConfig()
-    cc = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
+    rc = opt(argv, "--rc", 13, int)
+    cc = CacheConfig(att_right_context=rc, n_mels=cfg.n_mels)
+    if "--shared" in argv:
+        cc = dataclasses.replace(cc, shared_cache=True)
     mode = opt(argv, "--mode", "bf16" if quick else "w8a8-int8kv", str)
     if mode not in ("bf16", "w8a8-int8kv"):
         print(f"error: unknown --mode {mode!r}", file=sys.stderr)
@@ -85,20 +101,35 @@ def build(argv, quick):
     return params, cfg, cc, mode
 
 
-def bench_device(params, cfg, cc, C, B, rounds, quick):
+def bench_device(params, cfg, cc, C, B, rounds, quick, period_s, beam=1):
     """C cohorts' states resident; staggered chunk steps round-robin."""
     import jax.numpy as jnp
 
     from bench import _sync  # noqa: E402  (repo-root bench.py helpers)
     from nemotron_tpu.models import decoder as dec_mod
     from nemotron_tpu.models import encoder as enc_mod
-    from nemotron_tpu.streaming.session import chunk_step
+    from nemotron_tpu.streaming.session import chunk_step, chunk_step_beam
 
     dtype = jnp.bfloat16
     pos_heads = enc_mod.precompute_pos_heads(params, cfg, cc, dtype=dtype)
-    states = [(enc_mod.init_encoder_state(cfg, cc, B, dtype),
-               dec_mod.init_decoder_state(cfg, B, dtype))
-              for _ in range(C)]
+    if beam > 1:
+        from nemotron_tpu.models import beam as beam_mod
+
+        states = [(enc_mod.init_encoder_state(cfg, cc, B, dtype),
+                   beam_mod.init_beam_state(cfg, B, beam, 4096, dtype))
+                  for _ in range(C)]
+
+        def step(enc, dec, mel):
+            enc, dec = chunk_step_beam(params, cfg, cc, mel, enc, dec,
+                                       pos_heads, beam, 10)
+            return dec.scores, enc, dec
+    else:
+        states = [(enc_mod.init_encoder_state(cfg, cc, B, dtype),
+                   dec_mod.init_decoder_state(cfg, B, dtype))
+                  for _ in range(C)]
+
+        def step(enc, dec, mel):
+            return chunk_step(params, cfg, cc, mel, enc, dec, pos_heads)
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal(
         (B, cc.chunk_mel_frames, cfg.n_mels), dtype=np.float32), dtype)
@@ -107,8 +138,7 @@ def bench_device(params, cfg, cc, C, B, rounds, quick):
     t0 = time.perf_counter()
     for c in range(C):
         enc, dec = states[c]
-        tokens, enc, dec = chunk_step(params, cfg, cc, mel, enc, dec,
-                                      pos_heads)
+        tokens, enc, dec = step(enc, dec, mel)
         states[c] = (enc, dec)
     _sync(tokens)
     print(f"warmup (compile + {C} cohort first-steps): "
@@ -127,8 +157,7 @@ def bench_device(params, cfg, cc, C, B, rounds, quick):
         t0 = time.perf_counter()
         for c in range(C):
             enc, dec = states[c]
-            tokens, enc, dec = chunk_step(params, cfg, cc, mel, enc, dec,
-                                          pos_heads)
+            tokens, enc, dec = step(enc, dec, mel)
             states[c] = (enc, dec)
         _sync(tokens)
         per_round.append(max(time.perf_counter() - t0 - rtt, 0.0))
@@ -140,13 +169,13 @@ def bench_device(params, cfg, cc, C, B, rounds, quick):
         "step_p50_ms": step_p50 * 1e3,
         "rtt_ms": rtt * 1e3,
         "rounds": rounds,
-        "realtime": float(np.percentile(r, 50)) < CHUNK_PERIOD_S,
-        "compute_headroom_cohorts": int(CHUNK_PERIOD_S // step_p50)
+        "realtime": float(np.percentile(r, 50)) < period_s,
+        "compute_headroom_cohorts": int(period_s // step_p50)
         if step_p50 > 0 else None,
     }
 
 
-def bench_e2e(params, cfg, cc, C, B, rounds, quick):
+def bench_e2e(params, cfg, cc, C, B, rounds, quick, period_s, beam=1):
     """CohortScheduler end-to-end: staggered pipelined LockstepEngine
     ticks including PCM staging + tunnel transfer."""
     from nemotron_tpu.streaming.cohorts import CohortScheduler
@@ -181,9 +210,56 @@ def bench_e2e(params, cfg, cc, C, B, rounds, quick):
         "round_p50_ms": float(np.percentile(r, 50)) * 1e3,
         "round_p90_ms": float(np.percentile(r, 90)) * 1e3,
         "rounds": rounds,
-        "realtime": float(np.percentile(r, 50)) < CHUNK_PERIOD_S,
+        "realtime": float(np.percentile(r, 50)) < period_s,
         "note": "pipelined ticks (+1 tick text latency); includes host "
                 "PCM staging and the dev-tunnel transfer",
+    }
+
+
+def bench_serving(params, cfg, cc, C, B, rounds, quick, period_s, beam=1):
+    """ServingCohorts: C cohorts of RAGGED ServingEngines, every slot
+    active and fed one chunk per tick -- the engine's full per-slot
+    bookkeeping (buffering, masking, emission extraction) included. The
+    ragged engine's worst case is all-slots-advance, which is what this
+    measures; real arrival patterns only lighten each tick."""
+    from nemotron_tpu.streaming.cohorts import ServingCohorts
+
+    sched = ServingCohorts(params, cfg, None, cc, n_slots=B, n_cohorts=C,
+                           beam_size=beam if beam > 1 else 1)
+    ids = [[sched.add_stream(cohort=c) for _ in range(B)]
+           for c in range(C)]
+    rng = np.random.default_rng(0)
+    n = cc.shift_samples
+
+    def feed(c):
+        block = (rng.standard_normal((B, n)) * 6000).astype(np.int16)
+        sched.feed_audio({gid: block[i] for i, gid in enumerate(ids[c])})
+
+    for _ in range(2):                       # warmup: compile + steady state
+        for c in range(C):
+            feed(c)
+            sched.step(c)
+
+    per_tick, per_round = [], []
+    for _ in range(rounds):
+        r0 = time.perf_counter()
+        for c in range(C):
+            t0 = time.perf_counter()
+            feed(c)
+            sched.step(c)
+            per_tick.append(time.perf_counter() - t0)
+        per_round.append(time.perf_counter() - r0)
+    t, r = np.asarray(per_tick), np.asarray(per_round)
+    return {
+        "tick_p50_ms": float(np.percentile(t, 50)) * 1e3,
+        "tick_p90_ms": float(np.percentile(t, 90)) * 1e3,
+        "round_p50_ms": float(np.percentile(r, 50)) * 1e3,
+        "round_p90_ms": float(np.percentile(r, 90)) * 1e3,
+        "rounds": rounds,
+        "realtime": float(np.percentile(r, 50)) < period_s,
+        "note": "ragged ServingEngine cohorts, all slots advancing "
+                "(worst case); includes host PCM staging + per-slot "
+                "bookkeeping + the dev-tunnel transfer",
     }
 
 
@@ -213,16 +289,23 @@ def main(argv):
     C = opt(argv, "--cohorts", 2, int)
     B = opt(argv, "--batch", 4 if quick else 800, int)
     rounds = opt(argv, "--rounds", 3 if quick else 20, int)
+    beam = opt(argv, "--beam", 1, int)
 
     params, cfg, cc, mode = build(argv, quick)
-    fn = bench_e2e if "--e2e" in argv else bench_device
-    res = fn(params, cfg, cc, C, B, rounds, quick)
+    period_s = cc.shift_samples / cc.sample_rate
+    fn = (bench_serving if "--serving" in argv
+          else bench_e2e if "--e2e" in argv else bench_device)
+    res = fn(params, cfg, cc, C, B, rounds, quick, period_s, beam=beam)
     res.update({
-        "bench": "e2e" if "--e2e" in argv else "device",
-        "mode": mode + ("-int4kv" if "--kv-int4" in argv else ""),
+        "bench": ("serving" if "--serving" in argv
+                  else "e2e" if "--e2e" in argv else "device"),
+        "mode": mode + ("-int4kv" if "--kv-int4" in argv else "")
+        + ("-shared" if "--shared" in argv else "")
+        + (f"-beam{beam}" if beam > 1 else ""),
+        "rc": cc.att_right_context,
         "cohorts": C, "batch": B,
         "streams_total": C * B,
-        "chunk_period_ms": CHUNK_PERIOD_S * 1e3,
+        "chunk_period_ms": period_s * 1e3,
     })
     line = json.dumps(res)
     print(line)
