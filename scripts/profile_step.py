@@ -31,6 +31,10 @@ def main() -> int:
     ap.add_argument("--dir", default="/tmp/xplane_step")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--rc", type=int, default=13,
+                    help="latency mode (att_right_context)")
+    ap.add_argument("--shared", action="store_true",
+                    help="shared x-ring cache layout")
     args = ap.parse_args()
 
     import dataclasses
@@ -66,9 +70,11 @@ def main() -> int:
     else:
         cfg = ModelConfig()
     dtype = jnp.bfloat16
-    cc = CacheConfig(att_right_context=13, n_mels=cfg.n_mels)
+    cc = CacheConfig(att_right_context=args.rc, n_mels=cfg.n_mels)
     if args.mode.endswith("int8kv"):
         cc = dataclasses.replace(cc, kv_cache_int8=True)
+    if args.shared:
+        cc = dataclasses.replace(cc, shared_cache=True)
 
     arrays = P.random_weight_arrays(cfg, seed=0)
     arrays["joint.joint_net.2.bias"][cfg.vocab_size - 1] = 12.0
@@ -144,6 +150,36 @@ def main() -> int:
                   f"{(r[i_pct] or 0):5.1f}  {expr}")
         print("\nby category (ms/step):")
         for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+            print(f"  {v / 1e3 / args.steps:8.3f}  {k}")
+
+        # model-stage buckets (VERDICT r4 item 8: name where the non-MXU
+        # time goes). Substring classification over the fused-op
+        # expressions -- rough, but the fusion names carry the source
+        # op names and misclassification lands in 'other'.
+        stage_pats = [
+            ("attention", ("attn", "softmax", "rel_pos", "einsum")),
+            ("ffn", ("ffn",)),
+            ("conv_module", ("conv_module", "glu", "dwconv", "conformer_conv")),
+            ("subsampling", ("subsampl", "pre_encode")),
+            ("decoder_joint", ("lstm", "joint", "decoder", "greedy",
+                               "argmax")),
+            ("ring/cache", ("dynamic-update", "dynamic_update", "cache",
+                            "ring", "scatter")),
+            ("quant/dequant", ("quant", "convert", "clamp", "round")),
+            ("data-format", ("transpose", "copy", "reshape", "bitcast",
+                             "concatenate", "pad", "slice", "gather")),
+        ]
+        by_stage: dict[str, float] = {}
+        for r in rows:
+            expr = str(r[i_expr]).lower()
+            for name, pats in stage_pats:
+                if any(p in expr for p in pats):
+                    by_stage[name] = by_stage.get(name, 0) + (r[i_self] or 0)
+                    break
+            else:
+                by_stage["other"] = by_stage.get("other", 0) + (r[i_self] or 0)
+        print("\nby model stage (ms/step, substring-bucketed):")
+        for k, v in sorted(by_stage.items(), key=lambda kv: -kv[1]):
             print(f"  {v / 1e3 / args.steps:8.3f}  {k}")
     except Exception as e:  # parser drift: leave the raw trace usable
         print(f"xprof parse failed ({type(e).__name__}: {e}); "
