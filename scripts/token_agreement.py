@@ -148,11 +148,18 @@ def run_seed(args, cfg, results, seed, audio, truths, base, base_bf16,
             print(f"seed {seed} R={mode:2d} {'f32-ref':18s} "
                   f"TER {rt*100:6.2f}%  ({n_ref} tokens / "
                   f"{sum(len(t) for t in truths)} truth)", file=sys.stderr)
+        ccs = dataclasses.replace(cc, shared_cache=True)
+        ccs8 = dataclasses.replace(cc8, shared_cache=True)
         configs = {
             "dense-bf16": (base_bf16, cc, jnp.bfloat16),
             "w8a8-bf16": (w8a8, cc, jnp.bfloat16),
             "w8a8-int8kv-bf16": (w8a8, cc8, jnp.bfloat16),
             "w8a8-int4kv-bf16": (w8a8, cc4, jnp.bfloat16),
+            # shared x-ring layout (cc.shared_cache): same math with an
+            # activation ring, so dense-shared gates layout correctness
+            # and w8a8-shared-int8kv gates the capacity headline config
+            "shared-bf16": (base_bf16, ccs, jnp.bfloat16),
+            "w8a8-shared-int8kv-bf16": (w8a8, ccs8, jnp.bfloat16),
         }
         if w8a8_sq is not None:
             configs["w8a8-sq-bf16"] = (w8a8_sq, cc, jnp.bfloat16)
