@@ -9,7 +9,8 @@ src/transcribe_stream.cpp:27-36):
                          [--confidence] [--profile=DIR] [--trace=DIR]
                          [--quantize=q8_0|w8a8|w8a8-sq|w8a8-sq-static]
                          [--calib=FILE]
-                         [--kv-int8|--kv-int4] [--rc-by-layer=13,6,1,0]
+                         [--kv-int8|--kv-int4] [--shared-cache]
+                         [--rc-by-layer=13,6,1,0]
                          [--beam=K] [--boost=piece:weight,...] [--ctc]
                          [--lm=lm.gguf] [--lm-weight=W] [--lm-bonus=B]
                          [--srt=FILE|--vtt=FILE]
@@ -133,6 +134,13 @@ def main(argv: list[str]) -> int:
 
         cc = dataclasses.replace(cc, kv_cache_int8=False, kv_cache_int4=True)
         print("int4 K/V cache rings enabled", file=sys.stderr)
+    if "--shared-cache" in flags:
+        # shared x-ring: half the attention cache state, K/V recomputed
+        # per chunk (config.CacheConfig.shared_cache)
+        import dataclasses
+
+        cc = dataclasses.replace(cc, shared_cache=True)
+        print("shared channel cache (x-ring) enabled", file=sys.stderr)
     for f in flags:
         # NeMo per-layer-group right context (e.g. --rc-by-layer=13,6,1,0;
         # the reference's acknowledged limitation #2)
