@@ -303,21 +303,31 @@ def main() -> int:
         # process's dense/w8a8 ladder churn the BFC arena is fragmented
         # enough that even C=2 x 800 ResourceExhausts in-process, while a
         # fresh backend fits C=3 x 800 with room (docs/bench_cohorts_r4*).
+        #
+        # Attempt ladder (round 5): the SHARED x-ring layout first -- half
+        # the attention state per stream buys C=9 cohorts (measured r5:
+        # 9 x 608 = 5472 streams, per-step p50 106.5 ms, round 959 ms;
+        # 9 x 624 = 5616 fits but leaves only 5% period headroom) -- then
+        # the split-ring r4 ladder as fallback.
         import os
         import subprocess
         import tempfile
 
         chunk_period_s = cc.shift_mel_frames * 0.010
-        for C in (3, 2):
+        for C, B, extra in ((9, 608, ["--shared"]),
+                            (8, 640, ["--shared"]),
+                            (7, 640, ["--shared"]),
+                            (3, best, []),
+                            (2, best, [])):
             out_json = tempfile.mktemp(suffix=".json")
             try:
                 r = subprocess.run(
                     [sys.executable,
                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                   "scripts", "bench_cohorts.py"),
-                     "--cohorts", str(C), "--batch", str(best),
-                     "--rounds", "12", "--json", out_json],
-                    capture_output=True, text=True, timeout=1200)
+                     "--cohorts", str(C), "--batch", str(B),
+                     "--rounds", "12", "--json", out_json] + extra,
+                    capture_output=True, text=True, timeout=1800)
                 res = (json.load(open(out_json))
                        if r.returncode == 0 and os.path.exists(out_json)
                        else None)
@@ -328,18 +338,20 @@ def main() -> int:
                 if os.path.exists(out_json):
                     os.remove(out_json)
             if res is None:
-                print(f"cohorts C={C} x B={best}: failed (likely OOM)",
+                print(f"cohorts C={C} x B={B}{extra}: failed (likely OOM)",
                       file=sys.stderr)
                 continue
             r50 = res["round_p50_ms"] / 1e3
             step50 = res["step_p50_ms"] / 1e3
-            print(f"cohorts C={C} x B={best}: round p50 "
+            print(f"cohorts C={C} x B={B}{extra}: round p50 "
                   f"{r50*1e3:.1f} ms, per-step p50 {step50*1e3:.1f} ms",
                   file=sys.stderr)
             if step50 <= LATENCY_BUDGET_S and r50 <= chunk_period_s:
-                cohort = {"cohorts": C, "batch": best,
+                cohort = {"cohorts": C, "batch": B,
                           "round_p50_ms": round(r50 * 1e3, 1),
-                          "step_p50_ms": round(step50 * 1e3, 1)}
+                          "step_p50_ms": round(step50 * 1e3, 1),
+                          "layout": ("shared-x-ring" if extra
+                                     else "split-kv-ring")}
                 break
 
     value = cohort["cohorts"] * cohort["batch"] if cohort else best
@@ -365,8 +377,9 @@ def main() -> int:
         "mode": f"R=13 {best_mode} fused chunk step "
                 "(encoder + on-device greedy decode)"
                 + (f", {cohort['cohorts']} phase-staggered cohorts x "
-                   f"{cohort['batch']} streams (per-chunk latency "
-                   "unchanged; see docs/bench_cohorts_r4*.json)"
+                   f"{cohort['batch']} streams, {cohort['layout']} "
+                   "(per-chunk latency = the cohort step p50; see "
+                   "docs/capacity_r5.json)"
                    if cohort else ""),
         "device": str(jax.devices()[0]),
     }

@@ -2,19 +2,23 @@
 """Headline regression gate (VERDICT r4 item 6).
 
 The headline contract (BASELINE.md) is <120 ms p50 per-chunk latency at
-the shipped capacity, and round 4 measured 117.9 ms -- only 1.8% of
-headroom. This gate fails LOUDLY before an innocent change eats it.
+the shipped capacity. Round 5's shared-x-ring headline is 5472 streams
+(9 cohorts x 608) with the binding per-chunk latency the COHORT step p50
+(106.5 ms measured, 11% headroom); the single-slab device trace and the
+cohort step are both gated. This gate fails LOUDLY before an innocent
+change eats the headroom.
 
     check_regression.py BENCH_rNN.json            # validate a bench record
     check_regression.py --run [--quick]           # run bench.py, then gate
-    check_regression.py x.json --p50-max 119.5 --min-streams 2400
+    check_regression.py x.json --p50-max 119.5 --min-streams 5400
 
 Exit codes: 0 pass, 1 regression, 2 bad/missing input.
 
 Default thresholds (overridable):
   --p50-max 119.5      p50 per-chunk latency ceiling in ms (0.5 ms inside
-                       the 120 ms bar: trips on drift before the bar does)
-  --min-streams 2400   the shipped headline capacity
+                       the 120 ms bar: trips on drift before the bar does);
+                       applied to the single-slab p50 AND the cohort step
+  --min-streams 5400   just under the shipped 5472-stream headline
 The p50 checked is the device-trace p50 when the record has one (real
 per-step percentiles), falling back to the host chain-mean p50.
 """
@@ -39,6 +43,12 @@ def gate(rec: dict, p50_max: float, min_streams: int) -> list[str]:
         fails.append("no 'value' (streams) in record")
     elif v < min_streams:
         fails.append(f"streams {v} < gate {min_streams}")
+    co = rec.get("cohorts")
+    if co and co.get("step_p50_ms") is not None \
+            and co["step_p50_ms"] > p50_max:
+        # with cohort stacking the COHORT step is each chunk's latency
+        fails.append(f"cohort step_p50_ms {co['step_p50_ms']:.2f} ms > "
+                     f"gate {p50_max} ms (bar 120 ms)")
     return fails
 
 
@@ -47,7 +57,7 @@ def main(argv: list[str]) -> int:
         return cast(argv[argv.index(name) + 1]) if name in argv else default
 
     p50_max = opt("--p50-max", 119.5, float)
-    min_streams = opt("--min-streams", 2400, int)
+    min_streams = opt("--min-streams", 5400, int)
 
     if "--run" in argv:
         cmd = [sys.executable, "bench.py"]
