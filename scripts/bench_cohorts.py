@@ -224,8 +224,9 @@ def bench_serving(params, cfg, cc, C, B, rounds, quick, period_s, beam=1):
     measures; real arrival patterns only lighten each tick."""
     from nemotron_tpu.streaming.cohorts import ServingCohorts
 
+    dsp = opt(sys.argv, "--dsp", "auto", str)
     sched = ServingCohorts(params, cfg, None, cc, n_slots=B, n_cohorts=C,
-                           beam_size=beam if beam > 1 else 1)
+                           beam_size=beam if beam > 1 else 1, dsp=dsp)
     ids = [[sched.add_stream(cohort=c) for _ in range(B)]
            for c in range(C)]
     rng = np.random.default_rng(0)
