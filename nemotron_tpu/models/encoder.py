@@ -599,9 +599,14 @@ def realign_rings(enc_state: "EncoderState", deltas, chunk_len: int):
     idx = jnp.mod(pos - shift[:, None], KV)                 # [B, KV]
 
     def roll_kv(x):  # [L, B, H, KV, Dh]
-        i = idx.reshape((1, idx.shape[0], 1, KV, 1))
-        i = jnp.broadcast_to(i, x.shape[:3] + (KV,) + x.shape[4:])
-        return jnp.take_along_axis(x, i, axis=3)
+        # vmapped per-stream take: the indices stay [B, KV] and lower to
+        # an XLA gather with a batching dim. The take_along_axis
+        # formulation (broadcast indices to the ring's full shape) was
+        # measured to OOM at serving scale -- the int32 index tensor
+        # alone is 4x the int8 ring's bytes (B=800 full-size: 6.6 GB of
+        # indices for a 1.65 GB ring).
+        return jax.vmap(lambda xb, ib: jnp.take(xb, ib, axis=2),
+                        in_axes=(1, 0), out_axes=1)(x, idx)
 
     spos = jnp.arange(n_seg, dtype=jnp.int32)[None, :]
     sidx = jnp.mod(spos - deltas[:, None], n_seg)           # [B, n_seg]
